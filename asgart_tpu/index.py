@@ -1,0 +1,113 @@
+"""Genome index: suffix array + packed-k-mer sorted view.
+
+The reference indexes the genome with a suffix array plus a dense 8-mer →
+SA-interval cache, and answers probe queries by byte-wise binary search
+(``src/searcher.rs``, ``src/divsufsort.rs``). The TPU-native redesign keeps
+a true suffix array (for reference-identical match *ordering*) but replaces
+byte-compare binary search with integer compares over a packed view:
+
+  * each genome position packs its next ``k`` symbols into one int64
+    (3 bits/symbol, byte-rank order ``$ < A < C < G < N < T`` so packed
+    order == suffix order restricted to k prefixes),
+  * ``sa_kmers[r] = pack(text[sa[r]:sa[r]+k])`` is therefore sorted, and a
+    probe lookup is ``searchsorted`` — a data-parallel gather-only loop
+    that runs equally well in numpy (host engine) and on TPU,
+  * matches for a probe are ``sa[lo:hi]`` — in the reference's SA order,
+    which the chaining automaton is sensitive to.
+
+Positions whose window crosses the sentinel pack with low-order zero
+symbols and can never equal an ACGTN probe, reproducing the reference's
+"suffix shorter than pattern compares Less" rule (searcher.rs:164-170).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+# byte → 3-bit symbol rank; '$'(36) < 'A' < 'C' < 'G' < 'N' < 'T'
+CODE = np.zeros(256, dtype=np.uint8)
+for _rank, _ch in enumerate(b"$ACGNT"):
+    CODE[_ch] = _rank
+
+
+def pack_kmers_at(codes_padded: np.ndarray, positions: np.ndarray,
+                  k: int) -> np.ndarray:
+    """Pack the k symbols starting at each position into int64.
+
+    ``codes_padded`` must be uint8 with at least ``k`` zero-padding entries
+    after the logical end of the text.
+    """
+    out = np.zeros(len(positions), dtype=np.int64)
+    for j in range(k):
+        out <<= 3
+        out |= codes_padded[positions + j].astype(np.int64)
+    return out
+
+
+def pack_kmer(pattern: bytes) -> int:
+    v = 0
+    for b in pattern:
+        v = (v << 3) | int(CODE[b])
+    return v
+
+
+@dataclass
+class GenomeIndex:
+    """Suffix array + sorted packed-k-mer view over (a window of) the
+    concatenated strand."""
+
+    sa: np.ndarray         # int64 absolute positions, suffix order
+    sa_kmers: np.ndarray   # int64, sorted; sa_kmers[r] = pack(text[sa[r]:+k])
+    k: int
+
+    @classmethod
+    def build(
+        cls,
+        strand_data: np.ndarray,   # uint8, includes trailing '$'
+        k: int,
+        trim: Optional[tuple[int, int]] = None,
+        block: int = 1 << 22,
+    ) -> "GenomeIndex":
+        """Build the index the way the reference does (asgart.rs:140-155):
+        full-strand SA by default; with ``trim``, the SA covers only
+        ``strand[start:end] + '$'`` with positions shifted back to global
+        coordinates."""
+        from .native import suffix_array
+
+        if trim is not None:
+            start, end = trim
+            sub = np.concatenate(
+                [strand_data[start:end], np.frombuffer(b"$", dtype=np.uint8)])
+            sa = suffix_array(sub)
+            sa += start
+            # window-truncated view: text ends (with '$') at global `end`
+            codes = np.zeros(end + 1 + k, dtype=np.uint8)
+            codes[:end] = CODE[strand_data[:end]]
+            # codes[end] is the '$' rank (0) and the tail is zero padding
+        else:
+            sa = suffix_array(strand_data)
+            codes = np.zeros(len(strand_data) + k, dtype=np.uint8)
+            codes[:len(strand_data)] = CODE[strand_data]
+
+        sa_kmers = np.empty(len(sa), dtype=np.int64)
+        for b0 in range(0, len(sa), block):
+            blk = sa[b0: b0 + block]
+            sa_kmers[b0: b0 + block] = pack_kmers_at(codes, blk, k)
+        return cls(sa=sa, sa_kmers=sa_kmers, k=k)
+
+    def lookup(self, probe_kmers: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized equal-range for a batch of packed probes → [lo, hi)."""
+        lo = np.searchsorted(self.sa_kmers, probe_kmers, side="left")
+        hi = np.searchsorted(self.sa_kmers, probe_kmers, side="right")
+        return lo.astype(np.int64), hi.astype(np.int64)
+
+    def search(self, pattern: bytes) -> list[int]:
+        """Single-probe exact search → absolute match starts in SA order
+        (equivalent to Searcher::search, searcher.rs:145-180)."""
+        v = pack_kmer(pattern)
+        lo = int(np.searchsorted(self.sa_kmers, v, side="left"))
+        hi = int(np.searchsorted(self.sa_kmers, v, side="right"))
+        return [int(x) for x in self.sa[lo:hi]]

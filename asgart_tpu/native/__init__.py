@@ -1,0 +1,171 @@
+"""ctypes bindings for the native runtime (SA-IS, chaining, Levenshtein).
+
+The shared library is built on demand with g++ (no external build deps);
+rebuilds happen automatically whenever the C++ source is newer than the
+artifact.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "src", "asgart_native.cpp")
+_LIB = os.path.join(_HERE, "libasgart_native.so")
+
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-march=native",
+        "-o", _LIB, _SRC,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_LIB)
+
+        lib.asgart_sais.restype = ctypes.c_int
+        lib.asgart_sais.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+
+        lib.asgart_chain.restype = ctypes.c_int
+        lib.asgart_chain.argtypes = [
+            ctypes.c_void_p,  # params
+            ctypes.c_void_p,  # sa
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # probes
+            ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,  # outputs
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+
+        lib.asgart_levenshtein.restype = ctypes.c_int64
+        lib.asgart_levenshtein.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+
+        _lib = lib
+        return lib
+
+
+class _ChainParams(ctypes.Structure):
+    _fields_ = [
+        ("probe_size", ctypes.c_int64),
+        ("step_size", ctypes.c_int64),
+        ("max_gap_size", ctypes.c_int64),
+        ("min_duplication_length", ctypes.c_int64),
+        ("max_cardinality", ctypes.c_int64),
+        ("needle_offset", ctypes.c_int64),
+        ("needle_len", ctypes.c_int64),
+        ("reverse", ctypes.c_int64),
+    ]
+
+
+def _as_i64(a: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.int64)
+
+
+def suffix_array(text: bytes | np.ndarray) -> np.ndarray:
+    """Suffix array of ``text`` (byte-lexicographic), int64 positions."""
+    lib = _load()
+    buf = np.frombuffer(text, dtype=np.uint8) if isinstance(text, bytes) \
+        else np.ascontiguousarray(text, dtype=np.uint8)
+    n = len(buf)
+    sa = np.empty(n, dtype=np.int64)
+    rc = lib.asgart_sais(
+        buf.ctypes.data_as(ctypes.c_void_p), n,
+        sa.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise RuntimeError("asgart_sais failed")
+    return sa
+
+
+def chain(
+    sa: np.ndarray,
+    probe_is: np.ndarray,
+    los: np.ndarray,
+    his: np.ndarray,
+    *,
+    probe_size: int,
+    step_size: int,
+    max_gap_size: int,
+    min_duplication_length: int,
+    max_cardinality: int,
+    needle_offset: int,
+    needle_len: int,
+    reverse: bool,
+) -> list[list[tuple[int, int, int, int]]]:
+    """Run the native automaton; returns families of
+    (left, right, left_length, right_length) proto-duplicons in
+    needle-relative left coordinates (like automaton.rs output)."""
+    lib = _load()
+    sa = _as_i64(sa)
+    probe_is = _as_i64(probe_is)
+    los = _as_i64(los)
+    his = _as_i64(his)
+    n_probes = len(probe_is)
+    params = _ChainParams(
+        probe_size=probe_size,
+        step_size=step_size,
+        max_gap_size=max_gap_size,
+        min_duplication_length=min_duplication_length,
+        max_cardinality=max_cardinality,
+        needle_offset=needle_offset,
+        needle_len=needle_len,
+        reverse=1 if reverse else 0,
+    )
+
+    cap_sds, cap_fams = 4096, 1024
+    while True:
+        out_sds = np.empty((cap_sds, 4), dtype=np.int64)
+        out_fams = np.empty(cap_fams, dtype=np.int64)
+        n_sds = ctypes.c_int64(0)
+        n_fams = ctypes.c_int64(0)
+        rc = lib.asgart_chain(
+            ctypes.byref(params),
+            sa.ctypes.data_as(ctypes.c_void_p),
+            probe_is.ctypes.data_as(ctypes.c_void_p),
+            los.ctypes.data_as(ctypes.c_void_p),
+            his.ctypes.data_as(ctypes.c_void_p),
+            n_probes,
+            out_sds.ctypes.data_as(ctypes.c_void_p),
+            out_fams.ctypes.data_as(ctypes.c_void_p),
+            cap_sds, cap_fams,
+            ctypes.byref(n_sds), ctypes.byref(n_fams))
+        if rc == 0:
+            break
+        cap_sds = max(cap_sds * 2, int(n_sds.value) + 1)
+        cap_fams = max(cap_fams * 2, int(n_fams.value) + 1)
+
+    families = []
+    k = 0
+    for f in range(n_fams.value):
+        size = int(out_fams[f])
+        fam = [tuple(int(x) for x in out_sds[k + s]) for s in range(size)]
+        families.append(fam)
+        k += size
+    return families
+
+
+def levenshtein(a: bytes, b: bytes) -> int:
+    lib = _load()
+    ab = np.frombuffer(a, dtype=np.uint8)
+    bb = np.frombuffer(b, dtype=np.uint8)
+    return int(lib.asgart_levenshtein(
+        ab.ctypes.data_as(ctypes.c_void_p), len(ab),
+        bb.ctypes.data_as(ctypes.c_void_p), len(bb)))

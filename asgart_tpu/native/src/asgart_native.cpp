@@ -1,0 +1,354 @@
+// asgart_tpu native runtime.
+//
+// Three components, exposed through a plain C API for ctypes:
+//   1. suffix-array construction (SA-IS, 64-bit indices) — the reference
+//      uses libdivsufsort (src/divsufsort.rs:8-33); we implement SA-IS
+//      from the published induced-sorting algorithm instead.
+//   2. the gap-tolerant arm-extension automaton ("chaining") consuming a
+//      stream of per-probe suffix-array ranges — semantics match the
+//      reference automaton (src/automaton.rs:57-216) exactly, including
+//      snapshot classification, greedy first-arm assignment, gap aging by
+//      step_size, the 200-arm prune and simultaneous-death families.
+//   3. Levenshtein distance (two-row DP) for --compute-score
+//      (reference: bio::alignment::distance::levenshtein).
+//
+// Build: g++ -O3 -shared -fPIC (see asgart_tpu/native/__init__.py).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// SA-IS
+// ---------------------------------------------------------------------------
+
+// Core SA-IS over s[0..m) where s[m-1] is a unique smallest sentinel (0).
+// Alphabet size K (values in [0, K)). sa must have length m.
+void sais_rec(const int64_t* s, int64_t* sa, int64_t m, int64_t K) {
+  if (m == 1) {
+    sa[0] = 0;
+    return;
+  }
+
+  std::vector<uint8_t> t(m);  // 1 = S-type, 0 = L-type
+  t[m - 1] = 1;
+  for (int64_t i = m - 2; i >= 0; --i)
+    t[i] = (s[i] < s[i + 1] || (s[i] == s[i + 1] && t[i + 1])) ? 1 : 0;
+
+  auto is_lms = [&](int64_t i) -> bool {
+    return i > 0 && t[i] && !t[i - 1];
+  };
+
+  std::vector<int64_t> bkt(K);
+  auto get_buckets = [&](bool end) {
+    std::fill(bkt.begin(), bkt.end(), 0);
+    for (int64_t i = 0; i < m; ++i) bkt[s[i]]++;
+    int64_t sum = 0;
+    for (int64_t i = 0; i < K; ++i) {
+      sum += bkt[i];
+      bkt[i] = end ? sum : sum - bkt[i];
+    }
+  };
+
+  auto induce = [&]() {
+    // induce L-type from sorted (partial) S/LMS positions
+    get_buckets(false);
+    for (int64_t i = 0; i < m; ++i) {
+      int64_t j = sa[i];
+      if (j > 0 && !t[j - 1]) sa[bkt[s[j - 1]]++] = j - 1;
+    }
+    // induce S-type
+    get_buckets(true);
+    for (int64_t i = m - 1; i >= 0; --i) {
+      int64_t j = sa[i];
+      if (j > 0 && t[j - 1]) sa[--bkt[s[j - 1]]] = j - 1;
+    }
+  };
+
+  // Stage 1: place LMS suffixes at bucket ends (arbitrary order), induce.
+  std::fill(sa, sa + m, -1);
+  get_buckets(true);
+  for (int64_t i = 1; i < m; ++i)
+    if (is_lms(i)) sa[--bkt[s[i]]] = i;
+  induce();
+
+  // Stage 2: name sorted LMS substrings.
+  int64_t n1 = 0;
+  for (int64_t i = 0; i < m; ++i)
+    if (sa[i] > 0 && is_lms(sa[i])) sa[n1++] = sa[i];
+  std::fill(sa + n1, sa + m, -1);
+
+  int64_t name = 0, prev = -1;
+  for (int64_t i = 0; i < n1; ++i) {
+    int64_t pos = sa[i];
+    bool diff = false;
+    for (int64_t d = 0; d < m; ++d) {
+      if (prev < 0 || s[pos + d] != s[prev + d] || t[pos + d] != t[prev + d]) {
+        diff = true;
+        break;
+      }
+      if (d > 0 && (is_lms(pos + d) || is_lms(prev + d))) break;
+    }
+    if (diff) {
+      ++name;
+      prev = pos;
+    }
+    sa[n1 + pos / 2] = name - 1;
+  }
+  // compact names to the tail of sa
+  for (int64_t i = m - 1, j = m - 1; i >= n1; --i)
+    if (sa[i] >= 0) sa[j--] = sa[i];
+
+  // Stage 3: sort the reduced problem, then map back and induce.
+  int64_t* s1 = sa + m - n1;
+  if (name < n1) {
+    sais_rec(s1, sa, n1, name);
+  } else {
+    for (int64_t i = 0; i < n1; ++i) sa[s1[i]] = i;
+  }
+  // gather LMS positions in text order
+  std::vector<int64_t> p(n1);
+  for (int64_t i = 1, j = 0; i < m; ++i)
+    if (is_lms(i)) p[j++] = i;
+  for (int64_t i = 0; i < n1; ++i) sa[i] = p[sa[i]];
+  std::fill(sa + n1, sa + m, -1);
+  get_buckets(true);
+  for (int64_t i = n1 - 1; i >= 0; --i) {
+    int64_t j = sa[i];
+    sa[i] = -1;
+    sa[--bkt[s[j]]] = j;
+  }
+  induce();
+}
+
+// ---------------------------------------------------------------------------
+// Chaining automaton
+// ---------------------------------------------------------------------------
+
+struct Arm {
+  int64_t l_start, l_end;
+  int64_t r_start, r_end;
+  int64_t gap;
+  bool active, dirty;
+};
+
+// Minimal distance between an arm's right segment and a match segment
+// (automaton.rs:207-216).
+inline int64_t d_ss(int64_t a_start, int64_t a_end, int64_t m_start,
+                    int64_t m_end) {
+  if ((m_start >= a_start && m_start <= a_end) ||
+      (m_end >= a_start && m_end <= a_end))
+    return 0;
+  int64_t d1 = a_start - m_end;
+  if (d1 < 0) d1 = -d1;
+  int64_t d2 = a_end - m_start;
+  if (d2 < 0) d2 = -d2;
+  return d1 < d2 ? d1 : d2;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Build the suffix array of text[0..n) (arbitrary bytes, '$' included by the
+// caller). sa_out must have length n. Returns 0 on success.
+int asgart_sais(const uint8_t* text, int64_t n, int64_t* sa_out) {
+  if (n <= 0) return 0;
+  // Shift bytes by +1 and append the 0 sentinel so the generic core can
+  // assume a unique smallest last symbol; drop the sentinel row afterwards.
+  std::vector<int64_t> s(n + 1);
+  for (int64_t i = 0; i < n; ++i) s[i] = int64_t(text[i]) + 1;
+  s[n] = 0;
+  std::vector<int64_t> sa(n + 1);
+  sais_rec(s.data(), sa.data(), n + 1, 258);
+  std::memcpy(sa_out, sa.data() + 1, sizeof(int64_t) * n);
+  return 0;
+}
+
+struct ChainParams {
+  int64_t probe_size;
+  int64_t step_size;
+  int64_t max_gap_size;
+  int64_t min_duplication_length;
+  int64_t max_cardinality;
+  int64_t needle_offset;
+  int64_t needle_len;
+  int64_t reverse;  // 1 = reversed-mode direction filter
+};
+
+// Run the arm automaton over a stream of processed probes.
+//
+//   probe_is[p]  : needle-relative probe index i (ascending)
+//   los/his[p]   : SA range [lo, hi) of the probe's exact k-mer matches
+//   sa           : the suffix array (absolute positions)
+//
+// Per-probe behavior (automaton.rs:96-201): matches = sa[lo..hi) in SA
+// order, filtered by self-hit (m.start != i) and the direction predicate;
+// probes whose filtered match count exceeds max_cardinality are skipped
+// entirely (no gap aging). The caller must already have excluded N-probes.
+//
+// Outputs: flat SDs (4 int64: left, right, left_len, right_len) plus a
+// family-size array. Returns 0 on success, 1 if capacities were exceeded
+// (n_sds_out / n_families_out then hold the required sizes).
+int asgart_chain(const ChainParams* prm, const int64_t* sa,
+                 const int64_t* probe_is, const int64_t* los,
+                 const int64_t* his, int64_t n_probes, int64_t* out_sds,
+                 int64_t* out_family_sizes, int64_t cap_sds,
+                 int64_t cap_families, int64_t* n_sds_out,
+                 int64_t* n_families_out) {
+  std::vector<Arm> arms;
+  std::vector<int64_t> m_starts;
+  std::vector<int32_t> ops;  // >=0: extend arm idx; -1: new arm
+
+  int64_t n_sds = 0, n_families = 0;
+  bool overflow = false;
+  const int64_t ps = prm->probe_size;
+
+  for (int64_t p = 0; p < n_probes; ++p) {
+    const int64_t i = probe_is[p];
+
+    // Gather + filter matches (searcher offset is 0: m.start = sa value).
+    m_starts.clear();
+    for (int64_t r = los[p]; r < his[p]; ++r) {
+      const int64_t m_start = sa[r];
+      if (m_start == i) continue;  // self-hit filter (automaton.rs:106)
+      if (!prm->reverse) {
+        if (!(m_start > i + prm->needle_offset)) continue;
+      } else {
+        if (!(m_start >= prm->needle_offset + prm->needle_len - i)) continue;
+      }
+      m_starts.push_back(m_start);
+    }
+    if ((int64_t)m_starts.size() > prm->max_cardinality) continue;
+
+    for (auto& a : arms) a.dirty = false;
+
+    // Classify every match against the pre-step arm snapshot
+    // (matches.par_iter in the reference: all see the same arms).
+    ops.resize(m_starts.size());
+    for (size_t mi = 0; mi < m_starts.size(); ++mi) {
+      const int64_t m_start = m_starts[mi];
+      const int64_t m_end = m_start + ps;
+      int32_t op = -1;
+      for (size_t j = 0; j < arms.size(); ++j) {
+        const Arm& a = arms[j];
+        if (!a.active) continue;
+        const int64_t allow =
+            std::max(prm->max_gap_size,
+                     (int64_t)(0.1 * (double)(a.l_end - a.l_start)));
+        if (d_ss(a.r_start, a.r_end, m_start, m_end) < allow &&
+            m_end > a.r_end) {
+          op = (int32_t)j;
+          break;
+        }
+      }
+      ops[mi] = op;
+    }
+
+    // Apply extensions in match order (last writer wins on r_end).
+    for (size_t mi = 0; mi < m_starts.size(); ++mi) {
+      if (ops[mi] >= 0) {
+        Arm& a = arms[ops[mi]];
+        a.l_end = i + ps;
+        a.r_end = m_starts[mi] + ps;
+        a.dirty = true;
+        a.gap = 0;
+      }
+    }
+    // Spawn new arms in match order.
+    for (size_t mi = 0; mi < m_starts.size(); ++mi) {
+      if (ops[mi] < 0) {
+        arms.push_back(Arm{i, i + ps, m_starts[mi], m_starts[mi] + ps, 0,
+                           true, false});
+      }
+    }
+
+    // Age the gap of every non-dirty arm (new arms included,
+    // automaton.rs:166-171).
+    for (auto& a : arms) {
+      if (!a.dirty) {
+        a.gap += prm->step_size;
+        if (a.gap >= prm->max_gap_size) a.active = false;
+      }
+    }
+
+    // Prune when the arm set grows beyond 200 (automaton.rs:173-179).
+    if (arms.size() > 200) {
+      arms.erase(std::remove_if(arms.begin(), arms.end(),
+                                [&](const Arm& a) {
+                                  return !(a.active ||
+                                           a.l_end - a.l_start >=
+                                               prm->min_duplication_length ||
+                                           a.r_end - a.r_start >=
+                                               prm->min_duplication_length);
+                                }),
+                 arms.end());
+    }
+
+    // Simultaneous death: emit one family (automaton.rs:182-200).
+    if (!arms.empty()) {
+      bool any_active = false;
+      for (const auto& a : arms)
+        if (a.active) {
+          any_active = true;
+          break;
+        }
+      if (!any_active) {
+        int64_t fam_size = 0;
+        for (const auto& a : arms) {
+          if (a.r_end - a.r_start >= prm->min_duplication_length) {
+            if (n_sds < cap_sds) {
+              out_sds[4 * n_sds + 0] = a.l_start;
+              out_sds[4 * n_sds + 1] = a.r_start;
+              out_sds[4 * n_sds + 2] = a.l_end - a.l_start;
+              out_sds[4 * n_sds + 3] = a.r_end - a.r_start;
+            } else {
+              overflow = true;
+            }
+            ++n_sds;
+            ++fam_size;
+          }
+        }
+        if (fam_size > 0) {
+          if (n_families < cap_families)
+            out_family_sizes[n_families] = fam_size;
+          else
+            overflow = true;
+          ++n_families;
+        }
+        arms.clear();
+      }
+    }
+  }
+  // Arms still alive when the probe stream ends are dropped, like the
+  // reference's end-of-needle behavior.
+  *n_sds_out = n_sds;
+  *n_families_out = n_families;
+  return overflow ? 1 : 0;
+}
+
+// Levenshtein distance, two-row DP.
+int64_t asgart_levenshtein(const uint8_t* a, int64_t n, const uint8_t* b,
+                           int64_t m) {
+  if (n == 0) return m;
+  if (m == 0) return n;
+  std::vector<int64_t> prev(m + 1), cur(m + 1);
+  for (int64_t j = 0; j <= m; ++j) prev[j] = j;
+  for (int64_t i = 1; i <= n; ++i) {
+    cur[0] = i;
+    const uint8_t ca = a[i - 1];
+    for (int64_t j = 1; j <= m; ++j) {
+      const int64_t sub = prev[j - 1] + (ca != b[j - 1]);
+      const int64_t del = prev[j] + 1;
+      const int64_t ins = cur[j - 1] + 1;
+      cur[j] = std::min(sub, std::min(del, ins));
+    }
+    std::swap(prev, cur);
+  }
+  return prev[m];
+}
+
+}  // extern "C"

@@ -1,0 +1,200 @@
+"""End-to-end search pipeline: prepare → index → probe/chain → post → result.
+
+Orchestrates the equivalent of the reference's Step chain
+(``src/bin/asgart.rs:731-822``). The seed-lookup engine is pluggable:
+
+  * ``engine="host"``  — numpy searchsorted over the packed-k-mer view,
+  * ``engine="tpu"``   — batched JAX lookups on the accelerator
+    (see ``asgart_tpu.seed``),
+
+while chaining always runs in the native automaton (bit-identical to the
+Python oracle in ``asgart_tpu.automaton``).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional
+
+import numpy as np
+
+from . import native, postprocess
+from .fasta import Strand, prepare_data
+from .index import CODE, GenomeIndex
+from .structs import (ProtoSD, RunResult, RunSettings, SD, StrandResult)
+from .utils import complemented
+
+log = logging.getLogger("asgart")
+
+
+def probe_positions(needle: np.ndarray, probe_size: int) -> np.ndarray:
+    """Needle indices probed by the automaton: ``i = step, 2*step, …`` while
+    ``i < len - probe - step`` pre-increment (automaton.rs:90-97), minus
+    probes starting with 'N' (automaton.rs:100-102)."""
+    step = probe_size // 2
+    bound = len(needle) - probe_size - step
+    if bound <= 0:
+        return np.zeros(0, dtype=np.int64)
+    last = ((bound - 1) // step) * step + step  # largest i reached
+    is_ = np.arange(step, last + 1, step, dtype=np.int64)
+    return is_[needle[is_] != ord("N")]
+
+
+def transform_needle(chunk: np.ndarray, reverse: bool,
+                     complement: bool) -> np.ndarray:
+    """R/C needle transform (asgart.rs:206-218): complement first, then
+    reverse."""
+    needle = chunk
+    if complement:
+        needle = complemented(needle)
+    if reverse:
+        needle = needle[::-1]
+    return np.ascontiguousarray(needle)
+
+
+def _pack_probe_kmers(needle_codes_padded: np.ndarray, is_: np.ndarray,
+                      k: int) -> np.ndarray:
+    out = np.zeros(len(is_), dtype=np.int64)
+    for j in range(k):
+        out <<= 3
+        out |= needle_codes_padded[is_ + j].astype(np.int64)
+    return out
+
+
+class SearchEngine:
+    """Seed lookup + chaining over one prepared strand."""
+
+    def __init__(self, strand: Strand, settings: RunSettings,
+                 trim: Optional[tuple[int, int]], engine: str = "host"):
+        self.strand = strand
+        self.settings = settings
+        self.engine = engine
+        t0 = time.time()
+        self.index = GenomeIndex.build(
+            strand.data, settings.probe_size, trim=trim)
+        log.debug("Index built in %.2fs", time.time() - t0)
+        self._device = None
+        if engine == "tpu":
+            from .seed import DeviceSeedIndex
+            self._device = DeviceSeedIndex(self.index)
+
+    def run_chunk(self, chunk: tuple[int, int]) -> list[list[ProtoSD]]:
+        """Search one chunk; returns families in global coordinates with
+        direction flags stamped (asgart.rs:201-253)."""
+        s = self.settings
+        start, length = chunk
+        needle = transform_needle(
+            self.strand.data[start: start + length], s.reverse, s.complement)
+
+        if len(needle) < s.min_duplication_length:
+            return []
+
+        is_ = probe_positions(needle, s.probe_size)
+        if len(is_) == 0:
+            return []
+
+        k = s.probe_size
+        codes = np.zeros(len(needle) + k, dtype=np.uint8)
+        codes[:len(needle)] = CODE[needle]
+        probe_kmers = _pack_probe_kmers(codes, is_, k)
+
+        if self._device is not None:
+            lo, hi = self._device.lookup(probe_kmers)
+        else:
+            lo, hi = self.index.lookup(probe_kmers)
+
+        raw_families = native.chain(
+            self.index.sa, is_, lo, hi,
+            probe_size=s.probe_size,
+            step_size=s.probe_size // 2,
+            max_gap_size=s.max_gap_size,
+            min_duplication_length=s.min_duplication_length,
+            max_cardinality=s.max_cardinality,
+            needle_offset=start,
+            needle_len=len(needle),
+            reverse=s.reverse,
+        )
+
+        families = []
+        for fam in raw_families:
+            family = []
+            for (left, right, llen, rlen) in fam:
+                # coordinate fixup (asgart.rs:229-237)
+                if not s.reverse:
+                    left = left + start
+                else:
+                    left = start + length - left - llen
+                family.append(ProtoSD(
+                    left=left, right=right,
+                    left_length=llen, right_length=rlen,
+                    identity=0.0,
+                    reversed=s.reverse, complemented=s.complement))
+            families.append(family)
+        return families
+
+
+def search_duplications(
+    strands_files: list[str],
+    settings: RunSettings,
+    engine: str = "host",
+) -> RunResult:
+    """The full pipeline (asgart.rs:731-822)."""
+    total = time.time()
+    log.info("Preprocessing data")
+    trim, to_process, strand = prepare_data(
+        strands_files, settings.skip_masked, settings.trim)
+
+    # [1/N] proto-duplication search
+    log.info("[1] Looking for proto-duplications...")
+    se = SearchEngine(strand, settings, trim, engine=engine)
+    families: list[list[ProtoSD]] = []
+    for chunk in to_process:
+        families.extend(se.run_chunk(chunk))
+
+    strand_bytes = strand.data.tobytes()
+    log.info("[2] Filtering uncertain duplications...")
+    families = postprocess.filter_ns(families, strand_bytes)
+    log.info("[3] Re-ordering...")
+    families = postprocess.re_order(families)
+    log.info("[4] Reducing overlap...")
+    families = postprocess.reduce_overlap(families)
+    if settings.compute_score:
+        log.info("[5] Computing Levenshtein distance...")
+        families = postprocess.compute_score(families, strand_bytes)
+    log.info("[%d] Sorting...", 6 if settings.compute_score else 5)
+    families = postprocess.sort_families(families)
+
+    log.info("%s processed in %.2fs",
+             ", ".join(strands_files), time.time() - total)
+
+    strand_result = StrandResult(
+        name=strand.file_names,
+        length=sum(chr_.length for chr_ in strand.map),
+        map=list(strand.map),
+    )
+
+    def project(sd: ProtoSD) -> SD:
+        cl = strand_result.find_chr_by_pos(sd.left)
+        cr = strand_result.find_chr_by_pos(sd.right)
+        return SD(
+            chr_left=cl.name if cl else "unknown",
+            chr_right=cr.name if cr else "unknown",
+            global_left_position=sd.left,
+            global_right_position=sd.right,
+            chr_left_position=sd.left - (cl.position if cl else 0),
+            chr_right_position=sd.right - (cr.position if cr else 0),
+            left_length=sd.left_length,
+            right_length=sd.right_length,
+            left_seq=None,
+            right_seq=None,
+            identity=sd.identity,
+            reversed=sd.reversed,
+            complemented=sd.complemented,
+        )
+
+    return RunResult(
+        strand=strand_result,
+        settings=settings,
+        families=[[project(sd) for sd in fam] for fam in families],
+    )

@@ -1,0 +1,121 @@
+"""Post-processing pipeline steps over proto-duplicon families.
+
+Reproduces the reference `Step` chain (``src/bin/asgart.rs:28-112`` and
+``:482-562``): FilterNs → ReOrder → ReduceOverlap → [ComputeScore] → Sort.
+Reference quirks preserved deliberately (they shape the JSON output):
+
+  * ``ReOrder`` swaps only the positions, never the lengths
+    (asgart.rs:39-50),
+  * ``merge`` mixes ``left_length``/``right_length`` in its extents
+    (asgart.rs:497-513),
+  * ``reduce_overlap`` iterates to a fixpoint on the family *size* only
+    (asgart.rs:553-561).
+"""
+
+from __future__ import annotations
+
+from .structs import ProtoSD
+
+
+def filter_ns(families: list[list[ProtoSD]], strand: bytes) -> list[list[ProtoSD]]:
+    """Drop duplicons with > 20% N in either arm (asgart.rs:81-96)."""
+    out = []
+    for family in families:
+        kept = [sd for sd in family if sd.n_content(strand) <= 0.2]
+        if kept:
+            out.append(kept)
+    return out
+
+
+def re_order(families: list[list[ProtoSD]]) -> list[list[ProtoSD]]:
+    """Swap left/right positions so left <= right (asgart.rs:33-51).
+    Lengths are intentionally NOT swapped, as in the reference."""
+    for family in families:
+        for sd in family:
+            if sd.left > sd.right:
+                sd.left, sd.right = sd.right, sd.left
+    return families
+
+
+def _subsegment(x: tuple[int, int], y: tuple[int, int]) -> bool:
+    xstart, xlen = x
+    ystart, ylen = y
+    return xstart >= ystart and xstart + xlen <= ystart + ylen
+
+
+def _overlap(x: tuple[int, int], y: tuple[int, int]) -> bool:
+    xstart, xlen = x
+    ystart, ylen = y
+    xend, yend = xstart + xlen, ystart + ylen
+    return (ystart <= xstart <= yend and xend >= yend) or \
+           (xstart <= ystart <= xend and yend >= xend)
+
+
+def _merge(x: ProtoSD, y: ProtoSD) -> ProtoSD:
+    """(asgart.rs:497-513) — note the left/right length mixing."""
+    new_left = min(x.left, y.left)
+    lsize = max(x.left + x.left_length, y.left + y.right_length) - new_left
+    new_right = min(x.right, y.right)
+    rsize = max(x.right + x.left_length, y.right + y.right_length) - new_right
+    return ProtoSD(
+        left=new_left, right=new_right,
+        left_length=lsize, right_length=rsize,
+        identity=0.0, reversed=x.reversed, complemented=x.complemented)
+
+
+def _reduce_once(family: list[ProtoSD]) -> list[ProtoSD]:
+    news: list[ProtoSD] = []
+    for x in family:
+        absorbed = False
+        for y in news:
+            if _subsegment(x.left_part(), y.left_part()) and \
+                    _subsegment(x.right_part(), y.right_part()):
+                absorbed = True
+                break
+            if _subsegment(y.left_part(), x.left_part()) and \
+                    _subsegment(y.right_part(), x.right_part()):
+                y.left, y.right = x.left, x.right
+                y.left_length, y.right_length = x.left_length, x.right_length
+                absorbed = True
+                break
+            if _overlap(x.left_part(), y.left_part()) and \
+                    _overlap(x.right_part(), y.right_part()):
+                z = _merge(x, y)
+                y.left, y.right = z.left, z.right
+                y.left_length, y.right_length = z.left_length, z.right_length
+                absorbed = True
+                break
+        if not absorbed:
+            news.append(ProtoSD(**vars(x)))
+    return news
+
+
+def reduce_overlap_family(family: list[ProtoSD]) -> list[ProtoSD]:
+    """Fixpoint overlap reduction (asgart.rs:515-562)."""
+    old_size = len(family)
+    news = _reduce_once(family)
+    while len(news) < old_size:
+        old_size = len(news)
+        news = _reduce_once(news)
+    return news
+
+
+def reduce_overlap(families: list[list[ProtoSD]]) -> list[list[ProtoSD]]:
+    return [reduce_overlap_family(f) for f in families]
+
+
+def compute_score(families: list[list[ProtoSD]], strand: bytes) -> list[list[ProtoSD]]:
+    """Levenshtein identity (asgart.rs:98-112); f64 → f32 cast at store."""
+    import numpy as np
+
+    for family in families:
+        for sd in family:
+            sd.identity = float(np.float32(sd.levenshtein(strand)))
+    return families
+
+
+def sort_families(families: list[list[ProtoSD]]) -> list[list[ProtoSD]]:
+    """Stable sort within each family by left position (asgart.rs:53-65)."""
+    for family in families:
+        family.sort(key=lambda sd: sd.left)
+    return families

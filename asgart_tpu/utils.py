@@ -1,0 +1,45 @@
+"""Small helpers mirroring the reference's ``src/utils.rs``."""
+
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+
+# complement_nucleotide (utils.rs:1-17): unknown bytes map to 'N'
+_COMPLEMENT_LENIENT = np.full(256, ord("N"), dtype=np.uint8)
+for _a, _b in zip(b"ATGCNatgcn", b"TACGNtacgn"):
+    _COMPLEMENT_LENIENT[_a] = _b
+
+
+def complement_nucleotide(n: int) -> int:
+    return int(_COMPLEMENT_LENIENT[n])
+
+
+def complemented(text: np.ndarray) -> np.ndarray:
+    """Vectorized lenient complement (utils.rs:19-23)."""
+    return _COMPLEMENT_LENIENT[text]
+
+
+def slugify(x: str) -> str:
+    """(utils.rs:25-28)"""
+    out = x.strip()
+    for ch in (" ", ":", "|"):
+        out = out.replace(ch, "_")
+    return out
+
+
+def make_out_filename(filename, default: str, extension: str) -> pathlib.Path:
+    """(utils.rs:30-49): directory targets get the default stem appended;
+    the extension is (re)set like Rust's ``PathBuf::set_extension``."""
+    if filename is not None:
+        path = pathlib.Path(filename)
+        if path.is_dir():
+            path = path / default
+    else:
+        path = pathlib.Path(default)
+    # PathBuf::set_extension: replace the part after the last '.' of the
+    # final component (a leading dot does not count as an extension sep).
+    name = path.name
+    stem = path.stem if path.stem else name
+    return path.with_name(f"{stem}.{extension}" if extension else stem)

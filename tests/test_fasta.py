@@ -1,0 +1,84 @@
+import numpy as np
+
+from asgart_tpu.fasta import find_chunks_to_process, prepare_data, read_fasta
+from tests.util import write_fasta
+
+
+def chunks(s: bytes):
+    return find_chunks_to_process(np.frombuffer(s, dtype=np.uint8))
+
+
+def test_chunks_plain():
+    assert chunks(b"ACGT" * 100) == [(0, 400)]
+
+
+def test_chunks_split_at_big_n_run():
+    s = b"A" * 100 + b"N" * 5001 + b"C" * 200
+    assert chunks(s) == [(0, 100), (5101, 200)]
+
+
+def test_chunks_small_n_run_included():
+    s = b"A" * 100 + b"N" * 5000 + b"C" * 200
+    assert chunks(s) == [(0, 5300)]
+
+
+def test_chunks_leading_and_trailing_ns():
+    s = b"N" * 6000 + b"A" * 100
+    assert chunks(s) == [(6000, 100)]
+    s = b"A" * 100 + b"N" * 6000
+    assert chunks(s) == [(0, 100)]
+    s = b"N" * 6000
+    assert chunks(s) == [(0, 6000)]
+    s = b"N" * 100 + b"A" * 50
+    assert chunks(s) == [(0, 150)]
+
+
+def test_chunks_empty():
+    assert chunks(b"") == [(0, 0)]
+
+
+def test_read_fasta_normalization(tmp_path):
+    p = tmp_path / "x.fa"
+    write_fasta(p, [("chr1 extra description", b"acgtRYKM"),
+                    ("chr2", b"ACGTN")])
+    fmap, seq = read_fasta(str(p), skip_masked=False)
+    assert [s.name for s in fmap] == ["chr1", "chr2"]
+    assert [(s.position, s.length) for s in fmap] == [(0, 8), (8, 5)]
+    assert seq.tobytes() == b"ACGTNNNNACGTN"
+
+
+def test_read_fasta_skip_masked(tmp_path):
+    p = tmp_path / "x.fa"
+    write_fasta(p, [("c", b"acgtACGTn")])
+    _, seq = read_fasta(str(p), skip_masked=True)
+    assert seq.tobytes() == b"NNNNACGTN"
+
+
+def test_prepare_data_multifile(tmp_path):
+    p1 = tmp_path / "a.fa"
+    p2 = tmp_path / "b.fa"
+    write_fasta(p1, [("c1", b"ACGT" * 10)])
+    write_fasta(p2, [("c2", b"TTTT" * 5), ("c3", b"GG")])
+    trim, to_process, strand = prepare_data(
+        [str(p1), str(p2)], False, None)
+    assert trim is None
+    assert [s.name for s in strand.map] == ["c1", "c2", "c3"]
+    assert [(s.position, s.length) for s in strand.map] == \
+        [(0, 40), (40, 20), (60, 2)]
+    # chunks never cross fragments
+    assert to_process == [(0, 40), (40, 20), (60, 2)]
+    assert strand.data[-1] == ord("$")
+    assert len(strand.data) == 63
+
+
+def test_prepare_data_trim_clamping(tmp_path):
+    p = tmp_path / "a.fa"
+    write_fasta(p, [("c", b"ACGT" * 25)])  # 100bp + '$' = 101
+    trim, _, _ = prepare_data([str(p)], False, (0, 2000))
+    assert trim == (0, 100)  # stop clamped to len-1
+    trim, _, _ = prepare_data([str(p)], False, (50, 20))
+    assert trim is None  # stop <= shift
+    trim, _, _ = prepare_data([str(p)], False, (500, 600))
+    assert trim is None  # clamped stop(100) <= shift(500)
+    trim, _, _ = prepare_data([str(p)], False, (10, 90))
+    assert trim == (10, 90)

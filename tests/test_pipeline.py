@@ -1,0 +1,118 @@
+import io
+
+import numpy as np
+
+from asgart_tpu.exporters import JSONExporter
+from asgart_tpu.pipeline import search_duplications
+from asgart_tpu.structs import RunResult, RunSettings
+from tests.util import plant_duplication, random_dna, revcomp, write_fasta
+
+
+def default_settings(**kw) -> RunSettings:
+    base = dict(probe_size=20, max_gap_size=120,
+                min_duplication_length=1000, max_cardinality=500)
+    base.update(kw)
+    return RunSettings(**base)
+
+
+def test_end_to_end_direct(tmp_path):
+    rng = np.random.default_rng(1)
+    g = plant_duplication(rng, 20000, 2000, 3000, 12000, noise=0.01)
+    p = tmp_path / "genome.fa"
+    write_fasta(p, [("chrT", g)])
+    result = search_duplications([str(p)], default_settings())
+
+    assert result.strand.name == str(p)
+    assert result.strand.length == 20000
+    assert [s.name for s in result.strand.map] == ["chrT"]
+    assert result.families, "no families found"
+    sds = [sd for fam in result.families for sd in fam]
+    best = max(sds, key=lambda sd: sd.right_length)
+    assert best.chr_left == "chrT" and best.chr_right == "chrT"
+    assert abs(best.global_left_position - 3000) < 300
+    assert abs(best.global_right_position - 12000) < 300
+    assert best.right_length > 1500
+    assert not best.reversed and not best.complemented
+    # global == chr-relative for a single fragment
+    assert best.global_left_position == best.chr_left_position
+
+
+def test_end_to_end_reversed_complemented(tmp_path):
+    rng = np.random.default_rng(2)
+    g = plant_duplication(rng, 20000, 2000, 3000, 12000,
+                          noise=0.01, transform=revcomp)
+    p = tmp_path / "genome.fa"
+    write_fasta(p, [("chrT", g)])
+
+    # not found by the direct search
+    direct = search_duplications([str(p)], default_settings())
+    direct_sds = [sd for fam in direct.families for sd in fam]
+    assert all(sd.right_length < 1500 for sd in direct_sds)
+
+    # found by the -RC search
+    result = search_duplications(
+        [str(p)], default_settings(reverse=True, complement=True))
+    sds = [sd for fam in result.families for sd in fam]
+    assert sds, "RC duplication not found"
+    best = max(sds, key=lambda sd: sd.right_length)
+    assert best.reversed and best.complemented
+    assert abs(best.global_left_position - 3000) < 300
+    assert abs(best.global_right_position - 12000) < 300
+    assert best.right_length > 1500
+
+
+def test_end_to_end_two_fragments_inter(tmp_path):
+    rng = np.random.default_rng(3)
+    a = bytearray(random_dna(rng, 9000))
+    b = bytearray(random_dna(rng, 9000))
+    b[4000:5500] = a[2000:3500]  # cross-fragment duplication
+    p = tmp_path / "two.fa"
+    write_fasta(p, [("chrA", bytes(a)), ("chrB", bytes(b))])
+    result = search_duplications([str(p)], default_settings())
+    sds = [sd for fam in result.families for sd in fam]
+    inter = [sd for sd in sds if sd.chr_left != sd.chr_right]
+    assert inter, "inter-fragment duplication not found"
+    best = max(inter, key=lambda sd: sd.right_length)
+    assert best.chr_left == "chrA" and best.chr_right == "chrB"
+    assert abs(best.chr_left_position - 2000) < 300
+    assert abs(best.chr_right_position - 4000) < 300
+    assert best.global_right_position == best.chr_right_position + 9000
+
+
+def test_json_roundtrip(tmp_path):
+    rng = np.random.default_rng(4)
+    g = plant_duplication(rng, 15000, 1500, 2000, 9000)
+    p = tmp_path / "g.fa"
+    write_fasta(p, [("chr", g)])
+    result = search_duplications([str(p)], default_settings())
+    buf = io.StringIO()
+    JSONExporter().save(result, buf)
+    text = buf.getvalue()
+    assert text.endswith("}\n")
+    out = tmp_path / "r.json"
+    out.write_text(text)
+    again = RunResult.from_file(str(out))
+    assert again.strand.name == result.strand.name
+    assert len(again.families) == len(result.families)
+    buf2 = io.StringIO()
+    JSONExporter().save(again, buf2)
+    assert buf2.getvalue() == text  # byte-stable through a round trip
+
+    # settings block serialized with skip rules
+    assert '"reverse"' not in text
+    assert '"threads_count"' not in text
+    assert '"skip_masked": false' in text
+    assert '"trim": null' in text
+
+
+def test_identical_fragments_with_compute_score(tmp_path):
+    rng = np.random.default_rng(6)
+    g = plant_duplication(rng, 8000, 1500, 1000, 5000)  # exact copy
+    p = tmp_path / "g.fa"
+    write_fasta(p, [("chr", g)])
+    result = search_duplications(
+        [str(p)], default_settings(compute_score=True))
+    sds = [sd for fam in result.families for sd in fam]
+    assert sds
+    best = max(sds, key=lambda sd: sd.right_length)
+    assert best.identity > 95.0
