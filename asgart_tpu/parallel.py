@@ -1,0 +1,153 @@
+"""Multi-device execution: probe-parallel search over a ``jax.sharding.Mesh``.
+
+The reference's scale-out axes (SURVEY §2): rayon chunk-parallelism within
+one host plus the manual ``--trim`` + ``asgart-slice`` merge workflow. The
+TPU-native design replaces both with SPMD over a device mesh:
+
+  * the index (two-plane sorted k-mers, bucket table, SA positions) is
+    *replicated* per device (genome ≤ HBM) — index *sharding* across
+    devices is the growth path for >HBM genomes,
+  * probe batches are sharded along the ``probes`` mesh axis with
+    ``shard_map``; every device runs the identical jitted step: pack →
+    equal-range → gather/filter → chain,
+  * per-shard duplicon counts are combined with ``psum`` (the family
+    *merge* itself is a host-side concatenation in probe order, matching
+    the reference's fold over chunk results, asgart.rs:241-253).
+
+Shard boundaries act like the reference's chunk boundaries for chaining
+(each shard runs its own automaton).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .chain_jax import ChainConfig, chain_scan
+from .seed import equal_range, pack_probe_planes
+
+I32 = jnp.int32
+
+
+class SearchStatics(NamedTuple):
+    """Static (compile-time) parameters of the device search step."""
+    cfg: ChainConfig
+    k: int
+    steps: int           # binary-search depth
+    prefix_shift: int
+    raw_cap: int         # max raw SA-range length gathered per probe
+
+
+@functools.partial(jax.jit, static_argnames=("statics",))
+def device_search_step(
+    statics: SearchStatics,
+    key_hi: jax.Array, key_lo: jax.Array,      # [N] index planes
+    bucket_starts: jax.Array,                  # [2^pb + 1]
+    sa_pos: jax.Array,                         # [N] int32 absolute positions
+    codes: jax.Array,                          # [L + k] needle symbol ranks
+    positions: jax.Array,                      # [B] probe indices (-1 = pad)
+    needle_offset: jax.Array,                  # scalar i32
+    needle_len: jax.Array,                     # scalar i32
+    reverse: jax.Array,                        # scalar bool
+):
+    """The full on-device search step for one probe batch: pack probes,
+    equal-range lookup, gather+filter matches, run the chain scan.
+
+    Returns (out [OUT, 5], n_out, n_families, n_hits).
+    """
+    cfg = statics.cfg
+    pad = positions < 0
+    pos_safe = jnp.maximum(positions, 0)
+
+    phi, plo = pack_probe_planes(codes, pos_safe, statics.k)
+    left, right = equal_range(
+        key_hi, key_lo, bucket_starts, phi, plo,
+        steps=statics.steps, prefix_shift=statics.prefix_shift)
+    left = jnp.where(pad, 0, left)
+    right = jnp.where(pad, 0, right)
+
+    # --- gather + filter matches in SA order -----------------------------
+    RAW = statics.raw_cap
+    t = jnp.arange(RAW, dtype=I32)[None, :]
+    idx = left[:, None] + t                       # [B, RAW]
+    in_range = idx < right[:, None]
+    m = sa_pos[jnp.minimum(idx, sa_pos.shape[0] - 1)]
+    i_col = pos_safe[:, None]
+    keep = in_range & (m != i_col)
+    dir_ok = jnp.where(
+        reverse,
+        m >= needle_offset + needle_len - i_col,
+        m > i_col + needle_offset)
+    keep = keep & dir_ok
+    counts = jnp.sum(keep, axis=1)
+    raw_overflow = (right - left) > RAW
+    valid = (~pad) & (counts <= cfg.max_cardinality) & ~raw_overflow
+
+    M = cfg.max_matches
+    rank = jnp.cumsum(keep.astype(I32), axis=1) - 1       # [B, RAW]
+    rank = jnp.where(keep & (rank < M), rank, M)
+    rows = jnp.broadcast_to(
+        jnp.arange(positions.shape[0], dtype=I32)[:, None], rank.shape)
+    matches = jnp.full((positions.shape[0], M), -1, dtype=I32)
+    matches = matches.at[rows, rank].set(m, mode="drop")
+
+    out, n_out, n_fam = chain_scan(cfg, pos_safe, matches, valid)
+    n_hits = jnp.sum(jnp.where(valid, counts, 0))
+    return out, n_out, n_fam, n_hits
+
+
+def make_mesh(n_devices: int | None = None,
+              axis: str = "probes") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def sharded_search_step(statics: SearchStatics, mesh: Mesh,
+                        axis: str = "probes"):
+    """Build the SPMD search step: index replicated, probes sharded.
+
+    Returns a jitted function with the same signature as
+    ``device_search_step`` (minus statics); per-shard outputs are stacked
+    along the mesh axis and the total hit count is ``psum``-reduced.
+    """
+    rep = P()
+    shard = P(axis)
+
+    def step(key_hi, key_lo, bucket_starts, sa_pos, codes, positions,
+             needle_offset, needle_len, reverse):
+        out, n_out, n_fam, n_hits = device_search_step(
+            statics, key_hi, key_lo, bucket_starts, sa_pos, codes,
+            positions, needle_offset, needle_len, reverse)
+        total_hits = jax.lax.psum(n_hits, axis)
+        # rank-0 per-shard values get a singleton axis for concatenation
+        return out, n_out[None], n_fam[None], total_hits
+
+    mapped = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(rep, rep, rep, rep, rep, shard, rep, rep, rep),
+        out_specs=(shard, shard, shard, rep),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def shard_probe_positions(positions: np.ndarray, n_shards: int,
+                          batch_per_shard: int | None = None) -> np.ndarray:
+    """Split a probe-position stream into contiguous per-shard slices,
+    padded with -1 to a common length (shard boundary == chunk boundary
+    for the automaton)."""
+    per = int(np.ceil(len(positions) / n_shards))
+    if batch_per_shard is not None:
+        per = max(per, batch_per_shard)
+    out = np.full((n_shards, per), -1, dtype=np.int32)
+    for s in range(n_shards):
+        part = positions[s * per: (s + 1) * per]
+        out[s, :len(part)] = part
+    return out.reshape(n_shards * per)
