@@ -90,8 +90,12 @@ def equal_range(
         hi0 = jnp.full(probe_hi.shape, n, dtype=jnp.int32)
 
     def search(le, lo, hi):
-        # invariant: keys[lo-1] ⟨cmp⟩ probe ≤/< keys[hi]
-        for _ in range(steps):
+        # invariant: keys[lo-1] ⟨cmp⟩ probe ≤/< keys[hi].
+        # fori_loop (not Python unrolling): compile time must not scale
+        # with the search depth — an unrolled 15-deep gather chain takes
+        # minutes to compile on the axon backend.
+        def body(_, carry):
+            lo, hi = carry
             live = lo < hi  # converged lanes must not move (and their
             # clamped OOB gathers must be ignored)
             mid = (lo + hi) >> 1
@@ -103,6 +107,9 @@ def equal_range(
                 go_right = _lex_lt(khi, klo, probe_hi, probe_lo)
             lo = jnp.where(live & go_right, mid + 1, lo)
             hi = jnp.where(live & ~go_right, mid, hi)
+            return (lo, hi)
+
+        lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
         return lo
 
     left = search(False, lo0, hi0)

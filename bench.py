@@ -1,0 +1,134 @@
+"""Benchmark: Mbp scanned/sec/chip on a synthetic chr1-like self-comparison.
+
+North-star metric (BASELINE.json): Mbp scanned/sec/chip, self-duplication
+search with k=20 and -RC, vs single-core reference throughput.
+
+The reference binary cannot be built in this image (no Rust toolchain), so
+``vs_baseline`` is measured against this repo's own single-threaded host
+engine (numpy searchsorted + native chain) on a slice of the same genome —
+a faithful stand-in for the reference's single-core CPU algorithm (same
+index, same automaton, same output).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "Mbp/s", "vs_baseline": N}
+Diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+GENOME_MBP = float(os.environ.get("BENCH_MBP", "32"))
+BASELINE_MBP = float(os.environ.get("BENCH_BASELINE_MBP", "4"))
+SEED = 1234
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def synthetic_genome(n: int, rng: np.random.Generator) -> np.ndarray:
+    """chr1-like content: random background, planted SD families (direct
+    and reverse-complemented), Alu-like repeat scatter, N runs."""
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    g = rng.choice(acgt, n)
+
+    # Alu-like scatter: one 300bp element, ~0.5% of the genome, 10% noise
+    alu = rng.choice(acgt, 300)
+    n_alu = max(1, int(n * 0.005 / 300))
+    for _ in range(n_alu):
+        p = int(rng.integers(0, n - 300))
+        elt = alu.copy()
+        mask = rng.random(300) < 0.10
+        elt[mask] = rng.choice(acgt, int(mask.sum()))
+        g[p: p + 300] = elt
+
+    # planted SD families
+    comp = np.zeros(256, dtype=np.uint8)
+    for a, b in zip(b"ACGT", b"TGCA"):
+        comp[a] = b
+    n_sds = max(2, int(n / 2_000_000))
+    for s in range(n_sds):
+        dup_len = int(rng.integers(2_000, 30_000))
+        src = int(rng.integers(0, n - dup_len))
+        dst = int(rng.integers(0, n - dup_len))
+        seg = g[src: src + dup_len].copy()
+        mask = rng.random(dup_len) < 0.02
+        seg[mask] = rng.choice(acgt, int(mask.sum()))
+        if s % 2 == 1:  # reverse-complemented copy
+            seg = comp[seg][::-1]
+        g[dst: dst + dup_len] = seg
+
+    # centromere-like N run
+    mid = n // 2
+    g[mid: mid + 30_000] = ord("N")
+    return g
+
+
+def run_search(strand, chunks, settings, engine):
+    from asgart_tpu.pipeline import SearchEngine
+
+    t0 = time.time()
+    se = SearchEngine(strand, settings, None, engine=engine)
+    t_index = time.time() - t0
+    t0 = time.time()
+    fams = []
+    for chunk in chunks:
+        fams.extend(se.run_chunk(chunk))
+    t_scan = time.time() - t0
+    return fams, t_index, t_scan
+
+
+def main():
+    from asgart_tpu.fasta import Strand
+    from asgart_tpu.structs import RunSettings, Start
+
+    n = int(GENOME_MBP * 1e6)
+    rng = np.random.default_rng(SEED)
+    t0 = time.time()
+    g = synthetic_genome(n, rng)
+    log(f"genome: {n/1e6:.0f} Mbp synthetic ({time.time()-t0:.1f}s)")
+
+    data = np.concatenate([g, np.frombuffer(b"$", dtype=np.uint8)])
+    strand = Strand(file_names="bench", data=data,
+                    map=[Start("chr1", 0, n)])
+    from asgart_tpu.fasta import find_chunks_to_process
+    chunks = find_chunks_to_process(g)
+    settings = RunSettings(reverse=True, complement=True)
+
+    # --- baseline: single-thread host engine on a genome slice -----------
+    nb = int(BASELINE_MBP * 1e6)
+    gb = g[:nb].copy()
+    datab = np.concatenate([gb, np.frombuffer(b"$", dtype=np.uint8)])
+    strandb = Strand(file_names="bench", data=datab,
+                     map=[Start("chr1", 0, nb)])
+    chunksb = find_chunks_to_process(gb)
+    famsb, tib, tsb = run_search(strandb, chunksb, settings, "host")
+    base_total = tib + tsb
+    base_mbps = nb / 1e6 / base_total
+    log(f"host baseline ({nb/1e6:.0f} Mbp): index {tib:.1f}s scan {tsb:.1f}s"
+        f" → {base_mbps:.2f} Mbp/s, {sum(len(f) for f in famsb)} SDs")
+
+    # --- TPU engine on the full genome -----------------------------------
+    fams, ti, ts = run_search(strand, chunks, settings, "tpu")
+    total = ti + ts
+    mbps = n / 1e6 / total
+    log(f"tpu ({n/1e6:.0f} Mbp): index {ti:.1f}s scan {ts:.1f}s"
+        f" → {mbps:.2f} Mbp/s, {sum(len(f) for f in fams)} SDs")
+
+    print(json.dumps({
+        "metric": "Mbp scanned/sec/chip (synthetic chr1-like self-dup, "
+                  "k=20, -RC)",
+        "value": round(mbps, 3),
+        "unit": "Mbp/s",
+        "vs_baseline": round(mbps / base_mbps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
