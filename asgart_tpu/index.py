@@ -111,3 +111,81 @@ class GenomeIndex:
         lo = int(np.searchsorted(self.sa_kmers, v, side="left"))
         hi = int(np.searchsorted(self.sa_kmers, v, side="right"))
         return [int(x) for x in self.sa[lo:hi]]
+
+
+# byte → complement byte over normalized ACGTN (identity elsewhere)
+_COMP = np.arange(256, dtype=np.uint8)
+for _a, _b in zip(b"ACGTN", b"TGCAN"):
+    _COMP[_a] = _b
+
+
+@dataclass
+class PositionIndex:
+    """Doubled-text index with O(1) probe-range lookup tables.
+
+    TPU-native redesign of the probe search: the text indexed is
+    ``strand.data ++ T(S)`` where ``S`` is the genome without the ``$``
+    sentinel and ``T`` is the run's needle transform (reverse, complement,
+    or reverse-complement; empty for direct runs). Every probe k-mer of
+    the (transformed) needle is then literally a k-mer of the indexed
+    text at a computable position, so a probe lookup is one gather into
+    per-position equal-range tables — no binary search anywhere on the
+    hot path (host or TPU).
+
+    Match-order exactness: suffixes of the first half compare identically
+    with or without the appended half because the interior ``$`` is a
+    unique smallest separator, so first-half positions appear inside each
+    equal range in exactly the reference's suffix order; appended-half
+    positions (>= ``first_len``) are filtered out during chaining.
+    """
+
+    sa: np.ndarray       # int64 suffix order over the (doubled) text
+    pos_lo: np.ndarray   # int64 per text position: equal-range start
+    pos_hi: np.ndarray
+    k: int
+    first_len: int       # N = len(strand.data) (genome + '$')
+    reverse: bool
+    complement: bool
+
+    @classmethod
+    def build(cls, strand_data: np.ndarray, k: int,
+              reverse: bool = False, complement: bool = False,
+              n_threads: int = 0) -> "PositionIndex":
+        from . import native
+
+        n = len(strand_data)
+        s = strand_data[: n - 1]  # genome without the '$' sentinel
+        if reverse or complement:
+            half = _COMP[s] if complement else s
+            if reverse:
+                half = half[::-1]
+            text = np.concatenate([strand_data, half])
+        else:
+            text = strand_data
+
+        codes = CODE[text]
+        kmers = native.pack_kmers(codes, k, n_threads)
+        # parallel radix + prefix doubling: same SA as SA-IS (the interior
+        # '$' makes all suffixes distinct) at memory bandwidth
+        sa = native.kmer_suffix_sort(kmers, k, n_threads)
+        pos_lo, pos_hi = native.group_tables(sa, kmers, n_threads)
+        return cls(sa=sa, pos_lo=pos_lo, pos_hi=pos_hi, k=k, first_len=n,
+                   reverse=reverse, complement=complement)
+
+    def probe_table_positions(self, chunk_start: int, chunk_len: int,
+                              probe_is: np.ndarray) -> np.ndarray:
+        """Map needle-relative probe indices to indexed-text positions
+        whose k-mer equals the probe's pattern."""
+        n = self.first_len
+        if self.reverse:
+            q = chunk_start + chunk_len - probe_is - self.k
+            return n + (n - 1 - q - self.k)
+        if self.complement:
+            return n + chunk_start + probe_is
+        return chunk_start + probe_is
+
+    def probe_ranges(self, chunk_start: int, chunk_len: int,
+                     probe_is: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Equal ranges for every probe of a chunk: one table gather."""
+        x = self.probe_table_positions(chunk_start, chunk_len, probe_is)
+        return self.pos_lo[x], self.pos_hi[x]

@@ -10,7 +10,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-import threading
+import threading  # noqa: F401 — os used by thread-count defaults
 
 import numpy as np
 
@@ -20,6 +20,21 @@ _LIB = os.path.join(_HERE, "libasgart_native.so")
 
 _lock = threading.Lock()
 _lib = None
+
+
+def _tune_malloc() -> None:
+    """Keep big allocations on the reusable heap: this kernel's page
+    faults cost ~6s/GB, so fresh mmap-backed allocations dominate runtime
+    unless glibc recycles memory (M_MMAP_MAX=0, M_TRIM_THRESHOLD=-1)."""
+    try:
+        libc = ctypes.CDLL(None)
+        libc.mallopt(ctypes.c_int(-4), ctypes.c_int(0))       # M_MMAP_MAX
+        libc.mallopt(ctypes.c_int(-1), ctypes.c_int(-1))      # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
+_tune_malloc()
 
 
 def _build() -> None:
@@ -59,6 +74,26 @@ def _load() -> ctypes.CDLL:
         lib.asgart_levenshtein.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
 
+        lib.asgart_kmer_suffix_sort.restype = ctypes.c_int
+        lib.asgart_kmer_suffix_sort.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64]
+
+        lib.asgart_pack_kmers.restype = ctypes.c_int
+        lib.asgart_pack_kmers.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64]
+
+        lib.asgart_group_tables.restype = ctypes.c_int
+        lib.asgart_group_tables.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+
+        lib.asgart_group_tables32.restype = ctypes.c_int
+        lib.asgart_group_tables32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+
         _lib = lib
         return lib
 
@@ -73,6 +108,7 @@ class _ChainParams(ctypes.Structure):
         ("needle_offset", ctypes.c_int64),
         ("needle_len", ctypes.c_int64),
         ("reverse", ctypes.c_int64),
+        ("max_match_pos", ctypes.c_int64),
     ]
 
 
@@ -109,10 +145,14 @@ def chain(
     needle_offset: int,
     needle_len: int,
     reverse: bool,
+    max_match_pos: int = 1 << 62,
 ) -> list[list[tuple[int, int, int, int]]]:
     """Run the native automaton; returns families of
     (left, right, left_length, right_length) proto-duplicons in
-    needle-relative left coordinates (like automaton.rs output)."""
+    needle-relative left coordinates (like automaton.rs output).
+
+    ``max_match_pos`` drops matches at/after the given absolute position
+    (used by the doubled-text index to ignore transformed-half hits)."""
     lib = _load()
     sa = _as_i64(sa)
     probe_is = _as_i64(probe_is)
@@ -128,6 +168,7 @@ def chain(
         needle_offset=needle_offset,
         needle_len=needle_len,
         reverse=1 if reverse else 0,
+        max_match_pos=max_match_pos,
     )
 
     cap_sds, cap_fams = 4096, 1024
@@ -160,6 +201,68 @@ def chain(
         families.append(fam)
         k += size
     return families
+
+
+def kmer_suffix_sort(kmers: np.ndarray, k: int,
+                     n_threads: int = 0) -> np.ndarray:
+    """Suffix array via parallel k-mer radix sort + prefix doubling.
+
+    Equivalent to ``suffix_array`` when all suffixes are distinct (always
+    true for texts with a unique '$'), but parallel and bandwidth-bound.
+    """
+    lib = _load()
+    kmers = _as_i64(kmers)
+    n = len(kmers)
+    sa = np.empty(n, dtype=np.int64)
+    n_threads = n_threads or (os.cpu_count() or 1)
+    rc = lib.asgart_kmer_suffix_sort(
+        kmers.ctypes.data_as(ctypes.c_void_p), n, k,
+        sa.ctypes.data_as(ctypes.c_void_p), n_threads)
+    if rc != 0:
+        raise RuntimeError("asgart_kmer_suffix_sort failed")
+    return sa
+
+
+def pack_kmers(codes: np.ndarray, k: int, n_threads: int = 0) -> np.ndarray:
+    """int64 packed k-mers at every position (zero-padded past the end)."""
+    lib = _load()
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = len(codes)
+    out = np.empty(n, dtype=np.int64)
+    n_threads = n_threads or (os.cpu_count() or 1)
+    rc = lib.asgart_pack_kmers(
+        codes.ctypes.data_as(ctypes.c_void_p), n, k,
+        out.ctypes.data_as(ctypes.c_void_p), n_threads)
+    if rc != 0:
+        raise RuntimeError("asgart_pack_kmers failed")
+    return out
+
+
+def group_tables(sa: np.ndarray, kmers: np.ndarray,
+                 n_threads: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Per-position equal-range tables. int32 tables when the text fits
+    (halves the scatter traffic and feeds the device path directly)."""
+    lib = _load()
+    sa = _as_i64(sa)
+    kmers = _as_i64(kmers)
+    n = len(sa)
+    n_threads = n_threads or (os.cpu_count() or 1)
+    if n < (1 << 31):
+        pos_lo = np.empty(n, dtype=np.int32)
+        pos_hi = np.empty(n, dtype=np.int32)
+        fn = lib.asgart_group_tables32
+    else:
+        pos_lo = np.empty(n, dtype=np.int64)
+        pos_hi = np.empty(n, dtype=np.int64)
+        fn = lib.asgart_group_tables
+    rc = fn(
+        sa.ctypes.data_as(ctypes.c_void_p),
+        kmers.ctypes.data_as(ctypes.c_void_p), n,
+        pos_lo.ctypes.data_as(ctypes.c_void_p),
+        pos_hi.ctypes.data_as(ctypes.c_void_p), n_threads)
+    if rc != 0:
+        raise RuntimeError("asgart_group_tables failed")
+    return pos_lo, pos_hi
 
 
 def levenshtein(a: bytes, b: bytes) -> int:

@@ -15,8 +15,13 @@
 // Build: g++ -O3 -shared -fPIC (see asgart_tpu/native/__init__.py).
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
 #include <vector>
 
 namespace {
@@ -176,7 +181,10 @@ struct ChainParams {
   int64_t max_cardinality;
   int64_t needle_offset;
   int64_t needle_len;
-  int64_t reverse;  // 1 = reversed-mode direction filter
+  int64_t reverse;        // 1 = reversed-mode direction filter
+  int64_t max_match_pos;  // drop matches at/after this position (the
+                          // doubled-text index interleaves transformed-half
+                          // positions into the equal ranges)
 };
 
 // Run the arm automaton over a stream of processed probes.
@@ -214,6 +222,7 @@ int asgart_chain(const ChainParams* prm, const int64_t* sa,
     m_starts.clear();
     for (int64_t r = los[p]; r < his[p]; ++r) {
       const int64_t m_start = sa[r];
+      if (m_start >= prm->max_match_pos) continue;  // transformed-half hit
       if (m_start == i) continue;  // self-hit filter (automaton.rs:106)
       if (!prm->reverse) {
         if (!(m_start > i + prm->needle_offset)) continue;
@@ -328,6 +337,355 @@ int asgart_chain(const ChainParams* prm, const int64_t* sa,
   *n_sds_out = n_sds;
   *n_families_out = n_families;
   return overflow ? 1 : 0;
+}
+
+// Suffix sort seeded by packed k-mers: parallel LSD radix sort of
+// (k-mer, position), then Manber-Myers prefix doubling restricted to the
+// unresolved (non-singleton) groups. Produces the same suffix array as
+// SA-IS (all suffixes are distinct thanks to the unique '$' separator)
+// but runs memory-bandwidth-bound and parallel instead of the SA-IS
+// pointer-chasing recursion — the index-build hot path for the
+// doubled-text position index.
+int asgart_kmer_suffix_sort(const int64_t* kmers, int64_t n, int64_t k,
+                            int64_t* sa_out, int64_t n_threads) {
+  if (n <= 0) return 0;
+  if (n_threads < 1) n_threads = 1;
+  const bool prof = std::getenv("ASGART_NATIVE_PROFILE") != nullptr;
+  auto tick = std::chrono::steady_clock::now();
+  auto lap = [&](const char* what) {
+    if (!prof) return;
+    auto now = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "[kss] %s: %.2fs\n", what,
+                 std::chrono::duration<double>(now - tick).count());
+    tick = now;
+  };
+
+  // ---- MSD bucket partition + in-cache per-bucket sorts ----
+  // One streaming partition pass on the top bits, then each bucket is
+  // comparison-sorted in cache. Ties (equal k-mers) keep arbitrary order
+  // here; the doubling rounds resolve them.
+  struct KV {
+    int64_t key, pos;
+  };
+  int topb = 8;
+  while ((int64_t(1) << topb) * 65536 < n && topb < 20) ++topb;
+  if (topb > 3 * k) topb = int(3 * k);
+  const int64_t n_buckets = int64_t(1) << topb;
+  const int shift = int(3 * k) - topb;
+  const int64_t per = (n + n_threads - 1) / n_threads;
+
+  std::vector<KV> recs(n);
+  {
+    // per-thread histograms over buckets
+    std::vector<std::vector<int64_t>> hist(
+        n_threads, std::vector<int64_t>(n_buckets, 0));
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < n_threads; ++t) {
+      int64_t b0 = t * per, b1 = std::min(n, (t + 1) * per);
+      if (b0 >= b1) break;
+      ts.emplace_back([&, t, b0, b1]() {
+        auto& h = hist[t];
+        for (int64_t i = b0; i < b1; ++i) h[kmers[i] >> shift]++;
+      });
+    }
+    for (auto& th : ts) th.join();
+    int64_t sum = 0;
+    for (int64_t d = 0; d < n_buckets; ++d) {
+      for (int64_t t = 0; t < n_threads; ++t) {
+        int64_t c = hist[t][d];
+        hist[t][d] = sum;
+        sum += c;
+      }
+    }
+    ts.clear();
+    for (int64_t t = 0; t < n_threads; ++t) {
+      int64_t b0 = t * per, b1 = std::min(n, (t + 1) * per);
+      if (b0 >= b1) break;
+      ts.emplace_back([&, t, b0, b1]() {
+        auto h = hist[t];
+        for (int64_t i = b0; i < b1; ++i) {
+          recs[h[kmers[i] >> shift]++] = KV{kmers[i], i};
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+    // bucket boundaries for the sorting phase = hist[0] before scatter;
+    // recompute from a fresh prefix of total counts
+  }
+  lap("partition");
+  std::vector<int64_t> bstart(n_buckets + 1, 0);
+  {
+    // recompute counts from recs (streaming) to avoid keeping histograms
+    for (int64_t i = 0; i < n; ++i) bstart[(recs[i].key >> shift) + 1]++;
+    for (int64_t d = 0; d < n_buckets; ++d) bstart[d + 1] += bstart[d];
+  }
+  {
+    std::atomic<int64_t> cursor{0};
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < n_threads; ++t) {
+      ts.emplace_back([&]() {
+        int64_t d;
+        while ((d = cursor.fetch_add(1)) < n_buckets) {
+          std::sort(recs.begin() + bstart[d], recs.begin() + bstart[d + 1],
+                    [](const KV& a, const KV& b) { return a.key < b.key; });
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  lap("bucket sorts");
+  auto key_at = [&](int64_t r) -> int64_t { return recs[r].key; };
+  auto idx_at = [&](int64_t r) -> int64_t& { return recs[r].pos; };
+  lap("copy out");
+
+  // unresolved spans first: when every k-mer is unique (no spans), the
+  // rank scatter — a latency-bound inverse permutation — is skipped
+  struct Span { int64_t b, e; };
+  std::vector<Span> spans;
+  {
+    int64_t r = 0;
+    while (r < n) {
+      int64_t e = r + 1;
+      while (e < n && key_at(e) == key_at(r)) ++e;
+      if (e - r > 1) spans.push_back({r, e});
+      r = e;
+    }
+  }
+  lap("span scan");
+
+  // ---- initial ranks: group id = group start index ----
+  std::vector<int64_t> rank;
+  if (!spans.empty()) {
+    rank.resize(n);
+    // stripe-parallel: rank = index of the first element of the equal run
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < n_threads; ++t) {
+      int64_t b0 = t * per, b1 = std::min(n, (t + 1) * per);
+      if (b0 >= b1) break;
+      ts.emplace_back([&, b0, b1]() {
+        // find the true run start for the stripe head by scanning back
+        int64_t start = b0;
+        while (start > 0 && key_at(start - 1) == key_at(b0)) --start;
+        for (int64_t r = b0; r < b1; ++r) {
+          if (r > 0 && key_at(r) != key_at(r - 1)) start = r;
+          rank[idx_at(r)] = start;
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  lap("initial ranks");
+  // Doubling rounds: phase A sorts every span by rank[p+h] and records
+  // the refined ranks on the side; phase B applies them after a barrier
+  // (readers of rank[p+h] in other spans must see the pre-round values).
+  int64_t h = k;
+  while (!spans.empty() && h < 2 * n) {
+    std::vector<std::vector<Span>> next_per_thread(n_threads);
+    std::vector<std::vector<std::pair<int64_t, int64_t>>> updates(n_threads);
+    std::atomic<size_t> span_cursor{0};
+    {
+      std::vector<std::thread> ts;
+      for (int64_t t = 0; t < n_threads; ++t) {
+        ts.emplace_back([&, t]() {
+          size_t si;
+          while ((si = span_cursor.fetch_add(1)) < spans.size()) {
+            const Span sp = spans[si];
+            auto key2 = [&](int64_t p) -> int64_t {
+              return p + h < n ? rank[p + h] : -1;
+            };
+            std::stable_sort(recs.begin() + sp.b, recs.begin() + sp.e,
+                             [&](const KV& a, const KV& b) {
+                               return key2(a.pos) < key2(b.pos);
+                             });
+            int64_t start = sp.b;
+            for (int64_t r = sp.b; r < sp.e; ++r) {
+              if (r > sp.b && key2(idx_at(r)) != key2(idx_at(r - 1)))
+                start = r;
+              if (start != sp.b)  // rank unchanged for the first sub-group
+                updates[t].emplace_back(idx_at(r), start);
+            }
+            int64_t r = sp.b;
+            while (r < sp.e) {
+              int64_t e = r + 1;
+              while (e < sp.e && key2(idx_at(e)) == key2(idx_at(r))) ++e;
+              if (e - r > 1) next_per_thread[t].push_back({r, e});
+              r = e;
+            }
+          }
+        });
+      }
+      for (auto& th : ts) th.join();
+    }
+    {
+      std::vector<std::thread> ts;
+      for (int64_t t = 0; t < n_threads; ++t) {
+        if (updates[t].empty()) continue;
+        ts.emplace_back([&, t]() {
+          for (auto& [p, r] : updates[t]) rank[p] = r;
+        });
+      }
+      for (auto& th : ts) th.join();
+    }
+    std::vector<Span> next_spans;
+    for (auto& v : next_per_thread)
+      next_spans.insert(next_spans.end(), v.begin(), v.end());
+    spans.swap(next_spans);
+    h *= 2;
+  }
+
+  lap("doubling");
+  {
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < n_threads; ++t) {
+      int64_t b0 = t * per, b1 = std::min(n, (t + 1) * per);
+      if (b0 >= b1) break;
+      ts.emplace_back([&, b0, b1]() {
+        for (int64_t r = b0; r < b1; ++r) sa_out[r] = recs[r].pos;
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  return 0;
+}
+
+// Pack the k 3-bit symbol ranks starting at every position of `codes`
+// (zero-padded semantics beyond n) into int64 k-mers. Parallel by blocks;
+// each block recomputes its first k-mer from scratch then rolls.
+int asgart_pack_kmers(const uint8_t* codes, int64_t n, int64_t k,
+                      int64_t* out, int64_t n_threads) {
+  if (n <= 0) return 0;
+  const int64_t mask = (k * 3 >= 63) ? ~int64_t(0) : ((int64_t(1) << (k * 3)) - 1);
+  auto code_at = [&](int64_t q) -> int64_t {
+    return q < n ? int64_t(codes[q]) : 0;
+  };
+  auto work = [&](int64_t b0, int64_t b1) {
+    int64_t v = 0;
+    for (int64_t j = 0; j < k; ++j) v = (v << 3) | code_at(b0 + j);
+    out[b0] = v;
+    for (int64_t i = b0 + 1; i < b1; ++i) {
+      v = ((v << 3) | code_at(i + k - 1)) & mask;
+      out[i] = v;
+    }
+  };
+  if (n_threads <= 1) {
+    work(0, n);
+    return 0;
+  }
+  std::vector<std::thread> ts;
+  const int64_t per = (n + n_threads - 1) / n_threads;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    int64_t b0 = t * per, b1 = std::min(n, (t + 1) * per);
+    if (b0 >= b1) break;
+    ts.emplace_back(work, b0, b1);
+  }
+  for (auto& t : ts) t.join();
+  return 0;
+}
+
+// Build position→equal-range tables: for every text position p,
+// pos_lo[p]..pos_hi[p] is the suffix-array interval of positions whose
+// k-mer equals p's. This turns every probe lookup into one gather —
+// the TPU-native replacement of the reference's per-probe binary search
+// (searcher.rs:145-171).
+// elem_size selects int64 (8) or int32 (4) output tables; int32 halves
+// the latency-bound scatter traffic and feeds the device path directly.
+static int group_tables_impl(const int64_t* sa, const int64_t* kmers,
+                             int64_t n, void* pos_lo_v, void* pos_hi_v,
+                             int64_t n_threads, int elem_size) {
+  if (n <= 0) return 0;
+  int64_t* pos_lo64 = elem_size == 8 ? (int64_t*)pos_lo_v : nullptr;
+  int64_t* pos_hi64 = elem_size == 8 ? (int64_t*)pos_hi_v : nullptr;
+  int32_t* pos_lo32 = elem_size == 4 ? (int32_t*)pos_lo_v : nullptr;
+  int32_t* pos_hi32 = elem_size == 4 ? (int32_t*)pos_hi_v : nullptr;
+  std::vector<int64_t> sa_k(n);
+  {
+    std::vector<std::thread> ts;
+    const int64_t per = (n + n_threads - 1) / n_threads;
+    for (int64_t t = 0; t < n_threads; ++t) {
+      int64_t b0 = t * per, b1 = std::min(n, (t + 1) * per);
+      if (b0 >= b1) break;
+      ts.emplace_back([&, b0, b1]() {
+        for (int64_t r = b0; r < b1; ++r) sa_k[r] = kmers[sa[r]];
+      });
+    }
+    for (auto& t : ts) t.join();
+  }
+  // group start per rank (forward), group end per rank (backward); then
+  // scatter to positions. Done in per-thread stripes with boundary fixups.
+  std::vector<int64_t> lo(n), hi(n);
+  {
+    const int64_t per = (n + n_threads - 1) / n_threads;
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < n_threads; ++t) {
+      int64_t b0 = t * per, b1 = std::min(n, (t + 1) * per);
+      if (b0 >= b1) break;
+      ts.emplace_back([&, b0, b1]() {
+        int64_t cur = b0;
+        for (int64_t r = b0; r < b1; ++r) {
+          if (r > 0 && sa_k[r] != sa_k[r - 1]) cur = r;
+          lo[r] = cur;  // may be fixed up across stripes below
+        }
+        int64_t cure = b1;
+        for (int64_t r = b1 - 1; r >= b0; --r) {
+          if (r + 1 < n && sa_k[r] != sa_k[r + 1]) cure = r + 1;
+          hi[r] = cure;
+        }
+      });
+    }
+    for (auto& t : ts) t.join();
+    // fixups: a group spanning a stripe boundary
+    for (int64_t t = 1; t < n_threads; ++t) {
+      int64_t b0 = t * per;
+      if (b0 >= n) break;
+      if (sa_k[b0] == sa_k[b0 - 1]) {
+        int64_t true_lo = lo[b0 - 1];
+        for (int64_t r = b0; r < n && lo[r] == b0; ++r) lo[r] = true_lo;
+      }
+    }
+    for (int64_t t = n_threads - 1; t >= 1; --t) {
+      int64_t b0 = t * per;
+      if (b0 >= n) continue;
+      if (sa_k[b0] == sa_k[b0 - 1]) {
+        int64_t true_hi = hi[b0];
+        for (int64_t r = b0 - 1; r >= 0 && hi[r] == b0; --r) hi[r] = true_hi;
+      }
+    }
+  }
+  {
+    std::vector<std::thread> ts;
+    const int64_t per = (n + n_threads - 1) / n_threads;
+    for (int64_t t = 0; t < n_threads; ++t) {
+      int64_t b0 = t * per, b1 = std::min(n, (t + 1) * per);
+      if (b0 >= b1) break;
+      ts.emplace_back([&, b0, b1]() {
+        if (elem_size == 8) {
+          for (int64_t r = b0; r < b1; ++r) {
+            pos_lo64[sa[r]] = lo[r];
+            pos_hi64[sa[r]] = hi[r];
+          }
+        } else {
+          for (int64_t r = b0; r < b1; ++r) {
+            pos_lo32[sa[r]] = (int32_t)lo[r];
+            pos_hi32[sa[r]] = (int32_t)hi[r];
+          }
+        }
+      });
+    }
+    for (auto& t : ts) t.join();
+  }
+  return 0;
+}
+
+int asgart_group_tables(const int64_t* sa, const int64_t* kmers, int64_t n,
+                        int64_t* pos_lo, int64_t* pos_hi,
+                        int64_t n_threads) {
+  return group_tables_impl(sa, kmers, n, pos_lo, pos_hi, n_threads, 8);
+}
+
+int asgart_group_tables32(const int64_t* sa, const int64_t* kmers,
+                          int64_t n, int32_t* pos_lo, int32_t* pos_hi,
+                          int64_t n_threads) {
+  return group_tables_impl(sa, kmers, n, pos_lo, pos_hi, n_threads, 4);
 }
 
 // Levenshtein distance, two-row DP.

@@ -101,6 +101,78 @@ def device_search_step(
     return out, n_out, n_fam, n_hits
 
 
+@functools.partial(jax.jit, static_argnames=("statics",))
+def device_table_search_step(
+    statics: SearchStatics,
+    pos_lo: jax.Array, pos_hi: jax.Array,   # [T] per-position range tables
+    sa_pos: jax.Array,                      # [T] int32 suffix-order positions
+    table_x: jax.Array,                     # [B] probe table positions (-1 pad)
+    probe_is: jax.Array,                    # [B] needle-relative probe indices
+    needle_offset: jax.Array, needle_len: jax.Array, reverse: jax.Array,
+    max_match_pos: jax.Array,
+):
+    """Doubled-text device step: probe ranges by one table gather (no
+    search), then match gather/filter + chain scan. The production-fast
+    analog of ``device_search_step``."""
+    cfg = statics.cfg
+    pad = table_x < 0
+    x = jnp.maximum(table_x, 0)
+    left = jnp.where(pad, 0, pos_lo[x])
+    right = jnp.where(pad, 0, pos_hi[x])
+
+    RAW = statics.raw_cap
+    t = jnp.arange(RAW, dtype=I32)[None, :]
+    idx = left[:, None] + t
+    in_range = idx < right[:, None]
+    m = sa_pos[jnp.minimum(idx, sa_pos.shape[0] - 1)]
+    i_col = jnp.maximum(probe_is, 0)[:, None]
+    keep = in_range & (m != i_col) & (m < max_match_pos)
+    dir_ok = jnp.where(
+        reverse,
+        m >= needle_offset + needle_len - i_col,
+        m > i_col + needle_offset)
+    keep = keep & dir_ok
+    counts = jnp.sum(keep, axis=1)
+    raw_overflow = (right - left) > RAW
+    valid = (~pad) & (counts <= cfg.max_cardinality) & ~raw_overflow
+
+    M = cfg.max_matches
+    rank = jnp.cumsum(keep.astype(I32), axis=1) - 1
+    rank = jnp.where(keep & (rank < M), rank, M)
+    rows = jnp.broadcast_to(
+        jnp.arange(table_x.shape[0], dtype=I32)[:, None], rank.shape)
+    matches = jnp.full((table_x.shape[0], M), -1, dtype=I32)
+    matches = matches.at[rows, rank].set(m, mode="drop")
+
+    out, n_out, n_fam = chain_scan(
+        cfg, jnp.maximum(probe_is, 0), matches, valid)
+    n_hits = jnp.sum(jnp.where(valid, counts, 0))
+    return out, n_out, n_fam, n_hits
+
+
+def sharded_table_search_step(statics: SearchStatics, mesh: Mesh,
+                              axis: str = "probes"):
+    """SPMD table-gather search: tables replicated, probes sharded."""
+    rep = P()
+    shard = P(axis)
+
+    def step(pos_lo, pos_hi, sa_pos, table_x, probe_is,
+             needle_offset, needle_len, reverse, max_match_pos):
+        out, n_out, n_fam, n_hits = device_table_search_step(
+            statics, pos_lo, pos_hi, sa_pos, table_x, probe_is,
+            needle_offset, needle_len, reverse, max_match_pos)
+        total_hits = jax.lax.psum(n_hits, axis)
+        return out, n_out[None], n_fam[None], total_hits
+
+    mapped = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(rep, rep, rep, shard, shard, rep, rep, rep, rep),
+        out_specs=(shard, shard, shard, rep),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def make_mesh(n_devices: int | None = None,
               axis: str = "probes") -> Mesh:
     devices = jax.devices()

@@ -21,7 +21,7 @@ import numpy as np
 
 from . import native, postprocess
 from .fasta import Strand, prepare_data
-from .index import CODE, GenomeIndex
+from .index import CODE, GenomeIndex, PositionIndex
 from .structs import (ProtoSD, RunResult, RunSettings, SD, StrandResult)
 from .utils import complemented
 
@@ -63,7 +63,13 @@ def _pack_probe_kmers(needle_codes_padded: np.ndarray, is_: np.ndarray,
 
 
 class SearchEngine:
-    """Seed lookup + chaining over one prepared strand."""
+    """Seed lookup + chaining over one prepared strand.
+
+    Without ``trim``, probes resolve through the doubled-text
+    ``PositionIndex`` (one gather per probe, no search); ``trim`` runs
+    keep the packed-k-mer binary-search path over the windowed suffix
+    array, exactly like the reference's trim workflow (asgart.rs:142-148).
+    """
 
     def __init__(self, strand: Strand, settings: RunSettings,
                  trim: Optional[tuple[int, int]], engine: str = "host"):
@@ -71,13 +77,25 @@ class SearchEngine:
         self.settings = settings
         self.engine = engine
         t0 = time.time()
-        self.index = GenomeIndex.build(
-            strand.data, settings.probe_size, trim=trim)
+        self.pidx: Optional[PositionIndex] = None
+        self.index: Optional[GenomeIndex] = None
+        if trim is None:
+            self.pidx = PositionIndex.build(
+                strand.data, settings.probe_size,
+                reverse=settings.reverse, complement=settings.complement,
+                n_threads=settings.threads_count or 0)
+        else:
+            self.index = GenomeIndex.build(
+                strand.data, settings.probe_size, trim=trim)
         log.debug("Index built in %.2fs", time.time() - t0)
         self._device = None
         if engine == "tpu":
-            from .seed import DeviceSeedIndex
-            self._device = DeviceSeedIndex(self.index)
+            if self.pidx is not None:
+                from .seed import DevicePositionTables
+                self._device = DevicePositionTables(self.pidx)
+            else:
+                from .seed import DeviceSeedIndex
+                self._device = DeviceSeedIndex(self.index)
 
     def run_chunk(self, chunk: tuple[int, int]) -> list[list[ProtoSD]]:
         """Search one chunk; returns families in global coordinates with
@@ -95,17 +113,27 @@ class SearchEngine:
             return []
 
         k = s.probe_size
-        codes = np.zeros(len(needle) + k, dtype=np.uint8)
-        codes[:len(needle)] = CODE[needle]
-        probe_kmers = _pack_probe_kmers(codes, is_, k)
-
-        if self._device is not None:
-            lo, hi = self._device.lookup(probe_kmers)
+        if self.pidx is not None:
+            if self._device is not None:
+                x = self.pidx.probe_table_positions(start, length, is_)
+                lo, hi = self._device.gather_ranges(x)
+            else:
+                lo, hi = self.pidx.probe_ranges(start, length, is_)
+            sa = self.pidx.sa
+            max_match_pos = self.pidx.first_len - 1
         else:
-            lo, hi = self.index.lookup(probe_kmers)
+            codes = np.zeros(len(needle) + k, dtype=np.uint8)
+            codes[:len(needle)] = CODE[needle]
+            probe_kmers = _pack_probe_kmers(codes, is_, k)
+            if self._device is not None:
+                lo, hi = self._device.lookup(probe_kmers)
+            else:
+                lo, hi = self.index.lookup(probe_kmers)
+            sa = self.index.sa
+            max_match_pos = 1 << 62
 
         raw_families = native.chain(
-            self.index.sa, is_, lo, hi,
+            sa, is_, lo, hi,
             probe_size=s.probe_size,
             step_size=s.probe_size // 2,
             max_gap_size=s.max_gap_size,
@@ -114,6 +142,7 @@ class SearchEngine:
             needle_offset=start,
             needle_len=len(needle),
             reverse=s.reverse,
+            max_match_pos=max_match_pos,
         )
 
         families = []

@@ -117,6 +117,45 @@ def equal_range(
     return left, right
 
 
+@jax.jit
+def _gather_tables(pos_lo: jax.Array, pos_hi: jax.Array, x: jax.Array):
+    return pos_lo[x], pos_hi[x]
+
+
+class DevicePositionTables:
+    """Device-resident per-position equal-range tables (doubled-text
+    index): a probe lookup is one gather — no search, tiny executable,
+    trivially shardable across a mesh."""
+
+    def __init__(self, pidx, batch: int = DEFAULT_BATCH):
+        n = len(pidx.pos_lo)
+        if n >= (1 << 31):
+            raise ValueError(
+                "device table shard too large for int32; shard the index")
+        self.batch = batch
+        self.pos_lo = jax.device_put(
+            np.ascontiguousarray(pidx.pos_lo, dtype=np.int32))
+        self.pos_hi = jax.device_put(
+            np.ascontiguousarray(pidx.pos_hi, dtype=np.int32))
+
+    def gather_ranges(self, x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        B = len(x)
+        lo_out = np.empty(B, dtype=np.int64)
+        hi_out = np.empty(B, dtype=np.int64)
+        for b0 in range(0, B, self.batch):
+            part = x[b0: b0 + self.batch].astype(np.int32)
+            pad = self.batch - len(part)
+            if pad:
+                part = np.concatenate(
+                    [part, np.zeros(pad, dtype=np.int32)])
+            lo, hi = _gather_tables(
+                self.pos_lo, self.pos_hi, jnp.asarray(part))
+            nreal = min(self.batch, B - b0)
+            lo_out[b0: b0 + nreal] = np.asarray(lo)[:nreal]
+            hi_out[b0: b0 + nreal] = np.asarray(hi)[:nreal]
+        return lo_out, hi_out
+
+
 class DeviceSeedIndex:
     """Device-resident seed index built from a host ``GenomeIndex``."""
 

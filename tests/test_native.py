@@ -55,3 +55,29 @@ def test_levenshtein():
         a = random_dna(rng, int(rng.integers(0, 60)))
         b = random_dna(rng, int(rng.integers(0, 60)))
         assert native.levenshtein(a, b) == python_levenshtein(a, b)
+
+
+def test_kmer_suffix_sort_matches_sais():
+    from asgart_tpu.index import CODE
+    rng = np.random.default_rng(11)
+    for trial in range(12):
+        n = int(rng.integers(5, 3000))
+        alpha = [b"ACGT", b"AC", b"ACGTN", b"A"][trial % 4]
+        text = random_dna(rng, n, alpha) + b"$" + random_dna(rng, n // 2, alpha)
+        data = np.frombuffer(text, dtype=np.uint8)
+        k = [4, 8, 20][trial % 3]
+        kmers = native.pack_kmers(CODE[data], k)
+        got = native.kmer_suffix_sort(kmers, k, n_threads=3)
+        want = native.suffix_array(data)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_kmer_suffix_sort_repetitive():
+    from asgart_tpu.index import CODE
+    # long runs force many doubling rounds
+    text = b"A" * 5000 + b"ACGT" * 100 + b"$" + b"T" * 3000
+    data = np.frombuffer(text, dtype=np.uint8)
+    kmers = native.pack_kmers(CODE[data], 20)
+    got = native.kmer_suffix_sort(kmers, 20, n_threads=4)
+    want = native.suffix_array(data)
+    np.testing.assert_array_equal(got, want)

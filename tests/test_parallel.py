@@ -106,3 +106,62 @@ def test_sharded_step_runs_on_mesh():
     # every duplicon found on some shard (the planted one spans shards'
     # interiors; shard-boundary splits may fragment it, but total SDs > 0)
     assert int(np.sum(np.asarray(n_out).reshape(-1))) > 0
+
+
+def test_table_step_matches_native():
+    from asgart_tpu.index import PositionIndex
+    from asgart_tpu.parallel import device_table_search_step
+
+    rng = np.random.default_rng(3)
+    text = plant_duplication(rng, 6000, 800, 700, 4200, noise=0.01) + b"$"
+    data = np.frombuffer(text, dtype=np.uint8)
+    settings = RunSettings(probe_size=16, max_gap_size=60,
+                           min_duplication_length=500, max_cardinality=50)
+    k = settings.probe_size
+    pidx = PositionIndex.build(data, k)
+    is_ = probe_positions(data[:-1], k)
+    table_x = pidx.probe_table_positions(0, len(data) - 1, is_)
+
+    cfg = ChainConfig(probe_size=k, step_size=k // 2,
+                      max_gap_size=settings.max_gap_size,
+                      min_duplication_length=settings.min_duplication_length,
+                      max_cardinality=settings.max_cardinality,
+                      max_arms=128, max_matches=64, out_cap=512)
+    statics = SearchStatics(cfg=cfg, k=k, steps=1, prefix_shift=-1,
+                            raw_cap=64)
+    out, n_out, n_fam, n_hits = device_table_search_step(
+        statics,
+        jnp.asarray(pidx.pos_lo.astype(np.int32)),
+        jnp.asarray(pidx.pos_hi.astype(np.int32)),
+        jnp.asarray(pidx.sa.astype(np.int32)),
+        jnp.asarray(table_x.astype(np.int32)),
+        jnp.asarray(is_.astype(np.int32)),
+        jnp.int32(0), jnp.int32(len(data) - 1),
+        jnp.asarray(False), jnp.int32(pidx.first_len - 1))
+    got = [tuple(int(v) for v in row[:4])
+           for row in np.asarray(out)[: int(n_out)]]
+
+    lo, hi = pidx.probe_ranges(0, len(data) - 1, is_)
+    want_fams = native.chain(
+        pidx.sa, is_, lo, hi,
+        probe_size=k, step_size=k // 2,
+        max_gap_size=settings.max_gap_size,
+        min_duplication_length=settings.min_duplication_length,
+        max_cardinality=settings.max_cardinality,
+        needle_offset=0, needle_len=len(data) - 1, reverse=False,
+        max_match_pos=pidx.first_len - 1)
+    want = [sd for fam in want_fams for sd in fam]
+    assert got == want
+    assert want
+
+
+def test_graft_entry_and_dryrun():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    res = jax.jit(fn)(*args)
+    jax.block_until_ready(res)
+    out, n_out, n_fam, n_hits = res
+    assert int(n_hits) > 0
+    assert int(n_out) >= 1
+    ge.dryrun_multichip(8)
