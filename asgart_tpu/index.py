@@ -166,9 +166,14 @@ class PositionIndex:
         codes = CODE[text]
         kmers = native.pack_kmers(codes, k, n_threads)
         # parallel radix + prefix doubling: same SA as SA-IS (the interior
-        # '$' makes all suffixes distinct) at memory bandwidth
-        sa = native.kmer_suffix_sort(kmers, k, n_threads)
-        pos_lo, pos_hi = native.group_tables(sa, kmers, n_threads)
+        # '$' makes all suffixes distinct) at memory bandwidth, with the
+        # equal-range tables fused into the final pass
+        if len(kmers) < (1 << 31):
+            sa, pos_lo, pos_hi = native.build_position_index(
+                kmers, k, n_threads)
+        else:
+            sa = native.kmer_suffix_sort(kmers, k, n_threads)
+            pos_lo, pos_hi = native.group_tables(sa, kmers, n_threads)
         return cls(sa=sa, pos_lo=pos_lo, pos_hi=pos_hi, k=k, first_len=n,
                    reverse=reverse, complement=complement)
 

@@ -79,6 +79,12 @@ def _load() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64]
 
+        lib.asgart_build_position_index.restype = ctypes.c_int
+        lib.asgart_build_position_index.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
+
         lib.asgart_pack_kmers.restype = ctypes.c_int
         lib.asgart_pack_kmers.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -221,6 +227,29 @@ def kmer_suffix_sort(kmers: np.ndarray, k: int,
     if rc != 0:
         raise RuntimeError("asgart_kmer_suffix_sort failed")
     return sa
+
+
+def build_position_index(kmers: np.ndarray, k: int, n_threads: int = 0):
+    """Fused suffix sort + per-position equal-range tables (int32).
+    Returns (sa int64, pos_lo int32, pos_hi int32)."""
+    lib = _load()
+    kmers = _as_i64(kmers)
+    n = len(kmers)
+    if n >= (1 << 31):
+        raise ValueError("fused tables require n < 2^31; use "
+                         "kmer_suffix_sort + group_tables")
+    sa = np.empty(n, dtype=np.int64)
+    pos_lo = np.empty(n, dtype=np.int32)
+    pos_hi = np.empty(n, dtype=np.int32)
+    n_threads = n_threads or (os.cpu_count() or 1)
+    rc = lib.asgart_build_position_index(
+        kmers.ctypes.data_as(ctypes.c_void_p), n, k,
+        sa.ctypes.data_as(ctypes.c_void_p),
+        pos_lo.ctypes.data_as(ctypes.c_void_p),
+        pos_hi.ctypes.data_as(ctypes.c_void_p), n_threads)
+    if rc != 0:
+        raise RuntimeError("asgart_build_position_index failed")
+    return sa, pos_lo, pos_hi
 
 
 def pack_kmers(codes: np.ndarray, k: int, n_threads: int = 0) -> np.ndarray:

@@ -22,6 +22,7 @@
 #include <chrono>
 #include <cstdio>
 #include <cstdlib>
+#include <limits>
 #include <vector>
 
 namespace {
@@ -346,8 +347,11 @@ int asgart_chain(const ChainParams* prm, const int64_t* sa,
 // but runs memory-bandwidth-bound and parallel instead of the SA-IS
 // pointer-chasing recursion — the index-build hot path for the
 // doubled-text position index.
-int asgart_kmer_suffix_sort(const int64_t* kmers, int64_t n, int64_t k,
-                            int64_t* sa_out, int64_t n_threads) {
+// Suffix sort (+ optionally fused per-position equal-range tables).
+// pos_lo/pos_hi may be null (sort only) or int32 arrays of length n.
+int asgart_build_position_index(const int64_t* kmers, int64_t n, int64_t k,
+                                int64_t* sa_out, int32_t* pos_lo,
+                                int32_t* pos_hi, int64_t n_threads) {
   if (n <= 0) return 0;
   if (n_threads < 1) n_threads = 1;
   const bool prof = std::getenv("ASGART_NATIVE_PROFILE") != nullptr;
@@ -453,9 +457,23 @@ int asgart_kmer_suffix_sort(const int64_t* kmers, int64_t n, int64_t k,
   }
   lap("span scan");
 
-  // ---- initial ranks: group id = group start index ----
+  // ---- initial ranks ----
+  // Dense array only when repeats are plentiful; for the common
+  // low-duplication case a sparse map over span members avoids the
+  // latency-bound full inverse-permutation scatter (rank of any resolved
+  // position is recoverable by binary search over the sorted keys).
+  int64_t span_cov = 0;
+  for (const auto& sp : spans) span_cov += sp.e - sp.b;
+  const bool sparse_ranks = span_cov * 32 < n;
+  std::vector<std::pair<int64_t, int64_t>> sparse;  // (pos, rank) sorted
   std::vector<int64_t> rank;
-  if (!spans.empty()) {
+  if (!spans.empty() && sparse_ranks) {
+    sparse.reserve(span_cov);
+    for (const auto& sp : spans)
+      for (int64_t r = sp.b; r < sp.e; ++r)
+        sparse.emplace_back(idx_at(r), sp.b);
+    std::sort(sparse.begin(), sparse.end());
+  } else if (!spans.empty()) {
     rank.resize(n);
     // stripe-parallel: rank = index of the first element of the equal run
     std::vector<std::thread> ts;
@@ -475,6 +493,30 @@ int asgart_kmer_suffix_sort(const int64_t* kmers, int64_t n, int64_t k,
     for (auto& th : ts) th.join();
   }
   lap("initial ranks");
+
+  auto rank_of = [&](int64_t p) -> int64_t {
+    if (!sparse_ranks) return rank[p];
+    auto it = std::lower_bound(
+        sparse.begin(), sparse.end(),
+        std::make_pair(p, std::numeric_limits<int64_t>::min()));
+    if (it != sparse.end() && it->first == p) return it->second;
+    // resolved position: its rank is the start of its key's run
+    const int64_t key = kmers[p];
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+      int64_t mid = (lo + hi) >> 1;
+      if (key_at(mid) < key) lo = mid + 1; else hi = mid;
+    }
+    return lo;
+  };
+  auto rank_set = [&](int64_t p, int64_t r) {
+    if (!sparse_ranks) { rank[p] = r; return; }
+    auto it = std::lower_bound(
+        sparse.begin(), sparse.end(),
+        std::make_pair(p, std::numeric_limits<int64_t>::min()));
+    it->second = r;  // span members are always present in `sparse`
+  };
+
   // Doubling rounds: phase A sorts every span by rank[p+h] and records
   // the refined ranks on the side; phase B applies them after a barrier
   // (readers of rank[p+h] in other spans must see the pre-round values).
@@ -491,7 +533,7 @@ int asgart_kmer_suffix_sort(const int64_t* kmers, int64_t n, int64_t k,
           while ((si = span_cursor.fetch_add(1)) < spans.size()) {
             const Span sp = spans[si];
             auto key2 = [&](int64_t p) -> int64_t {
-              return p + h < n ? rank[p + h] : -1;
+              return p + h < n ? rank_of(p + h) : -1;
             };
             std::stable_sort(recs.begin() + sp.b, recs.begin() + sp.e,
                              [&](const KV& a, const KV& b) {
@@ -521,7 +563,7 @@ int asgart_kmer_suffix_sort(const int64_t* kmers, int64_t n, int64_t k,
       for (int64_t t = 0; t < n_threads; ++t) {
         if (updates[t].empty()) continue;
         ts.emplace_back([&, t]() {
-          for (auto& [p, r] : updates[t]) rank[p] = r;
+          for (auto& [p, r] : updates[t]) rank_set(p, r);
         });
       }
       for (auto& th : ts) th.join();
@@ -540,12 +582,38 @@ int asgart_kmer_suffix_sort(const int64_t* kmers, int64_t n, int64_t k,
       int64_t b0 = t * per, b1 = std::min(n, (t + 1) * per);
       if (b0 >= b1) break;
       ts.emplace_back([&, b0, b1]() {
-        for (int64_t r = b0; r < b1; ++r) sa_out[r] = recs[r].pos;
+        if (pos_lo && pos_hi) {
+          // equal-range (by k-mer key) per rank, found by extending the
+          // stripe head's run; then scatter through the positions
+          int64_t lo = b0;
+          while (lo > 0 && key_at(lo - 1) == key_at(b0)) --lo;
+          int64_t hi = -1;
+          for (int64_t r = b0; r < b1; ++r) {
+            if (r > 0 && key_at(r) != key_at(r - 1)) lo = r;
+            if (r >= hi) {
+              hi = r + 1;
+              while (hi < n && key_at(hi) == key_at(r)) ++hi;
+            }
+            const int64_t p = recs[r].pos;
+            sa_out[r] = p;
+            pos_lo[p] = (int32_t)lo;
+            pos_hi[p] = (int32_t)hi;
+          }
+        } else {
+          for (int64_t r = b0; r < b1; ++r) sa_out[r] = recs[r].pos;
+        }
       });
     }
     for (auto& th : ts) th.join();
   }
+  lap("tables");
   return 0;
+}
+
+int asgart_kmer_suffix_sort(const int64_t* kmers, int64_t n, int64_t k,
+                            int64_t* sa_out, int64_t n_threads) {
+  return asgart_build_position_index(kmers, n, k, sa_out, nullptr, nullptr,
+                                     n_threads);
 }
 
 // Pack the k 3-bit symbol ranks starting at every position of `codes`

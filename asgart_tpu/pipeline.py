@@ -178,8 +178,14 @@ def search_duplications(
     log.info("[1] Looking for proto-duplications...")
     se = SearchEngine(strand, settings, trim, engine=engine)
     families: list[list[ProtoSD]] = []
+    from .utils import ProgressBar
+    bar = ProgressBar(sum(c[1] for c in to_process))
+    done = 0
     for chunk in to_process:
         families.extend(se.run_chunk(chunk))
+        done += chunk[1]
+        bar.update(done)
+    bar.finish()
 
     strand_bytes = strand.data.tobytes()
     log.info("[2] Filtering uncertain duplications...")

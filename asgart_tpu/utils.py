@@ -21,6 +21,52 @@ def complemented(text: np.ndarray) -> np.ndarray:
     return _COMPLEMENT_LENIENT[text]
 
 
+class ProgressBar:
+    """Lightweight stderr progress bar (the reference drives an indicatif
+    bar from a monitor thread polling per-chunk atomics, asgart.rs:160-197;
+    we render inline from the chunk loop)."""
+
+    def __init__(self, total: int, enabled: bool = True,
+                 min_interval: float = 0.5):
+        import sys
+        import time
+
+        self.total = max(total, 1)
+        self.enabled = enabled and sys.stderr.isatty()
+        self.min_interval = min_interval
+        self._last = 0.0
+        self._time = time
+        self._start = time.time()
+
+    def update(self, done: int, force: bool = False):
+        if not self.enabled:
+            return
+        import sys
+
+        now = self._time.time()
+        if not force and now - self._last < self.min_interval:
+            return
+        self._last = now
+        frac = min(done / self.total, 1.0)
+        width = 40
+        filled = int(frac * width)
+        elapsed = now - self._start
+        eta = elapsed / frac - elapsed if frac > 0 else 0.0
+        sys.stderr.write(
+            f"\r[{'#' * filled}{'-' * (width - filled)}] "
+            f"{frac * 100:5.1f}%  (~{eta:4.0f}s remaining)")
+        sys.stderr.flush()
+
+    def finish(self):
+        if not self.enabled:
+            return
+        import sys
+
+        self.update(self.total, force=True)
+        sys.stderr.write("\n")
+        sys.stderr.flush()
+
+
 def slugify(x: str) -> str:
     """(utils.rs:25-28)"""
     out = x.strip()
