@@ -140,12 +140,19 @@ class PositionIndex:
     """
 
     sa: np.ndarray       # int64 suffix order over the (doubled) text
-    pos_lo: np.ndarray   # int64 per text position: equal-range start
-    pos_hi: np.ndarray
+    ranges: np.ndarray   # int32 [n, 2]: per text position [lo, hi)
     k: int
     first_len: int       # N = len(strand.data) (genome + '$')
     reverse: bool
     complement: bool
+
+    @property
+    def pos_lo(self) -> np.ndarray:
+        return self.ranges[:, 0]
+
+    @property
+    def pos_hi(self) -> np.ndarray:
+        return self.ranges[:, 1]
 
     @classmethod
     def build(cls, strand_data: np.ndarray, k: int,
@@ -164,17 +171,18 @@ class PositionIndex:
             text = strand_data
 
         codes = CODE[text]
-        kmers = native.pack_kmers(codes, k, n_threads)
         # parallel radix + prefix doubling: same SA as SA-IS (the interior
-        # '$' makes all suffixes distinct) at memory bandwidth, with the
-        # equal-range tables fused into the final pass
-        if len(kmers) < (1 << 31):
-            sa, pos_lo, pos_hi = native.build_position_index(
-                kmers, k, n_threads)
+        # '$' makes all suffixes distinct) at memory bandwidth, with
+        # on-the-fly k-mer packing and the equal-range tables fused into
+        # the final pass
+        if len(codes) < (1 << 31):
+            sa, ranges = native.build_position_index(codes, k, n_threads)
         else:
+            kmers = native.pack_kmers(codes, k, n_threads)
             sa = native.kmer_suffix_sort(kmers, k, n_threads)
             pos_lo, pos_hi = native.group_tables(sa, kmers, n_threads)
-        return cls(sa=sa, pos_lo=pos_lo, pos_hi=pos_hi, k=k, first_len=n,
+            ranges = np.stack([pos_lo, pos_hi], axis=1)
+        return cls(sa=sa, ranges=ranges, k=k, first_len=n,
                    reverse=reverse, complement=complement)
 
     def probe_table_positions(self, chunk_start: int, chunk_len: int,
@@ -193,4 +201,5 @@ class PositionIndex:
                      probe_is: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Equal ranges for every probe of a chunk: one table gather."""
         x = self.probe_table_positions(chunk_start, chunk_len, probe_is)
-        return self.pos_lo[x], self.pos_hi[x]
+        r = self.ranges[x]
+        return r[:, 0], r[:, 1]

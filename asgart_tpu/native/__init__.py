@@ -85,6 +85,12 @@ def _load() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64]
 
+        lib.asgart_build_position_index_codes.restype = ctypes.c_int
+        lib.asgart_build_position_index_codes.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
+
         lib.asgart_pack_kmers.restype = ctypes.c_int
         lib.asgart_pack_kmers.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -229,27 +235,27 @@ def kmer_suffix_sort(kmers: np.ndarray, k: int,
     return sa
 
 
-def build_position_index(kmers: np.ndarray, k: int, n_threads: int = 0):
-    """Fused suffix sort + per-position equal-range tables (int32).
-    Returns (sa int64, pos_lo int32, pos_hi int32)."""
+def build_position_index(codes: np.ndarray, k: int, n_threads: int = 0):
+    """Fused suffix sort + per-position equal-range tables (int32) from
+    3-bit symbol codes (k-mers are packed on the fly; 12-byte sort
+    records). Returns (sa int64, pos_lo int32, pos_hi int32)."""
     lib = _load()
-    kmers = _as_i64(kmers)
-    n = len(kmers)
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = len(codes)
     if n >= (1 << 31):
         raise ValueError("fused tables require n < 2^31; use "
                          "kmer_suffix_sort + group_tables")
     sa = np.empty(n, dtype=np.int64)
-    pos_lo = np.empty(n, dtype=np.int32)
-    pos_hi = np.empty(n, dtype=np.int32)
+    ranges = np.empty((n, 2), dtype=np.int32)  # interleaved [lo, hi]
     n_threads = n_threads or (os.cpu_count() or 1)
-    rc = lib.asgart_build_position_index(
-        kmers.ctypes.data_as(ctypes.c_void_p), n, k,
+    rc = lib.asgart_build_position_index_codes(
+        codes.ctypes.data_as(ctypes.c_void_p), n, k,
         sa.ctypes.data_as(ctypes.c_void_p),
-        pos_lo.ctypes.data_as(ctypes.c_void_p),
-        pos_hi.ctypes.data_as(ctypes.c_void_p), n_threads)
+        ranges.ctypes.data_as(ctypes.c_void_p),
+        None, n_threads)
     if rc != 0:
         raise RuntimeError("asgart_build_position_index failed")
-    return sa, pos_lo, pos_hi
+    return sa, ranges
 
 
 def pack_kmers(codes: np.ndarray, k: int, n_threads: int = 0) -> np.ndarray:

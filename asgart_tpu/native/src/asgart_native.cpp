@@ -610,6 +610,277 @@ int asgart_build_position_index(const int64_t* kmers, int64_t n, int64_t k,
   return 0;
 }
 
+
+// Primary index-build entry: computes packed k-mers on the fly from the
+// 3-bit symbol codes (no separate k-mer array), sorts 12-byte records
+// (key + int32 position), resolves ties by prefix doubling, and emits the
+// suffix array plus fused per-position equal-range tables.
+int asgart_build_position_index_codes(const uint8_t* codes, int64_t n,
+                                      int64_t k, int64_t* sa_out,
+                                      int32_t* pos_lo, int32_t* pos_hi,
+                                      int64_t n_threads) {
+  if (n <= 0) return 0;
+  if (n >= (int64_t(1) << 31)) return 2;  // int32 positions
+  if (n_threads < 1) n_threads = 1;
+  const bool prof = std::getenv("ASGART_NATIVE_PROFILE") != nullptr;
+  auto tick = std::chrono::steady_clock::now();
+  auto lap = [&](const char* what) {
+    if (!prof) return;
+    auto now = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "[bpi] %s: %.2fs\n", what,
+                 std::chrono::duration<double>(now - tick).count());
+    tick = now;
+  };
+
+  const int64_t mask = (k * 3 >= 63) ? ~int64_t(0)
+                                     : ((int64_t(1) << (k * 3)) - 1);
+  auto code_at = [&](int64_t q) -> int64_t {
+    return q < n ? int64_t(codes[q]) : 0;
+  };
+  auto pack_at = [&](int64_t p) -> int64_t {
+    int64_t v = 0;
+    for (int64_t j = 0; j < k; ++j) v = (v << 3) | code_at(p + j);
+    return v;
+  };
+
+#pragma pack(push, 1)
+  struct KV {
+    int64_t key;
+    int32_t pos;
+  };
+#pragma pack(pop)
+
+  int topb = 8;
+  while ((int64_t(1) << topb) * 65536 < n && topb < 20) ++topb;
+  if (topb > 3 * k) topb = int(3 * k);
+  const int64_t n_buckets = int64_t(1) << topb;
+  const int shift = int(3 * k) - topb;
+  const int64_t per = (n + n_threads - 1) / n_threads;
+
+  std::vector<KV> recs(n);
+  {
+    std::vector<std::vector<int64_t>> hist(
+        n_threads, std::vector<int64_t>(n_buckets, 0));
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < n_threads; ++t) {
+      int64_t b0 = t * per, b1 = std::min(n, (t + 1) * per);
+      if (b0 >= b1) break;
+      ts.emplace_back([&, t, b0, b1]() {
+        auto& h = hist[t];
+        int64_t v = pack_at(b0);
+        h[v >> shift]++;
+        for (int64_t i = b0 + 1; i < b1; ++i) {
+          v = ((v << 3) | code_at(i + k - 1)) & mask;
+          h[v >> shift]++;
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+    int64_t sum = 0;
+    for (int64_t d = 0; d < n_buckets; ++d) {
+      for (int64_t t = 0; t < n_threads; ++t) {
+        int64_t c = hist[t][d];
+        hist[t][d] = sum;
+        sum += c;
+      }
+    }
+    ts.clear();
+    for (int64_t t = 0; t < n_threads; ++t) {
+      int64_t b0 = t * per, b1 = std::min(n, (t + 1) * per);
+      if (b0 >= b1) break;
+      ts.emplace_back([&, t, b0, b1]() {
+        auto h = hist[t];
+        int64_t v = pack_at(b0);
+        recs[h[v >> shift]++] = KV{v, (int32_t)b0};
+        for (int64_t i = b0 + 1; i < b1; ++i) {
+          v = ((v << 3) | code_at(i + k - 1)) & mask;
+          recs[h[v >> shift]++] = KV{v, (int32_t)i};
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  lap("partition");
+
+  std::vector<int64_t> bstart(n_buckets + 1, 0);
+  for (int64_t i = 0; i < n; ++i) bstart[(recs[i].key >> shift) + 1]++;
+  for (int64_t d = 0; d < n_buckets; ++d) bstart[d + 1] += bstart[d];
+  {
+    std::atomic<int64_t> cursor{0};
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < n_threads; ++t) {
+      ts.emplace_back([&]() {
+        int64_t d;
+        while ((d = cursor.fetch_add(1)) < n_buckets) {
+          std::sort(recs.begin() + bstart[d], recs.begin() + bstart[d + 1],
+                    [](const KV& a, const KV& b) { return a.key < b.key; });
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  lap("bucket sorts");
+
+  auto key_at = [&](int64_t r) -> int64_t { return recs[r].key; };
+  auto idx_at = [&](int64_t r) -> int64_t { return recs[r].pos; };
+
+  struct Span {
+    int64_t b, e;
+  };
+  std::vector<Span> spans;
+  {
+    int64_t r = 0;
+    while (r < n) {
+      int64_t e = r + 1;
+      while (e < n && key_at(e) == key_at(r)) ++e;
+      if (e - r > 1) spans.push_back({r, e});
+      r = e;
+    }
+  }
+  lap("span scan");
+
+  int64_t span_cov = 0;
+  for (const auto& sp : spans) span_cov += sp.e - sp.b;
+  const bool sparse_ranks = span_cov * 32 < n;
+  std::vector<std::pair<int64_t, int64_t>> sparse;
+  std::vector<int64_t> rank;
+  if (!spans.empty() && sparse_ranks) {
+    sparse.reserve(span_cov);
+    for (const auto& sp : spans)
+      for (int64_t r = sp.b; r < sp.e; ++r)
+        sparse.emplace_back(idx_at(r), sp.b);
+    std::sort(sparse.begin(), sparse.end());
+  } else if (!spans.empty()) {
+    rank.resize(n);
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < n_threads; ++t) {
+      int64_t b0 = t * per, b1 = std::min(n, (t + 1) * per);
+      if (b0 >= b1) break;
+      ts.emplace_back([&, b0, b1]() {
+        int64_t start = b0;
+        while (start > 0 && key_at(start - 1) == key_at(b0)) --start;
+        for (int64_t r = b0; r < b1; ++r) {
+          if (r > 0 && key_at(r) != key_at(r - 1)) start = r;
+          rank[idx_at(r)] = start;
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  lap("initial ranks");
+
+  auto rank_of = [&](int64_t p) -> int64_t {
+    if (!sparse_ranks) return rank[p];
+    auto it = std::lower_bound(
+        sparse.begin(), sparse.end(),
+        std::make_pair(p, std::numeric_limits<int64_t>::min()));
+    if (it != sparse.end() && it->first == p) return it->second;
+    const int64_t key = pack_at(p);
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+      int64_t mid = (lo + hi) >> 1;
+      if (key_at(mid) < key) lo = mid + 1; else hi = mid;
+    }
+    return lo;
+  };
+  auto rank_set = [&](int64_t p, int64_t r) {
+    if (!sparse_ranks) {
+      rank[p] = r;
+      return;
+    }
+    auto it = std::lower_bound(
+        sparse.begin(), sparse.end(),
+        std::make_pair(p, std::numeric_limits<int64_t>::min()));
+    it->second = r;
+  };
+
+  int64_t h = k;
+  while (!spans.empty() && h < 2 * n) {
+    std::vector<std::vector<Span>> next_per_thread(n_threads);
+    std::vector<std::vector<std::pair<int64_t, int64_t>>> updates(n_threads);
+    std::atomic<size_t> span_cursor{0};
+    {
+      std::vector<std::thread> ts;
+      for (int64_t t = 0; t < n_threads; ++t) {
+        ts.emplace_back([&, t]() {
+          size_t si;
+          while ((si = span_cursor.fetch_add(1)) < spans.size()) {
+            const Span sp = spans[si];
+            auto key2 = [&](int64_t p) -> int64_t {
+              return p + h < n ? rank_of(p + h) : -1;
+            };
+            std::stable_sort(recs.begin() + sp.b, recs.begin() + sp.e,
+                             [&](const KV& a, const KV& b) {
+                               return key2(a.pos) < key2(b.pos);
+                             });
+            int64_t start = sp.b;
+            for (int64_t r = sp.b; r < sp.e; ++r) {
+              if (r > sp.b && key2(idx_at(r)) != key2(idx_at(r - 1)))
+                start = r;
+              if (start != sp.b)
+                updates[t].emplace_back(idx_at(r), start);
+            }
+            int64_t r = sp.b;
+            while (r < sp.e) {
+              int64_t e = r + 1;
+              while (e < sp.e && key2(idx_at(e)) == key2(idx_at(r))) ++e;
+              if (e - r > 1) next_per_thread[t].push_back({r, e});
+              r = e;
+            }
+          }
+        });
+      }
+      for (auto& th : ts) th.join();
+    }
+    {
+      std::vector<std::thread> ts;
+      for (int64_t t = 0; t < n_threads; ++t) {
+        if (updates[t].empty()) continue;
+        ts.emplace_back([&, t]() {
+          for (auto& [p, r] : updates[t]) rank_set(p, r);
+        });
+      }
+      for (auto& th : ts) th.join();
+    }
+    std::vector<Span> next_spans;
+    for (auto& v : next_per_thread)
+      next_spans.insert(next_spans.end(), v.begin(), v.end());
+    spans.swap(next_spans);
+    h *= 2;
+  }
+  lap("doubling");
+
+  {
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < n_threads; ++t) {
+      int64_t b0 = t * per, b1 = std::min(n, (t + 1) * per);
+      if (b0 >= b1) break;
+      ts.emplace_back([&, b0, b1]() {
+        int64_t lo = b0;
+        while (lo > 0 && key_at(lo - 1) == key_at(b0)) --lo;
+        int64_t hi = -1;
+        for (int64_t r = b0; r < b1; ++r) {
+          if (r > 0 && key_at(r) != key_at(r - 1)) lo = r;
+          if (r >= hi) {
+            hi = r + 1;
+            while (hi < n && key_at(hi) == key_at(r)) ++hi;
+          }
+          const int64_t p = idx_at(r);
+          sa_out[r] = p;
+          // pos_lo is an interleaved [n][2] table: one 8-byte store per
+          // position instead of two distant 4-byte stores
+          pos_lo[2 * p] = (int32_t)lo;
+          pos_lo[2 * p + 1] = (int32_t)hi;
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  lap("tables");
+  (void)pos_hi;
+  return 0;
+}
+
 int asgart_kmer_suffix_sort(const int64_t* kmers, int64_t n, int64_t k,
                             int64_t* sa_out, int64_t n_threads) {
   return asgart_build_position_index(kmers, n, k, sa_out, nullptr, nullptr,

@@ -180,11 +180,30 @@ def search_duplications(
     families: list[list[ProtoSD]] = []
     from .utils import ProgressBar
     bar = ProgressBar(sum(c[1] for c in to_process))
+
+    # chunk-level parallelism (the reference's rayon axis,
+    # asgart.rs:201-240): the native chain releases the GIL, so host
+    # threads overlap chaining across chunks; device lookups serialize
+    # internally. Results keep chunk order.
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = settings.threads_count or _os.cpu_count() or 1
+    if engine == "tpu":
+        workers = 1  # one device queue; avoid interleaved dispatches
     done = 0
-    for chunk in to_process:
-        families.extend(se.run_chunk(chunk))
-        done += chunk[1]
-        bar.update(done)
+    if workers > 1 and len(to_process) > 1:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            futs = [ex.submit(se.run_chunk, c) for c in to_process]
+            for chunk, fut in zip(to_process, futs):
+                families.extend(fut.result())
+                done += chunk[1]
+                bar.update(done)
+    else:
+        for chunk in to_process:
+            families.extend(se.run_chunk(chunk))
+            done += chunk[1]
+            bar.update(done)
     bar.finish()
 
     strand_bytes = strand.data.tobytes()

@@ -122,21 +122,25 @@ def _gather_tables(pos_lo: jax.Array, pos_hi: jax.Array, x: jax.Array):
     return pos_lo[x], pos_hi[x]
 
 
+@jax.jit
+def _gather_range_rows(ranges: jax.Array, x: jax.Array):
+    return ranges[x]
+
+
 class DevicePositionTables:
     """Device-resident per-position equal-range tables (doubled-text
     index): a probe lookup is one gather — no search, tiny executable,
     trivially shardable across a mesh."""
 
     def __init__(self, pidx, batch: int = DEFAULT_BATCH):
-        n = len(pidx.pos_lo)
+        n = len(pidx.ranges)
         if n >= (1 << 31):
             raise ValueError(
                 "device table shard too large for int32; shard the index")
         self.batch = batch
-        self.pos_lo = jax.device_put(
-            np.ascontiguousarray(pidx.pos_lo, dtype=np.int32))
-        self.pos_hi = jax.device_put(
-            np.ascontiguousarray(pidx.pos_hi, dtype=np.int32))
+        # interleaved [n, 2] table: one row gather returns [lo, hi)
+        self.ranges = jax.device_put(
+            np.ascontiguousarray(pidx.ranges, dtype=np.int32))
 
     def gather_ranges(self, x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         B = len(x)
@@ -148,11 +152,11 @@ class DevicePositionTables:
             if pad:
                 part = np.concatenate(
                     [part, np.zeros(pad, dtype=np.int32)])
-            lo, hi = _gather_tables(
-                self.pos_lo, self.pos_hi, jnp.asarray(part))
+            r = _gather_range_rows(self.ranges, jnp.asarray(part))
+            r = np.asarray(r)
             nreal = min(self.batch, B - b0)
-            lo_out[b0: b0 + nreal] = np.asarray(lo)[:nreal]
-            hi_out[b0: b0 + nreal] = np.asarray(hi)[:nreal]
+            lo_out[b0: b0 + nreal] = r[:nreal, 0]
+            hi_out[b0: b0 + nreal] = r[:nreal, 1]
         return lo_out, hi_out
 
 
