@@ -101,6 +101,37 @@ def device_search_step(
     return out, n_out, n_fam, n_hits
 
 
+def ragged_match_gather(sa_pos, left, right, total_cap: int):
+    """Flat CSR gather of all match windows.
+
+    Instead of materializing a [B, RAW] window per probe (RAW-fold
+    overfetch for typically 1-2 matches), concatenate the ragged ranges
+    [left, right) into one flat index stream of at most ``total_cap``
+    elements: one gather sized by the *actual* match count.
+
+    Returns (probe_id [cap], m [cap], within [cap], flat_valid [cap],
+    counts_raw [B], overflow [B]) — ``overflow`` marks probes whose range
+    did not fit fully below the cap (callers must invalidate them).
+    """
+    B = left.shape[0]
+    counts = (right - left).astype(I32)
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, I32), jnp.cumsum(counts).astype(I32)])
+    starts = offsets[:-1]
+    # probe id per flat slot: scatter-add 1 at each probe's start, cumsum
+    seg = jnp.zeros(total_cap + 1, I32).at[
+        jnp.minimum(starts, total_cap)].add(1, mode="drop")
+    probe_id = jnp.cumsum(seg[:total_cap]) - 1
+    probe_id = jnp.clip(probe_id, 0, B - 1)
+    flat_pos = jnp.arange(total_cap, dtype=I32)
+    within = flat_pos - starts[probe_id]
+    flat_valid = (flat_pos < offsets[-1]) & (within < counts[probe_id])
+    idx = jnp.clip(left[probe_id] + within, 0, sa_pos.shape[0] - 1)
+    m = sa_pos[idx]
+    overflow = (offsets[1:] > total_cap) & (counts > 0)
+    return probe_id, m, within, flat_valid, counts, overflow
+
+
 @functools.partial(jax.jit, static_argnames=("statics",))
 def device_table_search_step(
     statics: SearchStatics,
@@ -115,35 +146,41 @@ def device_table_search_step(
     search), then match gather/filter + chain scan. The production-fast
     analog of ``device_search_step``."""
     cfg = statics.cfg
+    B = table_x.shape[0]
     pad = table_x < 0
     x = jnp.maximum(table_x, 0)
     left = jnp.where(pad, 0, pos_lo[x])
     right = jnp.where(pad, 0, pos_hi[x])
 
-    RAW = statics.raw_cap
-    t = jnp.arange(RAW, dtype=I32)[None, :]
-    idx = left[:, None] + t
-    in_range = idx < right[:, None]
-    m = sa_pos[jnp.minimum(idx, sa_pos.shape[0] - 1)]
-    i_col = jnp.maximum(probe_is, 0)[:, None]
-    keep = in_range & (m != i_col) & (m < max_match_pos)
+    # flat CSR gather: total elements = actual match count, not B×RAW
+    total_cap = statics.raw_cap * B // 16 + 1024
+    probe_id, m, within, flat_valid, counts_raw, overflow = \
+        ragged_match_gather(sa_pos, left, right, total_cap)
+
+    i_of = jnp.maximum(probe_is, 0)[probe_id]
+    keep = flat_valid & (m != i_of) & (m < max_match_pos)
     dir_ok = jnp.where(
         reverse,
-        m >= needle_offset + needle_len - i_col,
-        m > i_col + needle_offset)
+        m >= needle_offset + needle_len - i_of,
+        m > i_of + needle_offset)
     keep = keep & dir_ok
-    counts = jnp.sum(keep, axis=1)
-    raw_overflow = (right - left) > RAW
-    valid = (~pad) & (counts <= cfg.max_cardinality) & ~raw_overflow
+    keep_i = keep.astype(I32)
+
+    # per-probe kept counts and ranks (segmented cumsum over the stream)
+    counts = jnp.zeros(B, I32).at[probe_id].add(keep_i, mode="drop")
+    ck = jnp.cumsum(keep_i)
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, I32), jnp.cumsum((right - left).astype(I32))])
+    starts = jnp.minimum(offsets[:-1], total_cap - 1)
+    base = ck[starts] - keep_i[starts]
+    rank = ck - 1 - base[probe_id]
 
     M = cfg.max_matches
-    rank = jnp.cumsum(keep.astype(I32), axis=1) - 1
     rank = jnp.where(keep & (rank < M), rank, M)
-    rows = jnp.broadcast_to(
-        jnp.arange(table_x.shape[0], dtype=I32)[:, None], rank.shape)
-    matches = jnp.full((table_x.shape[0], M), -1, dtype=I32)
-    matches = matches.at[rows, rank].set(m, mode="drop")
+    matches = jnp.full((B, M), -1, dtype=I32)
+    matches = matches.at[probe_id, rank].set(m, mode="drop")
 
+    valid = (~pad) & (counts <= cfg.max_cardinality) & ~overflow
     out, n_out, n_fam = chain_scan(
         cfg, jnp.maximum(probe_is, 0), matches, valid)
     n_hits = jnp.sum(jnp.where(valid, counts, 0))
