@@ -145,6 +145,10 @@ class PositionIndex:
     first_len: int       # N = len(strand.data) (genome + '$')
     reverse: bool
     complement: bool
+    # sorted k-mer keys (kmers[sa]); kept by the single-text strategy so
+    # transformed probes resolve by parallel batch equal-range instead of
+    # doubling the indexed text
+    keys: Optional[np.ndarray] = None
 
     @property
     def pos_lo(self) -> np.ndarray:
@@ -184,6 +188,31 @@ class PositionIndex:
             ranges = np.stack([pos_lo, pos_hi], axis=1)
         return cls(sa=sa, ranges=ranges, k=k, first_len=n,
                    reverse=reverse, complement=complement)
+
+    @classmethod
+    def build_single(cls, strand_data: np.ndarray, k: int,
+                     n_threads: int = 0) -> "PositionIndex":
+        """Single-text index (host fast path for transformed modes): the
+        tables serve direct probes by gather; R/C/RC probes resolve by
+        parallel batch equal-range over the retained sorted keys — half
+        the sort work of the doubled text, at +O(probes·log n) search."""
+        from . import native
+
+        codes = CODE[strand_data]
+        sa, ranges, keys = native.build_position_index(
+            codes, k, n_threads, with_keys=True)
+        return cls(sa=sa, ranges=ranges, k=k, first_len=len(strand_data),
+                   reverse=False, complement=False, keys=keys)
+
+    def search_ranges(self, probe_kmers: np.ndarray,
+                      n_threads: int = 0) -> tuple[np.ndarray, np.ndarray]:
+        """Equal ranges by value (transformed probes on a single-text
+        index)."""
+        from . import native
+
+        if self.keys is None:
+            raise ValueError("index built without retained keys")
+        return native.batch_equal_range(self.keys, probe_kmers, n_threads)
 
     def probe_table_positions(self, chunk_start: int, chunk_len: int,
                               probe_is: np.ndarray) -> np.ndarray:

@@ -91,6 +91,18 @@ def _load() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64]
 
+        lib.asgart_build_position_index_codes2.restype = ctypes.c_int
+        lib.asgart_build_position_index_codes2.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
+
+        lib.asgart_batch_equal_range.restype = ctypes.c_int
+        lib.asgart_batch_equal_range.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
+
         lib.asgart_pack_kmers.restype = ctypes.c_int
         lib.asgart_pack_kmers.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -235,10 +247,11 @@ def kmer_suffix_sort(kmers: np.ndarray, k: int,
     return sa
 
 
-def build_position_index(codes: np.ndarray, k: int, n_threads: int = 0):
+def build_position_index(codes: np.ndarray, k: int, n_threads: int = 0,
+                         with_keys: bool = False):
     """Fused suffix sort + per-position equal-range tables (int32) from
     3-bit symbol codes (k-mers are packed on the fly; 12-byte sort
-    records). Returns (sa int64, pos_lo int32, pos_hi int32)."""
+    records). Returns (sa int64, ranges int32[n,2][, keys int64])."""
     lib = _load()
     codes = np.ascontiguousarray(codes, dtype=np.uint8)
     n = len(codes)
@@ -247,15 +260,39 @@ def build_position_index(codes: np.ndarray, k: int, n_threads: int = 0):
                          "kmer_suffix_sort + group_tables")
     sa = np.empty(n, dtype=np.int64)
     ranges = np.empty((n, 2), dtype=np.int32)  # interleaved [lo, hi]
+    keys = np.empty(n, dtype=np.int64) if with_keys else None
     n_threads = n_threads or (os.cpu_count() or 1)
-    rc = lib.asgart_build_position_index_codes(
+    rc = lib.asgart_build_position_index_codes2(
         codes.ctypes.data_as(ctypes.c_void_p), n, k,
         sa.ctypes.data_as(ctypes.c_void_p),
         ranges.ctypes.data_as(ctypes.c_void_p),
-        None, n_threads)
+        keys.ctypes.data_as(ctypes.c_void_p) if with_keys else None,
+        n_threads)
     if rc != 0:
         raise RuntimeError("asgart_build_position_index failed")
+    if with_keys:
+        return sa, ranges, keys
     return sa, ranges
+
+
+def batch_equal_range(keys_sorted: np.ndarray, probes: np.ndarray,
+                      n_threads: int = 0):
+    """Parallel equal-range of packed probe k-mers in the sorted keys."""
+    lib = _load()
+    keys_sorted = _as_i64(keys_sorted)
+    probes = _as_i64(probes)
+    m = len(probes)
+    lo = np.empty(m, dtype=np.int64)
+    hi = np.empty(m, dtype=np.int64)
+    n_threads = n_threads or (os.cpu_count() or 1)
+    rc = lib.asgart_batch_equal_range(
+        keys_sorted.ctypes.data_as(ctypes.c_void_p), len(keys_sorted),
+        probes.ctypes.data_as(ctypes.c_void_p), m,
+        lo.ctypes.data_as(ctypes.c_void_p),
+        hi.ctypes.data_as(ctypes.c_void_p), n_threads)
+    if rc != 0:
+        raise RuntimeError("asgart_batch_equal_range failed")
+    return lo, hi
 
 
 def pack_kmers(codes: np.ndarray, k: int, n_threads: int = 0) -> np.ndarray:

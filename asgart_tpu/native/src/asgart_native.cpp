@@ -615,10 +615,24 @@ int asgart_build_position_index(const int64_t* kmers, int64_t n, int64_t k,
 // 3-bit symbol codes (no separate k-mer array), sorts 12-byte records
 // (key + int32 position), resolves ties by prefix doubling, and emits the
 // suffix array plus fused per-position equal-range tables.
+int asgart_build_position_index_codes2(const uint8_t* codes, int64_t n,
+                                       int64_t k, int64_t* sa_out,
+                                       int32_t* pos_lo, int64_t* keys_out,
+                                       int64_t n_threads);
+
 int asgart_build_position_index_codes(const uint8_t* codes, int64_t n,
                                       int64_t k, int64_t* sa_out,
                                       int32_t* pos_lo, int32_t* pos_hi,
                                       int64_t n_threads) {
+  (void)pos_hi;
+  return asgart_build_position_index_codes2(codes, n, k, sa_out, pos_lo,
+                                            nullptr, n_threads);
+}
+
+int asgart_build_position_index_codes2(const uint8_t* codes, int64_t n,
+                                       int64_t k, int64_t* sa_out,
+                                       int32_t* pos_lo, int64_t* keys_out,
+                                       int64_t n_threads) {
   if (n <= 0) return 0;
   if (n >= (int64_t(1) << 31)) return 2;  // int32 positions
   if (n_threads < 1) n_threads = 1;
@@ -867,6 +881,7 @@ int asgart_build_position_index_codes(const uint8_t* codes, int64_t n,
           }
           const int64_t p = idx_at(r);
           sa_out[r] = p;
+          if (keys_out) keys_out[r] = key_at(r);
           // pos_lo is an interleaved [n][2] table: one 8-byte store per
           // position instead of two distant 4-byte stores
           pos_lo[2 * p] = (int32_t)lo;
@@ -877,7 +892,6 @@ int asgart_build_position_index_codes(const uint8_t* codes, int64_t n,
     for (auto& th : ts) th.join();
   }
   lap("tables");
-  (void)pos_hi;
   return 0;
 }
 
@@ -1025,6 +1039,38 @@ int asgart_group_tables32(const int64_t* sa, const int64_t* kmers,
                           int64_t n, int32_t* pos_lo, int32_t* pos_hi,
                           int64_t n_threads) {
   return group_tables_impl(sa, kmers, n, pos_lo, pos_hi, n_threads, 4);
+}
+
+// Parallel batched equal-range over the sorted k-mer keys: for each
+// probe k-mer, [lo, hi) via branchless binary search. Used by the
+// single-text host strategy for transformed (R/C/RC) probes.
+int asgart_batch_equal_range(const int64_t* keys, int64_t n,
+                             const int64_t* probes, int64_t m,
+                             int64_t* lo_out, int64_t* hi_out,
+                             int64_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  auto lower = [&](int64_t v) -> int64_t {
+    int64_t lo = 0, hi = n;
+    while (lo < hi) {
+      int64_t mid = (lo + hi) >> 1;
+      if (keys[mid] < v) lo = mid + 1; else hi = mid;
+    }
+    return lo;
+  };
+  const int64_t per = (m + n_threads - 1) / n_threads;
+  std::vector<std::thread> ts;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    int64_t b0 = t * per, b1 = std::min(m, (t + 1) * per);
+    if (b0 >= b1) break;
+    ts.emplace_back([&, b0, b1]() {
+      for (int64_t i = b0; i < b1; ++i) {
+        lo_out[i] = lower(probes[i]);
+        hi_out[i] = lower(probes[i] + 1);  // exact integer keys
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  return 0;
 }
 
 // Levenshtein distance, two-row DP.

@@ -72,24 +72,35 @@ class SearchEngine:
     """
 
     def __init__(self, strand: Strand, settings: RunSettings,
-                 trim: Optional[tuple[int, int]], engine: str = "host"):
+                 trim: Optional[tuple[int, int]], engine: str = "host",
+                 attach_device: bool = True):
         self.strand = strand
         self.settings = settings
         self.engine = engine
         t0 = time.time()
         self.pidx: Optional[PositionIndex] = None
         self.index: Optional[GenomeIndex] = None
+        transformed = settings.reverse or settings.complement
         if trim is None:
-            self.pidx = PositionIndex.build(
-                strand.data, settings.probe_size,
-                reverse=settings.reverse, complement=settings.complement,
-                n_threads=settings.threads_count or 0)
+            if engine == "tpu" or not transformed:
+                # table strategy: every probe is one gather (device-ready);
+                # direct runs need no appended half
+                self.pidx = PositionIndex.build(
+                    strand.data, settings.probe_size,
+                    reverse=settings.reverse,
+                    complement=settings.complement,
+                    n_threads=settings.threads_count or 0)
+            else:
+                # host fast path for R/C/RC: single text + batched search
+                self.pidx = PositionIndex.build_single(
+                    strand.data, settings.probe_size,
+                    n_threads=settings.threads_count or 0)
         else:
             self.index = GenomeIndex.build(
                 strand.data, settings.probe_size, trim=trim)
         log.debug("Index built in %.2fs", time.time() - t0)
         self._device = None
-        if engine == "tpu":
+        if engine == "tpu" and attach_device:
             if self.pidx is not None:
                 from .seed import DevicePositionTables
                 self._device = DevicePositionTables(self.pidx)
@@ -113,8 +124,18 @@ class SearchEngine:
             return []
 
         k = s.probe_size
+        transformed = s.reverse or s.complement
         if self.pidx is not None:
-            if self._device is not None:
+            needs_search = transformed and not (
+                self.pidx.reverse or self.pidx.complement)
+            if needs_search:
+                # single-text strategy: transformed probes by value
+                codes = np.zeros(len(needle) + k, dtype=np.uint8)
+                codes[:len(needle)] = CODE[needle]
+                pk = _pack_probe_kmers(codes, is_, k)
+                lo, hi = self.pidx.search_ranges(
+                    pk, s.threads_count or 0)
+            elif self._device is not None:
                 x = self.pidx.probe_table_positions(start, length, is_)
                 lo, hi = self._device.gather_ranges(x)
             else:

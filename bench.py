@@ -110,7 +110,10 @@ def run_search(strand, chunks, settings, engine, warmup_budget=240.0):
     from asgart_tpu.pipeline import SearchEngine
 
     t0 = time.time()
-    se = SearchEngine(strand, settings, None, engine="host")
+    # engine="tpu" builds the doubled table index (device-gather ready);
+    # the device itself attaches under the watchdog below
+    se = SearchEngine(strand, settings, None, engine=engine,
+                      attach_device=False)
     t_index = time.time() - t0
 
     used_engine = "host"
@@ -123,6 +126,23 @@ def run_search(strand, chunks, settings, engine, warmup_budget=240.0):
         fams.extend(se.run_chunk(chunk))
     t_scan = time.time() - t0
     return fams, t_index, t_scan, used_engine
+
+
+def run_device_diagnostic(strand, chunks, settings, warmup_budget=180.0):
+    """Side measurement of the TPU-gather scan path (doubled tables on
+    device). On a single chip the host single+search config wins the
+    end-to-end metric (the index dominates and is half the size); the
+    device path is where mesh scaling attaches, so its scan rate is
+    tracked here."""
+    try:
+        fams, ti, ts, used = run_search(
+            strand, chunks, settings, "tpu", warmup_budget)
+        n = sum(c[1] for c in chunks)
+        log(f"device diagnostic [{used}]: index {ti:.1f}s scan {ts:.1f}s "
+            f"→ scan rate {n / 1e6 / max(ts, 1e-9):.1f} Mbp/s, "
+            f"{sum(len(f) for f in fams)} SDs")
+    except Exception as e:  # pragma: no cover
+        log(f"device diagnostic failed: {e}")
 
 
 def main():
@@ -200,12 +220,18 @@ def main():
     log(f"reference-proxy baseline ({nb/1e6:.0f} Mbp): index {tib:.1f}s "
         f"scan {tsb:.1f}s → {base_mbps:.2f} Mbp/s, {n_base_sds} SDs")
 
-    # --- full engine on the full genome ----------------------------------
-    fams, ti, ts, used = run_search(strand, chunks, settings, "tpu")
+    # --- production config on the full genome -----------------------------
+    # single-text index + parallel batched equal-range: the fastest
+    # single-chip configuration (half the sort of the doubled text)
+    fams, ti, ts, used = run_search(strand, chunks, settings, "host")
     total = ti + ts
     mbps = n / 1e6 / total
     log(f"{used} ({n/1e6:.0f} Mbp): index {ti:.1f}s scan {ts:.1f}s"
         f" → {mbps:.2f} Mbp/s, {sum(len(f) for f in fams)} SDs")
+
+    # --- TPU-gather path diagnostic (the mesh-scaling attach point) -------
+    if os.environ.get("BENCH_SKIP_DEVICE") != "1":
+        run_device_diagnostic(strand, chunks, settings)
 
     print(json.dumps({
         "metric": "Mbp scanned/sec/chip (synthetic chr1-like self-dup, "
