@@ -6,7 +6,7 @@ import logging
 import math
 import random
 
-from . import Settings, AbsolutePosition, RelativePosition, fmt, sep
+from . import Settings, fmt, sep
 
 R = 200.0
 RING_WIDTH = 5.0

@@ -116,3 +116,58 @@ def test_identical_fragments_with_compute_score(tmp_path):
     assert sds
     best = max(sds, key=lambda sd: sd.right_length)
     assert best.identity > 95.0
+
+
+def test_skip_masked_hides_masked_duplication(tmp_path):
+    rng = np.random.default_rng(8)
+    g = bytearray(plant_duplication(rng, 16000, 1500, 2000, 9000))
+    # soft-mask the right copy
+    g[9000:10500] = bytes(g[9000:10500]).lower()
+    p = tmp_path / "m.fa"
+    write_fasta(p, [("chr", bytes(g))])
+
+    found = search_duplications([str(p)], default_settings())
+    assert found.families, "unmasked run must find the duplication"
+
+    masked = search_duplications(
+        [str(p)], default_settings(skip_masked=True))
+    sds = [sd for fam in masked.families for sd in fam]
+    assert all(sd.right_length < 1400 for sd in sds), \
+        "soft-masked copy must be invisible with --skip-masked"
+
+
+def test_trim_windows_merge_equals_full_run(tmp_path):
+    """The reference's manual scale-out: partial --trim runs merged with
+    slice must recover the duplications of the full run."""
+    import io
+
+    from asgart_tpu.exporters import JSONExporter
+    from asgart_tpu.structs import RunResult
+
+    rng = np.random.default_rng(12)
+    g = bytearray(random_dna(rng, 30000))
+    g[20000:21500] = g[3000:4500]    # right arm in window 2
+    g[25000:26200] = g[8000:9200]    # right arm in window 2
+    p = tmp_path / "t.fa"
+    write_fasta(p, [("chr", bytes(g))])
+
+    full = search_duplications([str(p)], default_settings())
+
+    paths = []
+    for i, trim in enumerate([(0, 15000), (15000, 30000)]):
+        r = search_duplications(
+            [str(p)], default_settings(trim=trim))
+        buf = io.StringIO()
+        JSONExporter().save(r, buf)
+        fp = tmp_path / f"part{i}.json"
+        fp.write_text(buf.getvalue())
+        paths.append(str(fp))
+    merged = RunResult.from_files(paths)
+
+    def sd_set(result):
+        return {(sd.global_left_position, sd.global_right_position,
+                 sd.left_length, sd.right_length)
+                for fam in result.families for sd in fam}
+
+    assert sd_set(merged) == sd_set(full)
+    assert len(sd_set(full)) >= 2
