@@ -210,6 +210,71 @@ def sharded_table_search_step(statics: SearchStatics, mesh: Mesh,
     return jax.jit(mapped)
 
 
+def sharded_index_lookup_step(mesh: Mesh, axis: str = "shards"):
+    """Sharded-INDEX lookup (docs/sharding.md): the range table is sharded
+    by contiguous text range and the suffix array by contiguous rank
+    range — each device holds 1/D of the index, which is how genomes
+    beyond one chip's HBM are served.
+
+    Per step: every device resolves the probes whose table position falls
+    in its text slice, the (lo, hi) streams are combined with an
+    ``all_gather`` over ICI, and each device CSR-gathers the match
+    positions that fall in its rank slice; a final ``all_gather`` + rank
+    concatenation rebuilds the full match stream in suffix order.
+
+    Inputs (per device via shard_map):
+      ranges_shard [S, 2], sa_shard [R], table_x [B] (replicated),
+      with S = ceil(T/D), R = ceil(T/D).
+    Returns (lo [B], hi [B], matches [B, M] by suffix order, counts [B]).
+    """
+    def step(ranges_shard, sa_shard, table_x, max_matches_arr):
+        D = jax.lax.axis_size(axis)
+        d = jax.lax.axis_index(axis)
+        S = ranges_shard.shape[0]
+        R = sa_shard.shape[0]
+        M = max_matches_arr.shape[0]  # static via array length
+
+        # --- phase 1: table lookup on the owning text shard -----------
+        owned = (table_x >= d * S) & (table_x < (d + 1) * S)
+        local_x = jnp.clip(table_x - d * S, 0, S - 1)
+        r = ranges_shard[local_x]
+        lo = jnp.where(owned, r[:, 0], 0)
+        hi = jnp.where(owned, r[:, 1], 0)
+        # combine: each probe owned by exactly one shard
+        lo = jax.lax.psum(lo, axis)
+        hi = jax.lax.psum(hi, axis)
+
+        # --- phase 2: gather matches from the owning rank shards ------
+        # each device extracts the slice of [lo, hi) that intersects its
+        # rank range [d*R, (d+1)*R)
+        a = jnp.clip(lo, d * R, (d + 1) * R)
+        b = jnp.clip(hi, d * R, (d + 1) * R)
+        t = jnp.arange(M, dtype=I32)[None, :]
+        idx = a[:, None] + t
+        valid = idx < b[:, None]
+        local = sa_shard[jnp.clip(idx - d * R, 0, R - 1)]
+        # slot position within the probe's full [lo, hi) range keeps the
+        # suffix order when shards' contributions are summed
+        slot = idx - lo[:, None]
+        contrib = jnp.zeros((table_x.shape[0], M), dtype=I32)
+        rows = jnp.broadcast_to(
+            jnp.arange(table_x.shape[0], dtype=I32)[:, None], idx.shape)
+        slot = jnp.where(valid & (slot < M), slot, M)
+        contrib = contrib.at[rows, slot].add(
+            jnp.where(valid, local + 1, 0), mode="drop")
+        matches = jax.lax.psum(contrib, axis) - 1  # -1 where no shard wrote
+        counts = jnp.minimum(hi - lo, M)
+        return lo, hi, matches, counts
+
+    mapped = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def make_mesh(n_devices: int | None = None,
               axis: str = "probes") -> Mesh:
     devices = jax.devices()

@@ -165,3 +165,47 @@ def test_graft_entry_and_dryrun():
     assert int(n_hits) > 0
     assert int(n_out) >= 1
     ge.dryrun_multichip(8)
+
+
+def test_sharded_index_lookup():
+    """Index sharded by text range (tables) and rank range (SA): lookups
+    must reconstruct the replicated-index results exactly."""
+    from asgart_tpu.index import PositionIndex
+    from asgart_tpu.parallel import sharded_index_lookup_step
+
+    rng = np.random.default_rng(7)
+    text = plant_duplication(rng, 12000, 900, 1000, 8000) + b"$"
+    data = np.frombuffer(text, dtype=np.uint8)
+    k = 16
+    pidx = PositionIndex.build(data, k)
+    is_ = probe_positions(data[:-1], k)
+    table_x = pidx.probe_table_positions(0, len(data) - 1, is_)
+
+    n_dev = len(jax.devices())
+    T = len(pidx.ranges)
+    S = -(-T // n_dev)
+    pad_t = n_dev * S - T
+    ranges_p = np.concatenate(
+        [pidx.ranges, np.zeros((pad_t, 2), np.int32)]).astype(np.int32)
+    sa_p = np.concatenate(
+        [pidx.sa, np.full(pad_t, -1)]).astype(np.int32)
+
+    M = 32
+    mesh = make_mesh(axis="shards")
+    step = sharded_index_lookup_step(mesh)
+    lo, hi, matches, counts = step(
+        jnp.asarray(ranges_p), jnp.asarray(sa_p),
+        jnp.asarray(table_x.astype(np.int32)),
+        jnp.zeros(M, np.int32))
+
+    lo_ref, hi_ref = pidx.probe_ranges(0, len(data) - 1, is_)
+    np.testing.assert_array_equal(np.asarray(lo), lo_ref)
+    np.testing.assert_array_equal(np.asarray(hi), hi_ref)
+    matches = np.asarray(matches)
+    total = 0
+    for p in range(len(is_)):
+        want = pidx.sa[lo_ref[p]:hi_ref[p]][:M]
+        got = matches[p][: len(want)]
+        np.testing.assert_array_equal(got, want, err_msg=f"probe {p}")
+        total += len(want)
+    assert total > 0
