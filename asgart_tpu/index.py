@@ -207,12 +207,22 @@ class PositionIndex:
     def search_ranges(self, probe_kmers: np.ndarray,
                       n_threads: int = 0) -> tuple[np.ndarray, np.ndarray]:
         """Equal ranges by value (transformed probes on a single-text
-        index)."""
+        index), accelerated by a lazily built prefix bucket table."""
         from . import native
 
         if self.keys is None:
             raise ValueError("index built without retained keys")
-        return native.batch_equal_range(self.keys, probe_kmers, n_threads)
+        if not hasattr(self, "_bucket_table"):
+            # ~16 entries per bucket on average
+            self._bucket_topb = max(
+                1, min(24, 3 * self.k,
+                       int(np.log2(max(len(self.keys) // 16, 2)))))
+            self._bucket_table = native.build_bucket_table(
+                self.keys, self.k, self._bucket_topb, n_threads)
+        return native.batch_equal_range(
+            self.keys, probe_kmers, n_threads,
+            bucket_table=self._bucket_table, k=self.k,
+            topb=self._bucket_topb)
 
     def probe_table_positions(self, chunk_start: int, chunk_len: int,
                               probe_is: np.ndarray) -> np.ndarray:

@@ -103,6 +103,24 @@ def _load() -> ctypes.CDLL:
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64]
 
+        lib.asgart_build_bucket_table.restype = ctypes.c_int
+        lib.asgart_build_bucket_table.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+
+        lib.asgart_batch_equal_range_bucketed.restype = ctypes.c_int
+        lib.asgart_batch_equal_range_bucketed.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
+
+        lib.asgart_pack_at.restype = ctypes.c_int
+        lib.asgart_pack_at.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64]
+
         lib.asgart_pack_kmers.restype = ctypes.c_int
         lib.asgart_pack_kmers.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -276,8 +294,10 @@ def build_position_index(codes: np.ndarray, k: int, n_threads: int = 0,
 
 
 def batch_equal_range(keys_sorted: np.ndarray, probes: np.ndarray,
-                      n_threads: int = 0):
-    """Parallel equal-range of packed probe k-mers in the sorted keys."""
+                      n_threads: int = 0, bucket_table=None, k: int = 0,
+                      topb: int = 0):
+    """Parallel equal-range of packed probe k-mers in the sorted keys;
+    accelerated by a prefix bucket table when provided."""
     lib = _load()
     keys_sorted = _as_i64(keys_sorted)
     probes = _as_i64(probes)
@@ -285,14 +305,53 @@ def batch_equal_range(keys_sorted: np.ndarray, probes: np.ndarray,
     lo = np.empty(m, dtype=np.int64)
     hi = np.empty(m, dtype=np.int64)
     n_threads = n_threads or (os.cpu_count() or 1)
-    rc = lib.asgart_batch_equal_range(
-        keys_sorted.ctypes.data_as(ctypes.c_void_p), len(keys_sorted),
-        probes.ctypes.data_as(ctypes.c_void_p), m,
-        lo.ctypes.data_as(ctypes.c_void_p),
-        hi.ctypes.data_as(ctypes.c_void_p), n_threads)
+    if bucket_table is not None:
+        rc = lib.asgart_batch_equal_range_bucketed(
+            keys_sorted.ctypes.data_as(ctypes.c_void_p), len(keys_sorted),
+            probes.ctypes.data_as(ctypes.c_void_p), m,
+            bucket_table.ctypes.data_as(ctypes.c_void_p), k, topb,
+            lo.ctypes.data_as(ctypes.c_void_p),
+            hi.ctypes.data_as(ctypes.c_void_p), n_threads)
+    else:
+        rc = lib.asgart_batch_equal_range(
+            keys_sorted.ctypes.data_as(ctypes.c_void_p), len(keys_sorted),
+            probes.ctypes.data_as(ctypes.c_void_p), m,
+            lo.ctypes.data_as(ctypes.c_void_p),
+            hi.ctypes.data_as(ctypes.c_void_p), n_threads)
     if rc != 0:
         raise RuntimeError("asgart_batch_equal_range failed")
     return lo, hi
+
+
+def build_bucket_table(keys_sorted: np.ndarray, k: int, topb: int,
+                       n_threads: int = 0) -> np.ndarray:
+    lib = _load()
+    keys_sorted = _as_i64(keys_sorted)
+    out = np.empty((1 << topb) + 1, dtype=np.int64)
+    n_threads = n_threads or (os.cpu_count() or 1)
+    rc = lib.asgart_build_bucket_table(
+        keys_sorted.ctypes.data_as(ctypes.c_void_p), len(keys_sorted),
+        k, topb, out.ctypes.data_as(ctypes.c_void_p), n_threads)
+    if rc != 0:
+        raise RuntimeError("asgart_build_bucket_table failed")
+    return out
+
+
+def pack_at(codes: np.ndarray, k: int, positions: np.ndarray,
+            n_threads: int = 0) -> np.ndarray:
+    """Packed k-mers at the given positions only."""
+    lib = _load()
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    positions = _as_i64(positions)
+    out = np.empty(len(positions), dtype=np.int64)
+    n_threads = n_threads or (os.cpu_count() or 1)
+    rc = lib.asgart_pack_at(
+        codes.ctypes.data_as(ctypes.c_void_p), len(codes), k,
+        positions.ctypes.data_as(ctypes.c_void_p), len(positions),
+        out.ctypes.data_as(ctypes.c_void_p), n_threads)
+    if rc != 0:
+        raise RuntimeError("asgart_pack_at failed")
+    return out
 
 
 def pack_kmers(codes: np.ndarray, k: int, n_threads: int = 0) -> np.ndarray:

@@ -1073,6 +1073,97 @@ int asgart_batch_equal_range(const int64_t* keys, int64_t n,
   return 0;
 }
 
+// Bucket table over the sorted keys: out[b] = first rank whose key's top
+// `topb` bits are >= b. Narrows each probe search from log2(n) to
+// log2(max bucket) levels.
+int asgart_build_bucket_table(const int64_t* keys, int64_t n, int64_t k,
+                              int64_t topb, int64_t* out,
+                              int64_t n_threads) {
+  const int shift = int(3 * k - topb);
+  const int64_t nb = int64_t(1) << topb;
+  if (n_threads < 1) n_threads = 1;
+  const int64_t per = (nb + n_threads - 1) / n_threads;
+  std::vector<std::thread> ts;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    int64_t b0 = t * per, b1 = std::min(nb, (t + 1) * per);
+    if (b0 >= b1) break;
+    ts.emplace_back([&, b0, b1]() {
+      for (int64_t b = b0; b < b1; ++b) {
+        // lower bound of bucket prefix b
+        int64_t lo = 0, hi = n;
+        const int64_t v = b << shift;
+        while (lo < hi) {
+          int64_t mid = (lo + hi) >> 1;
+          if (keys[mid] < v) lo = mid + 1; else hi = mid;
+        }
+        out[b] = lo;
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  out[nb] = n;
+  return 0;
+}
+
+// Bucket-accelerated batched equal-range.
+int asgart_batch_equal_range_bucketed(
+    const int64_t* keys, int64_t n, const int64_t* probes, int64_t m,
+    const int64_t* buckets, int64_t k, int64_t topb,
+    int64_t* lo_out, int64_t* hi_out, int64_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  const int shift = int(3 * k - topb);
+  auto lower = [&](int64_t v, int64_t lo, int64_t hi) -> int64_t {
+    while (lo < hi) {
+      int64_t mid = (lo + hi) >> 1;
+      if (keys[mid] < v) lo = mid + 1; else hi = mid;
+    }
+    return lo;
+  };
+  const int64_t per = (m + n_threads - 1) / n_threads;
+  std::vector<std::thread> ts;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    int64_t b0 = t * per, b1 = std::min(m, (t + 1) * per);
+    if (b0 >= b1) break;
+    ts.emplace_back([&, b0, b1]() {
+      for (int64_t i = b0; i < b1; ++i) {
+        const int64_t v = probes[i];
+        const int64_t b = v >> shift;
+        const int64_t blo = buckets[b], bhi = buckets[b + 1];
+        lo_out[i] = lower(v, blo, bhi);
+        hi_out[i] = lower(v + 1, lo_out[i], bhi);
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  return 0;
+}
+
+// Pack the k-mers at the given positions only (probe packing).
+int asgart_pack_at(const uint8_t* codes, int64_t n, int64_t k,
+                   const int64_t* positions, int64_t m, int64_t* out,
+                   int64_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  auto code_at = [&](int64_t q) -> int64_t {
+    return q < n ? int64_t(codes[q]) : 0;
+  };
+  const int64_t per = (m + n_threads - 1) / n_threads;
+  std::vector<std::thread> ts;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    int64_t b0 = t * per, b1 = std::min(m, (t + 1) * per);
+    if (b0 >= b1) break;
+    ts.emplace_back([&, b0, b1]() {
+      for (int64_t i = b0; i < b1; ++i) {
+        const int64_t p = positions[i];
+        int64_t v = 0;
+        for (int64_t j = 0; j < k; ++j) v = (v << 3) | code_at(p + j);
+        out[i] = v;
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  return 0;
+}
+
 // Levenshtein distance, two-row DP.
 int64_t asgart_levenshtein(const uint8_t* a, int64_t n, const uint8_t* b,
                            int64_t m) {

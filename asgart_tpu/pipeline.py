@@ -130,9 +130,8 @@ class SearchEngine:
                 self.pidx.reverse or self.pidx.complement)
             if needs_search:
                 # single-text strategy: transformed probes by value
-                codes = np.zeros(len(needle) + k, dtype=np.uint8)
-                codes[:len(needle)] = CODE[needle]
-                pk = _pack_probe_kmers(codes, is_, k)
+                pk = native.pack_at(CODE[needle], k, is_,
+                                    s.threads_count or 0)
                 lo, hi = self.pidx.search_ranges(
                     pk, s.threads_count or 0)
             elif self._device is not None:
