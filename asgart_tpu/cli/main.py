@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference)")
     p.add_argument("--engine", choices=["host", "tpu"], default="host",
                    help="Seed-lookup engine (host numpy or TPU)")
+    p.add_argument("--checkpoint", default=None, metavar="FILE",
+                   help="Journal completed chunks to FILE and resume from "
+                        "it after a crash/preemption")
+    p.add_argument("--profile", action="store_true",
+                   help="Print phase timings (JSON) to stderr")
     return p
 
 
@@ -80,7 +85,13 @@ def main(argv=None) -> int:
         trim=tuple(args.trim) if args.trim else None,
     )
 
-    result = search_duplications(args.strands, settings, engine=args.engine)
+    prof: dict = {}
+    result = search_duplications(
+        args.strands, settings, engine=args.engine,
+        checkpoint=args.checkpoint, profile=prof)
+    if args.profile:
+        import json as _json
+        print(_json.dumps(prof), file=sys.stderr)
 
     if args.out is None:
         radix = "-".join(pathlib.Path(n).stem for n in args.strands)

@@ -14,6 +14,7 @@ Python oracle in ``asgart_tpu.automaton``).
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Optional
 
@@ -187,19 +188,74 @@ def search_duplications(
     strands_files: list[str],
     settings: RunSettings,
     engine: str = "host",
+    checkpoint: Optional[str] = None,
+    profile: Optional[dict] = None,
 ) -> RunResult:
-    """The full pipeline (asgart.rs:731-822)."""
+    """The full pipeline (asgart.rs:731-822).
+
+    ``checkpoint``: path of a JSONL journal; completed chunks are appended
+    as they finish and skipped on a rerun with the same inputs/settings
+    (crash/preemption recovery — the reference's only resumability is the
+    manual trim workflow). ``profile``: dict to fill with phase timings.
+    """
     total = time.time()
+    prof = profile if profile is not None else {}
     log.info("Preprocessing data")
+    t0 = time.time()
     trim, to_process, strand = prepare_data(
         strands_files, settings.skip_masked, settings.trim)
+    prof["prepare_s"] = round(time.time() - t0, 3)
+
+    # checkpoint journal: header identifies the run; completed chunks are
+    # keyed by their (start, length)
+    ckpt_done: dict = {}
+    ckpt_fh = None
+    if checkpoint is not None:
+        import json as _json
+
+        header = {"files": strands_files,
+                  "settings": settings.to_json_obj(),
+                  "reverse": settings.reverse,
+                  "complement": settings.complement}
+        if os.path.exists(checkpoint):
+            with open(checkpoint) as fh:
+                lines = fh.read().splitlines()
+            if lines and _json.loads(lines[0]) == header:
+                for line in lines[1:]:
+                    rec = _json.loads(line)
+                    ckpt_done[tuple(rec["chunk"])] = rec["families"]
+                log.info("checkpoint: %d chunks already done",
+                         len(ckpt_done))
+            else:
+                log.warning("checkpoint mismatch; starting fresh")
+        ckpt_fh = open(checkpoint, "a" if ckpt_done else "w")
+        if not ckpt_done:
+            ckpt_fh.write(_json.dumps(header) + "\n")
+            ckpt_fh.flush()
 
     # [1/N] proto-duplication search
     log.info("[1] Looking for proto-duplications...")
+    t0 = time.time()
     se = SearchEngine(strand, settings, trim, engine=engine)
+    prof["index_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
     families: list[list[ProtoSD]] = []
     from .utils import ProgressBar
     bar = ProgressBar(sum(c[1] for c in to_process))
+
+    def run_or_restore(chunk):
+        if tuple(chunk) in ckpt_done:
+            return [[ProtoSD(**sd) for sd in fam]
+                    for fam in ckpt_done[tuple(chunk)]]
+        fams = se.run_chunk(chunk)
+        if ckpt_fh is not None:
+            import json as _json
+
+            rec = {"chunk": list(chunk),
+                   "families": [[vars(sd) for sd in fam] for fam in fams]}
+            ckpt_fh.write(_json.dumps(rec) + "\n")
+            ckpt_fh.flush()
+        return fams
 
     # chunk-level parallelism (the reference's rayon axis,
     # asgart.rs:201-240): the native chain releases the GIL, so host
@@ -209,8 +265,8 @@ def search_duplications(
     from concurrent.futures import ThreadPoolExecutor
 
     workers = settings.threads_count or _os.cpu_count() or 1
-    if engine == "tpu":
-        workers = 1  # one device queue; avoid interleaved dispatches
+    if engine == "tpu" or ckpt_fh is not None:
+        workers = 1  # one device queue / ordered journal writes
     done = 0
     if workers > 1 and len(to_process) > 1:
         with ThreadPoolExecutor(max_workers=workers) as ex:
@@ -221,11 +277,15 @@ def search_duplications(
                 bar.update(done)
     else:
         for chunk in to_process:
-            families.extend(se.run_chunk(chunk))
+            families.extend(run_or_restore(chunk))
             done += chunk[1]
             bar.update(done)
     bar.finish()
+    if ckpt_fh is not None:
+        ckpt_fh.close()
+    prof["scan_s"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
     strand_bytes = strand.data.tobytes()
     log.info("[2] Filtering uncertain duplications...")
     families = postprocess.filter_ns(families, strand_bytes)
@@ -238,6 +298,8 @@ def search_duplications(
         families = postprocess.compute_score(families, strand_bytes)
     log.info("[%d] Sorting...", 6 if settings.compute_score else 5)
     families = postprocess.sort_families(families)
+    prof["post_s"] = round(time.time() - t0, 3)
+    prof["total_s"] = round(time.time() - total, 3)
 
     log.info("%s processed in %.2fs",
              ", ".join(strands_files), time.time() - total)

@@ -99,3 +99,47 @@ def test_extract_requires_mode(genome, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     main_cli.main([str(genome), "--out", "x.json"])
     assert extract_cli.main(["x.json"]) == 1  # neither -I nor -D
+
+
+def test_checkpoint_resume(genome, tmp_path, monkeypatch):
+    """Interrupted runs resume from the chunk journal with identical
+    output."""
+    import io
+
+    from asgart_tpu.exporters import JSONExporter
+    from asgart_tpu.pipeline import search_duplications
+    from asgart_tpu.structs import RunSettings
+
+    monkeypatch.chdir(tmp_path)
+    settings = RunSettings()
+    plain = search_duplications(["genome.fa"], settings)
+
+    ck = str(tmp_path / "run.ckpt")
+    first = search_duplications(["genome.fa"], settings, checkpoint=ck)
+    assert os.path.exists(ck)
+    # rerun: all chunks restored from the journal
+    again = search_duplications(["genome.fa"], settings, checkpoint=ck)
+
+    def dump(r):
+        buf = io.StringIO()
+        JSONExporter().save(r, buf)
+        return buf.getvalue()
+
+    assert dump(first) == dump(plain) == dump(again)
+
+    # different settings invalidate the journal
+    other = search_duplications(
+        ["genome.fa"], RunSettings(probe_size=16), checkpoint=ck)
+    assert dump(other) != ""  # ran fresh without crashing
+
+
+def test_profile_timings(genome, tmp_path, monkeypatch):
+    from asgart_tpu.pipeline import search_duplications
+    from asgart_tpu.structs import RunSettings
+
+    monkeypatch.chdir(tmp_path)
+    prof = {}
+    search_duplications(["genome.fa"], RunSettings(), profile=prof)
+    assert set(prof) >= {"prepare_s", "index_s", "scan_s", "post_s",
+                         "total_s"}
+    assert prof["total_s"] > 0
