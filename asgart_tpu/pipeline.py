@@ -1,13 +1,17 @@
 """End-to-end search pipeline: prepare → index → probe/chain → post → result.
 
 Orchestrates the equivalent of the reference's Step chain
-(``src/bin/asgart.rs:731-822``). The seed-lookup engine is pluggable:
+(``src/bin/asgart.rs:731-822``). Probe-lookup strategies (all exact):
 
-  * ``engine="host"``  — numpy searchsorted over the packed-k-mer view,
-  * ``engine="tpu"``   — batched JAX lookups on the accelerator
-    (see ``asgart_tpu.seed``),
+  * direct runs — single-text position index, one table gather per probe;
+  * R/C/RC on the host — single-text index + parallel bucketed
+    equal-range over the retained sorted keys;
+  * R/C/RC on the TPU (``engine="tpu"``) — doubled-text position index,
+    probe ranges by device gather (the mesh-scaling attach point);
+  * ``--trim`` windows — packed-k-mer binary search over the windowed
+    suffix array, like the reference's trim workflow.
 
-while chaining always runs in the native automaton (bit-identical to the
+Chaining always runs in the native automaton (bit-identical to the
 Python oracle in ``asgart_tpu.automaton``).
 """
 
@@ -64,13 +68,8 @@ def _pack_probe_kmers(needle_codes_padded: np.ndarray, is_: np.ndarray,
 
 
 class SearchEngine:
-    """Seed lookup + chaining over one prepared strand.
-
-    Without ``trim``, probes resolve through the doubled-text
-    ``PositionIndex`` (one gather per probe, no search); ``trim`` runs
-    keep the packed-k-mer binary-search path over the windowed suffix
-    array, exactly like the reference's trim workflow (asgart.rs:142-148).
-    """
+    """Seed lookup + chaining over one prepared strand (see the module
+    docstring for the strategy matrix)."""
 
     def __init__(self, strand: Strand, settings: RunSettings,
                  trim: Optional[tuple[int, int]], engine: str = "host",

@@ -4,10 +4,10 @@ North-star metric (BASELINE.json): Mbp scanned/sec/chip, self-duplication
 search with k=20 and -RC, vs single-core reference throughput.
 
 The reference binary cannot be built in this image (no Rust toolchain), so
-``vs_baseline`` is measured against this repo's own single-threaded host
-engine (numpy searchsorted + native chain) on a slice of the same genome —
-a faithful stand-in for the reference's single-core CPU algorithm (same
-index, same automaton, same output).
+``vs_baseline`` is measured against a reference-design proxy built from
+this repo's own exact components: single-threaded SA-IS suffix array +
+per-probe equal-range binary search + the native automaton — the
+reference's architecture, same outputs, measured on the same genome.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "Mbp/s", "vs_baseline": N}
