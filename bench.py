@@ -229,10 +229,7 @@ def main():
     log(f"{used} ({n/1e6:.0f} Mbp): index {ti:.1f}s scan {ts:.1f}s"
         f" → {mbps:.2f} Mbp/s, {sum(len(f) for f in fams)} SDs")
 
-    # --- TPU-gather path diagnostic (the mesh-scaling attach point) -------
-    if os.environ.get("BENCH_SKIP_DEVICE") != "1":
-        run_device_diagnostic(strand, chunks, settings)
-
+    # the driver's one JSON line goes out before any optional diagnostics
     print(json.dumps({
         "metric": "Mbp scanned/sec/chip (synthetic chr1-like self-dup, "
                   "k=20, -RC)",
@@ -241,6 +238,11 @@ def main():
         "vs_baseline": round(mbps / base_mbps, 3),
     }))
     sys.stdout.flush()
+
+    # --- TPU-gather path diagnostic (the mesh-scaling attach point) -------
+    if os.environ.get("BENCH_SKIP_DEVICE") != "1":
+        run_device_diagnostic(strand, chunks, settings)
+
     os._exit(0)  # a stalled device worker thread must not hold exit
 
 

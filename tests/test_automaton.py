@@ -141,3 +141,42 @@ def test_n_probes_are_skipped():
     want = run_oracle(text, needle, 0, settings, idx)
     got = run_native(text, needle, 0, settings, idx)
     assert got == want
+
+
+def test_arm_prune_path_oracle_vs_native():
+    """Force the 200-arm prune (automaton.rs:173-179): a 20-mer repeated
+    hundreds of times spawns hundreds of arms per family."""
+    rng = np.random.default_rng(31)
+    unit = random_dna(rng, 40)
+    # ~300 copies of a 40bp unit scattered through random background
+    parts = []
+    for _ in range(300):
+        parts.append(random_dna(rng, int(rng.integers(50, 200))))
+        parts.append(unit)
+    text = b"".join(parts) + b"$"
+    settings = RunSettings(probe_size=10, max_gap_size=40,
+                           min_duplication_length=60, max_cardinality=400)
+    idx = GenomeIndex.build(
+        np.frombuffer(text, dtype=np.uint8), settings.probe_size)
+    needle = text[:-1]
+    want = run_oracle(text, needle, 0, settings, idx)
+    got = run_native(text, needle, 0, settings, idx)
+    assert got == want
+    # sanity: the scenario actually stressed the arm set
+    assert sum(len(f) for f in want) > 0
+
+
+def test_cardinality_skip_oracle_vs_native():
+    """Probes over a massively repeated k-mer exceed max_cardinality and
+    must be skipped without gap aging (automaton.rs:115-117)."""
+    rng = np.random.default_rng(37)
+    text = (random_dna(rng, 500) + b"A" * 2000 + random_dna(rng, 500)
+            + b"A" * 1500 + random_dna(rng, 500)) + b"$"
+    settings = RunSettings(probe_size=10, max_gap_size=40,
+                           min_duplication_length=80, max_cardinality=20)
+    idx = GenomeIndex.build(
+        np.frombuffer(text, dtype=np.uint8), settings.probe_size)
+    needle = text[:-1]
+    want = run_oracle(text, needle, 0, settings, idx)
+    got = run_native(text, needle, 0, settings, idx)
+    assert got == want
