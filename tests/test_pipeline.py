@@ -171,3 +171,28 @@ def test_trim_windows_merge_equals_full_run(tmp_path):
 
     assert sd_set(merged) == sd_set(full)
     assert len(sd_set(full)) >= 2
+
+
+def test_trim_with_rc_mode(tmp_path):
+    """--trim combined with -RC: windowed SA, whole-genome probing."""
+    rng = np.random.default_rng(19)
+    g = bytearray(random_dna(rng, 24000))
+    seg = bytes(g[2000:3500])
+    g[16000:17500] = revcomp(seg)
+    p = tmp_path / "t.fa"
+    write_fasta(p, [("chr", bytes(g))])
+
+    full = search_duplications(
+        [str(p)], default_settings(reverse=True, complement=True))
+    window = search_duplications(
+        [str(p)], default_settings(reverse=True, complement=True,
+                                   trim=(12000, 24000)))
+
+    def sd_set(r):
+        return {(sd.global_left_position, sd.global_right_position)
+                for fam in r.families for sd in fam}
+
+    assert sd_set(full), "fixture found nothing"
+    # the RC pair (left 2000, right 16000) has its right arm inside the
+    # window, so the trimmed run must find it too
+    assert sd_set(window) == sd_set(full)
