@@ -69,3 +69,44 @@ def test_device_chain_matches_native_reverse():
     want, got = both_engines(text, needle, 0, settings)
     assert got == want
     assert want
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_three_engine_equivalence_random_settings(trial):
+    """Oracle ≡ native ≡ lax.scan under randomized settings and genomes."""
+    from asgart_tpu import automaton
+
+    rng = np.random.default_rng(1000 + trial)
+    k = int(rng.choice([8, 10, 14, 20]))
+    settings = RunSettings(
+        probe_size=k,
+        max_gap_size=int(rng.integers(k + 5, 120)),
+        min_duplication_length=int(rng.integers(50, 400)),
+        max_cardinality=int(rng.integers(10, 120)),
+        reverse=bool(rng.integers(0, 2)))
+    settings.complement = settings.reverse
+    n = int(rng.integers(1500, 4000))
+    alpha = [b"ACGT", b"ACG", b"ACGTN"][trial % 3]
+    g = bytearray(random_dna(rng, n, alpha))
+    # plant something findable
+    L = int(rng.integers(200, 500))
+    src = int(rng.integers(0, n // 2 - L))
+    dst = int(rng.integers(n // 2, n - L))
+    seg = bytes(g[src:src + L])
+    if settings.reverse:
+        seg = revcomp(seg)
+    g[dst:dst + L] = seg
+    text = bytes(g) + b"$"
+
+    idx = GenomeIndex.build(np.frombuffer(text, dtype=np.uint8), k)
+    needle = text[:-1]
+    if settings.complement:
+        needle = needle.translate(bytes.maketrans(b"ACGTN", b"TGCAN"))
+    if settings.reverse:
+        needle = needle[::-1]
+
+    oracle = automaton.search_duplications(
+        needle, 0, lambda pat: idx.search(pat), settings)
+    want, got = both_engines(text, needle, 0, settings)
+    assert want == oracle
+    assert got == want
