@@ -97,6 +97,12 @@ def _load() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64]
 
+        lib.asgart_build_position_index_codes_i32.restype = ctypes.c_int
+        lib.asgart_build_position_index_codes_i32.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64]
+
         lib.asgart_batch_equal_range.restype = ctypes.c_int
         lib.asgart_batch_equal_range.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -151,6 +157,7 @@ class _ChainParams(ctypes.Structure):
         ("needle_len", ctypes.c_int64),
         ("reverse", ctypes.c_int64),
         ("max_match_pos", ctypes.c_int64),
+        ("sa_is_i32", ctypes.c_int64),
     ]
 
 
@@ -196,7 +203,8 @@ def chain(
     ``max_match_pos`` drops matches at/after the given absolute position
     (used by the doubled-text index to ignore transformed-half hits)."""
     lib = _load()
-    sa = _as_i64(sa)
+    sa_is_i32 = sa.dtype == np.int32
+    sa = np.ascontiguousarray(sa)  # int32 passes through natively
     probe_is = _as_i64(probe_is)
     los = _as_i64(los)
     his = _as_i64(his)
@@ -211,6 +219,7 @@ def chain(
         needle_len=needle_len,
         reverse=1 if reverse else 0,
         max_match_pos=max_match_pos,
+        sa_is_i32=1 if sa_is_i32 else 0,
     )
 
     cap_sds, cap_fams = 4096, 1024
@@ -276,11 +285,11 @@ def build_position_index(codes: np.ndarray, k: int, n_threads: int = 0,
     if n >= (1 << 31):
         raise ValueError("fused tables require n < 2^31; use "
                          "kmer_suffix_sort + group_tables")
-    sa = np.empty(n, dtype=np.int64)
+    sa = np.empty(n, dtype=np.int32)  # n < 2^31 is checked above
     ranges = np.empty((n, 2), dtype=np.int32)  # interleaved [lo, hi]
     keys = np.empty(n, dtype=np.int64) if with_keys else None
     n_threads = n_threads or (os.cpu_count() or 1)
-    rc = lib.asgart_build_position_index_codes2(
+    rc = lib.asgart_build_position_index_codes_i32(
         codes.ctypes.data_as(ctypes.c_void_p), n, k,
         sa.ctypes.data_as(ctypes.c_void_p),
         ranges.ctypes.data_as(ctypes.c_void_p),

@@ -186,6 +186,7 @@ struct ChainParams {
   int64_t max_match_pos;  // drop matches at/after this position (the
                           // doubled-text index interleaves transformed-half
                           // positions into the equal ranges)
+  int64_t sa_is_i32;      // the sa pointer holds int32 positions
 };
 
 // Run the arm automaton over a stream of processed probes.
@@ -221,8 +222,9 @@ int asgart_chain(const ChainParams* prm, const int64_t* sa,
 
     // Gather + filter matches (searcher offset is 0: m.start = sa value).
     m_starts.clear();
+    const int32_t* sa32 = (const int32_t*)sa;
     for (int64_t r = los[p]; r < his[p]; ++r) {
-      const int64_t m_start = sa[r];
+      const int64_t m_start = prm->sa_is_i32 ? int64_t(sa32[r]) : sa[r];
       if (m_start >= prm->max_match_pos) continue;  // transformed-half hit
       if (m_start == i) continue;  // self-hit filter (automaton.rs:106)
       if (!prm->reverse) {
@@ -629,10 +631,11 @@ int asgart_build_position_index_codes(const uint8_t* codes, int64_t n,
                                             nullptr, n_threads);
 }
 
-int asgart_build_position_index_codes2(const uint8_t* codes, int64_t n,
-                                       int64_t k, int64_t* sa_out,
-                                       int32_t* pos_lo, int64_t* keys_out,
-                                       int64_t n_threads) {
+static int bpi_codes_impl(const uint8_t* codes, int64_t n, int64_t k,
+                          void* sa_out_v, int sa_elem, int32_t* pos_lo,
+                          int64_t* keys_out, int64_t n_threads) {
+  int64_t* sa64 = sa_elem == 8 ? (int64_t*)sa_out_v : nullptr;
+  int32_t* sa32 = sa_elem == 4 ? (int32_t*)sa_out_v : nullptr;
   if (n <= 0) return 0;
   if (n >= (int64_t(1) << 31)) return 2;  // int32 positions
   if (n_threads < 1) n_threads = 1;
@@ -880,7 +883,7 @@ int asgart_build_position_index_codes2(const uint8_t* codes, int64_t n,
             while (hi < n && key_at(hi) == key_at(r)) ++hi;
           }
           const int64_t p = idx_at(r);
-          sa_out[r] = p;
+          if (sa64) sa64[r] = p; else sa32[r] = (int32_t)p;
           if (keys_out) keys_out[r] = key_at(r);
           // pos_lo is an interleaved [n][2] table: one 8-byte store per
           // position instead of two distant 4-byte stores
@@ -899,6 +902,21 @@ int asgart_kmer_suffix_sort(const int64_t* kmers, int64_t n, int64_t k,
                             int64_t* sa_out, int64_t n_threads) {
   return asgart_build_position_index(kmers, n, k, sa_out, nullptr, nullptr,
                                      n_threads);
+}
+
+int asgart_build_position_index_codes2(const uint8_t* codes, int64_t n,
+                                       int64_t k, int64_t* sa_out,
+                                       int32_t* pos_lo, int64_t* keys_out,
+                                       int64_t n_threads) {
+  return bpi_codes_impl(codes, n, k, sa_out, 8, pos_lo, keys_out,
+                        n_threads);
+}
+
+int asgart_build_position_index_codes_i32(
+    const uint8_t* codes, int64_t n, int64_t k, int32_t* sa_out,
+    int32_t* pos_lo, int64_t* keys_out, int64_t n_threads) {
+  return bpi_codes_impl(codes, n, k, sa_out, 4, pos_lo, keys_out,
+                        n_threads);
 }
 
 // Pack the k 3-bit symbol ranks starting at every position of `codes`
