@@ -1,15 +1,21 @@
-// asgart_tpu native runtime.
+// asgart_tpu native runtime, exposed through a plain C API for ctypes.
 //
-// Three components, exposed through a plain C API for ctypes:
-//   1. suffix-array construction (SA-IS, 64-bit indices) — the reference
-//      uses libdivsufsort (src/divsufsort.rs:8-33); we implement SA-IS
-//      from the published induced-sorting algorithm instead.
-//   2. the gap-tolerant arm-extension automaton ("chaining") consuming a
+// Components:
+//   1. suffix-array construction: SA-IS (the test oracle; the reference
+//      uses libdivsufsort, src/divsufsort.rs:8-33) and the production
+//      builder `asgart_build_position_index_codes*` — parallel MSD-bucket
+//      k-mer sort + Manber-Myers prefix doubling over unresolved groups,
+//      emitting the suffix array, fused per-position equal-range tables,
+//      and optionally the sorted keys.
+//   2. seed lookups: `asgart_batch_equal_range[_bucketed]` (parallel
+//      binary search, prefix-bucket accelerated) + k-mer packing
+//      (`asgart_pack_kmers`, `asgart_pack_at`).
+//   3. the gap-tolerant arm-extension automaton ("chaining") consuming a
 //      stream of per-probe suffix-array ranges — semantics match the
 //      reference automaton (src/automaton.rs:57-216) exactly, including
 //      snapshot classification, greedy first-arm assignment, gap aging by
 //      step_size, the 200-arm prune and simultaneous-death families.
-//   3. Levenshtein distance (two-row DP) for --compute-score
+//   4. Levenshtein distance (two-row DP) for --compute-score
 //      (reference: bio::alignment::distance::levenshtein).
 //
 // Build: g++ -O3 -shared -fPIC (see asgart_tpu/native/__init__.py).
@@ -1125,7 +1131,7 @@ int asgart_build_bucket_table(const int64_t* keys, int64_t n, int64_t k,
 
 // Bucket-accelerated batched equal-range.
 int asgart_batch_equal_range_bucketed(
-    const int64_t* keys, int64_t n, const int64_t* probes, int64_t m,
+    const int64_t* keys, int64_t /*n*/, const int64_t* probes, int64_t m,
     const int64_t* buckets, int64_t k, int64_t topb,
     int64_t* lo_out, int64_t* hi_out, int64_t n_threads) {
   if (n_threads < 1) n_threads = 1;
