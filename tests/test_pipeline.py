@@ -196,3 +196,18 @@ def test_trim_with_rc_mode(tmp_path):
     # the RC pair (left 2000, right 16000) has its right arm inside the
     # window, so the trimmed run must find it too
     assert sd_set(window) == sd_set(full)
+
+
+def test_odd_probe_size_end_to_end(tmp_path):
+    """k=15 (odd stride 7) through the full pipeline."""
+    rng = np.random.default_rng(21)
+    g = plant_duplication(rng, 12000, 1200, 1500, 8000, noise=0.01)
+    p = tmp_path / "g.fa"
+    write_fasta(p, [("chr", g)])
+    r = search_duplications(
+        [str(p)], default_settings(probe_size=15, max_gap_size=115))
+    sds = [sd for fam in r.families for sd in fam]
+    assert sds
+    best = max(sds, key=lambda sd: sd.right_length)
+    assert abs(best.global_left_position - 1500) < 300
+    assert abs(best.global_right_position - 8000) < 300
