@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np  # noqa: E402
 
 GENOME_MBP = float(os.environ.get("BENCH_MBP", "128"))
-BASELINE_MBP = float(os.environ.get("BENCH_BASELINE_MBP", "128"))
+BASELINE_MBP = float(os.environ.get("BENCH_BASELINE_MBP", "64"))
 SEED = 1234
 
 
