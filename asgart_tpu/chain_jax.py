@@ -76,6 +76,10 @@ def prepare_probe_stream_host(
         if len(ms) > max_cardinality:
             valid[p] = False
             continue
+        if len(ms) > M:
+            raise ValueError(
+                f"probe match count {len(ms)} exceeds max_matches={M}; "
+                "ChainConfig.max_matches must be >= max_cardinality")
         matches[p, :len(ms)] = ms
     return probe_is.astype(np.int32), matches, valid
 
@@ -94,8 +98,15 @@ def chain_scan(cfg: ChainConfig, probe_is: jax.Array, matches: jax.Array,
     """Run the automaton over the probe stream.
 
     Returns (out [OUT, 5] int32: left, right, left_len, right_len,
-    family_id; n_out scalar; n_families scalar). Needle-relative left
-    coordinates, like the reference automaton.
+    family_id; n_out scalar; n_families scalar; n_dropped scalar).
+    Needle-relative left coordinates, like the reference automaton.
+
+    Overflow protocol (mirrors the native chain's rc=1 retry contract):
+    ``n_out`` keeps counting past ``out_cap`` — callers must treat
+    ``n_out > out_cap`` as truncation and retry with a larger cap; and
+    ``n_dropped`` counts new arms that found no free slot (arm-capacity
+    overflow) — any nonzero value means families may be missing and the
+    caller must retry with more ``max_arms``.
     """
     A, M, OUT = cfg.max_arms, cfg.max_matches, cfg.out_cap
     ps = I32(cfg.probe_size)
@@ -114,6 +125,7 @@ def chain_scan(cfg: ChainConfig, probe_is: jax.Array, matches: jax.Array,
         out: jax.Array
         n_out: jax.Array
         n_fam: jax.Array
+        n_dropped: jax.Array
 
     def empty_arms():
         z = jnp.zeros(A, dtype=I32)
@@ -153,6 +165,8 @@ def chain_scan(cfg: ChainConfig, probe_is: jax.Array, matches: jax.Array,
         is_new = m_valid & ~extend
         n_used = jnp.sum(st.used).astype(I32)
         slot = n_used + jnp.cumsum(is_new.astype(I32)) - 1  # [M]
+        n_dropped = st.n_dropped + jnp.sum(
+            (is_new & (slot >= A)).astype(I32))
         slot = jnp.where(is_new & (slot < A), slot, A)  # drop on overflow
         l_start = st.l_start.at[slot].set(i, mode="drop")
         l_end = l_end.at[slot].set(i + ps, mode="drop")
@@ -210,7 +224,7 @@ def chain_scan(cfg: ChainConfig, probe_is: jax.Array, matches: jax.Array,
         active = jnp.where(all_dead, cleared, active)
 
         new_st = State(l_start, l_end, r_start, r_end, gap, active, used,
-                       out, n_out, n_fam)
+                       out, n_out, n_fam, n_dropped)
         # invalid probes (cardinality skip) are full no-ops
         merged = jax.tree.map(
             lambda new, old: jnp.where(ok, new, old), new_st, st)
@@ -218,10 +232,10 @@ def chain_scan(cfg: ChainConfig, probe_is: jax.Array, matches: jax.Array,
 
     ls, le, rs, re_, gp, act, used = empty_arms()
     init = State(ls, le, rs, re_, gp, act, used,
-                 jnp.zeros((OUT, 5), dtype=I32), I32(0), I32(0))
+                 jnp.zeros((OUT, 5), dtype=I32), I32(0), I32(0), I32(0))
     final, _ = jax.lax.scan(step_fn, init,
                             (probe_is.astype(I32), matches, valid))
-    return final.out, final.n_out, final.n_fam
+    return final.out, final.n_out, final.n_fam, final.n_dropped
 
 
 def chain_device(
@@ -230,14 +244,22 @@ def chain_device(
     reverse: bool,
 ) -> list[list[tuple[int, int, int, int]]]:
     """Host-convenient wrapper: exact host match prep + device scan →
-    families in the native-engine format."""
+    families in the native-engine format. Retries with doubled capacities
+    on output/arm overflow (the native chain's rc=1 protocol)."""
     pis, matches, valid = prepare_probe_stream_host(
         sa, probe_is, lo, hi, needle_offset=needle_offset,
         needle_len=needle_len, reverse=reverse,
         max_cardinality=cfg.max_cardinality, max_matches=cfg.max_matches)
-    out, n_out, n_fam = chain_scan(
-        cfg, jnp.asarray(pis), jnp.asarray(matches), jnp.asarray(valid))
-    out = np.asarray(out)[: int(n_out)]
+    while True:
+        out, n_out, n_fam, n_dropped = chain_scan(
+            cfg, jnp.asarray(pis), jnp.asarray(matches), jnp.asarray(valid))
+        n_out = int(n_out)
+        if n_out <= cfg.out_cap and int(n_dropped) == 0:
+            break
+        cfg = cfg._replace(
+            out_cap=max(cfg.out_cap * 2, n_out + 1),
+            max_arms=cfg.max_arms * (2 if int(n_dropped) else 1))
+    out = np.asarray(out)[:n_out]
     families: list[list[tuple[int, int, int, int]]] = []
     for row in out:
         left, right, llen, rlen, fam = (int(x) for x in row)

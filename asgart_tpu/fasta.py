@@ -85,7 +85,8 @@ def read_fasta(filename: str, skip_masked: bool) -> tuple[list[Start], np.ndarra
             if line.startswith(b">"):
                 flush()
                 saw_header = True
-                name = line[1:].split(None, 1)[0].decode() if len(line) > 1 else ""
+                toks = line[1:].split(None, 1)
+                name = toks[0].decode() if toks else ""
             elif line:
                 if not saw_header:
                     raise ValueError(f"Unable to parse `{filename}`: "

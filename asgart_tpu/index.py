@@ -32,6 +32,18 @@ CODE = np.zeros(256, dtype=np.uint8)
 for _rank, _ch in enumerate(b"$ACGNT"):
     CODE[_ch] = _rank
 
+# 3 bits/symbol in an int64 key caps the packable k-mer size; larger
+# probes would silently wrap (and corrupt the radix histograms in the
+# native builder), so every index entry point validates against this.
+MAX_PROBE_SIZE = 21
+
+
+def check_probe_size(k: int) -> None:
+    if not (1 <= k <= MAX_PROBE_SIZE):
+        raise ValueError(
+            f"probe_size {k} is out of range: packed-k-mer indexing "
+            f"supports 1..{MAX_PROBE_SIZE} (3 bits/symbol in 64-bit keys)")
+
 
 def pack_kmers_at(codes_padded: np.ndarray, positions: np.ndarray,
                   k: int) -> np.ndarray:
@@ -77,6 +89,7 @@ class GenomeIndex:
         coordinates."""
         from .native import suffix_array
 
+        check_probe_size(k)
         if trim is not None:
             start, end = trim
             sub = np.concatenate(
@@ -164,6 +177,7 @@ class PositionIndex:
               n_threads: int = 0) -> "PositionIndex":
         from . import native
 
+        check_probe_size(k)
         n = len(strand_data)
         s = strand_data[: n - 1]  # genome without the '$' sentinel
         if reverse or complement:
@@ -198,11 +212,27 @@ class PositionIndex:
         the sort work of the doubled text, at +O(probes·log n) search."""
         from . import native
 
+        check_probe_size(k)
         codes = CODE[strand_data]
         sa, ranges, keys = native.build_position_index(
             codes, k, n_threads, with_keys=True)
-        return cls(sa=sa, ranges=ranges, k=k, first_len=len(strand_data),
-                   reverse=False, complement=False, keys=keys)
+        idx = cls(sa=sa, ranges=ranges, k=k, first_len=len(strand_data),
+                  reverse=False, complement=False, keys=keys)
+        # eager bucket table: the multi-threaded chunk path shares this
+        # index across workers, so build the accelerator before any
+        # concurrent search_ranges call
+        idx._build_bucket_table(n_threads)
+        return idx
+
+    def _build_bucket_table(self, n_threads: int = 0) -> None:
+        from . import native
+
+        # ~16 entries per bucket on average
+        self._bucket_topb = max(
+            1, min(24, 3 * self.k,
+                   int(np.log2(max(len(self.keys) // 16, 2)))))
+        self._bucket_table = native.build_bucket_table(
+            self.keys, self.k, self._bucket_topb, n_threads)
 
     def search_ranges(self, probe_kmers: np.ndarray,
                       n_threads: int = 0) -> tuple[np.ndarray, np.ndarray]:
@@ -213,12 +243,7 @@ class PositionIndex:
         if self.keys is None:
             raise ValueError("index built without retained keys")
         if not hasattr(self, "_bucket_table"):
-            # ~16 entries per bucket on average
-            self._bucket_topb = max(
-                1, min(24, 3 * self.k,
-                       int(np.log2(max(len(self.keys) // 16, 2)))))
-            self._bucket_table = native.build_bucket_table(
-                self.keys, self.k, self._bucket_topb, n_threads)
+            self._build_bucket_table(n_threads)
         return native.batch_equal_range(
             self.keys, probe_kmers, n_threads,
             bucket_table=self._bucket_table, k=self.k,

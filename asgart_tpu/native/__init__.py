@@ -38,11 +38,17 @@ _tune_malloc()
 
 
 def _build() -> None:
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-march=native",
-        "-o", _LIB, _SRC,
-    ]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC]
+    # prefer native tuning, fall back to a portable baseline (the artifact
+    # is never shipped — it is rebuilt whenever the source is newer)
+    for arch in ("-march=native", "-march=x86-64-v3", None):
+        cmd = base + ([arch] if arch else [])
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+            return
+        except subprocess.CalledProcessError as e:
+            last = e
+    raise RuntimeError(f"native build failed: {last.stderr[-2000:]}")
 
 
 def _load() -> ctypes.CDLL:

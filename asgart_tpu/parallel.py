@@ -58,7 +58,9 @@ def device_search_step(
     """The full on-device search step for one probe batch: pack probes,
     equal-range lookup, gather+filter matches, run the chain scan.
 
-    Returns (out [OUT, 5], n_out, n_families, n_hits).
+    Returns (out [OUT, 5], n_out, n_families, n_hits, n_dropped);
+    ``n_out > out_cap`` or ``n_dropped > 0`` signal capacity overflow
+    (see ``chain_scan``).
     """
     cfg = statics.cfg
     pad = positions < 0
@@ -96,9 +98,9 @@ def device_search_step(
     matches = jnp.full((positions.shape[0], M), -1, dtype=I32)
     matches = matches.at[rows, rank].set(m, mode="drop")
 
-    out, n_out, n_fam = chain_scan(cfg, pos_safe, matches, valid)
+    out, n_out, n_fam, n_dropped = chain_scan(cfg, pos_safe, matches, valid)
     n_hits = jnp.sum(jnp.where(valid, counts, 0))
-    return out, n_out, n_fam, n_hits
+    return out, n_out, n_fam, n_hits, n_dropped
 
 
 def ragged_match_gather(sa_pos, left, right, total_cap: int):
@@ -181,10 +183,10 @@ def device_table_search_step(
     matches = matches.at[probe_id, rank].set(m, mode="drop")
 
     valid = (~pad) & (counts <= cfg.max_cardinality) & ~overflow
-    out, n_out, n_fam = chain_scan(
+    out, n_out, n_fam, n_dropped = chain_scan(
         cfg, jnp.maximum(probe_is, 0), matches, valid)
     n_hits = jnp.sum(jnp.where(valid, counts, 0))
-    return out, n_out, n_fam, n_hits
+    return out, n_out, n_fam, n_hits, n_dropped
 
 
 def sharded_table_search_step(statics: SearchStatics, mesh: Mesh,
@@ -195,16 +197,17 @@ def sharded_table_search_step(statics: SearchStatics, mesh: Mesh,
 
     def step(pos_lo, pos_hi, sa_pos, table_x, probe_is,
              needle_offset, needle_len, reverse, max_match_pos):
-        out, n_out, n_fam, n_hits = device_table_search_step(
+        out, n_out, n_fam, n_hits, n_dropped = device_table_search_step(
             statics, pos_lo, pos_hi, sa_pos, table_x, probe_is,
             needle_offset, needle_len, reverse, max_match_pos)
         total_hits = jax.lax.psum(n_hits, axis)
-        return out, n_out[None], n_fam[None], total_hits
+        total_dropped = jax.lax.psum(n_dropped, axis)
+        return out, n_out[None], n_fam[None], total_hits, total_dropped
 
     mapped = jax.shard_map(
         step, mesh=mesh,
         in_specs=(rep, rep, rep, shard, shard, rep, rep, rep, rep),
-        out_specs=(shard, shard, shard, rep),
+        out_specs=(shard, shard, shard, rep, rep),
         check_vma=False,
     )
     return jax.jit(mapped)
@@ -296,17 +299,18 @@ def sharded_search_step(statics: SearchStatics, mesh: Mesh,
 
     def step(key_hi, key_lo, bucket_starts, sa_pos, codes, positions,
              needle_offset, needle_len, reverse):
-        out, n_out, n_fam, n_hits = device_search_step(
+        out, n_out, n_fam, n_hits, n_dropped = device_search_step(
             statics, key_hi, key_lo, bucket_starts, sa_pos, codes,
             positions, needle_offset, needle_len, reverse)
         total_hits = jax.lax.psum(n_hits, axis)
+        total_dropped = jax.lax.psum(n_dropped, axis)
         # rank-0 per-shard values get a singleton axis for concatenation
-        return out, n_out[None], n_fam[None], total_hits
+        return out, n_out[None], n_fam[None], total_hits, total_dropped
 
     mapped = jax.shard_map(
         step, mesh=mesh,
         in_specs=(rep, rep, rep, rep, rep, shard, rep, rep, rep),
-        out_specs=(shard, shard, shard, rep),
+        out_specs=(shard, shard, shard, rep, rep),
         check_vma=False,
     )
     return jax.jit(mapped)

@@ -197,6 +197,9 @@ def search_duplications(
     (crash/preemption recovery — the reference's only resumability is the
     manual trim workflow). ``profile``: dict to fill with phase timings.
     """
+    from .index import check_probe_size
+
+    check_probe_size(settings.probe_size)
     total = time.time()
     prof = profile if profile is not None else {}
     log.info("Preprocessing data")

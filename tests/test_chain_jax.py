@@ -110,3 +110,72 @@ def test_three_engine_equivalence_random_settings(trial):
     want, got = both_engines(text, needle, 0, settings)
     assert want == oracle
     assert got == want
+
+
+def test_overflow_retry_out_cap_and_arms():
+    """Drive chain_scan into its out_cap and max_arms overflow regimes:
+    chain_device must detect the overflow (n_out > out_cap / n_dropped)
+    and retry to the exact native result (VERDICT r1 weak #7)."""
+    rng = np.random.default_rng(31)
+    n = 12000
+    g = bytearray(random_dna(rng, n, b"ACGT"))
+    # one source copied to many destinations → every source probe matches
+    # all copies, spawning many concurrent arms (arm-capacity pressure)
+    # and emitting many duplicons (out-capacity pressure)
+    L = 150
+    src = 200
+    for i in range(12):
+        dst = 3000 + i * 400
+        g[dst:dst + L] = bytes(g[src:src + L])
+    text = bytes(g) + b"$"
+    settings = RunSettings(probe_size=10, max_gap_size=30,
+                           min_duplication_length=100, max_cardinality=80)
+
+    idx = GenomeIndex.build(np.frombuffer(text, dtype=np.uint8),
+                            settings.probe_size)
+    arr = np.frombuffer(text[:-1], dtype=np.uint8)
+    is_ = probe_positions(arr, settings.probe_size)
+    codes = np.zeros(len(arr) + settings.probe_size, dtype=np.uint8)
+    codes[:len(arr)] = CODE[arr]
+    pk = _pack_probe_kmers(codes, is_, settings.probe_size)
+    lo, hi = idx.lookup(pk)
+    kw = dict(probe_size=settings.probe_size,
+              step_size=settings.probe_size // 2,
+              max_gap_size=settings.max_gap_size,
+              min_duplication_length=settings.min_duplication_length,
+              max_cardinality=settings.max_cardinality)
+    want = native.chain(idx.sa, is_, lo, hi, needle_offset=0,
+                        needle_len=len(arr), reverse=False, **kw)
+    n_sds = sum(len(f) for f in want)
+    assert n_sds > 4, "test genome must emit several duplicons"
+
+    # tiny out_cap: forces the n_out > out_cap retry path
+    cfg = ChainConfig(max_arms=256, max_matches=96, out_cap=2, **kw)
+    got = chain_device(cfg, idx.sa, is_, lo, hi, needle_offset=0,
+                       needle_len=len(arr), reverse=False)
+    assert got == want
+
+    # tiny max_arms: forces the dropped-arms retry path
+    cfg = ChainConfig(max_arms=2, max_matches=96, out_cap=1024, **kw)
+    got = chain_device(cfg, idx.sa, is_, lo, hi, needle_offset=0,
+                       needle_len=len(arr), reverse=False)
+    assert got == want
+
+
+def test_chain_scan_reports_dropped_arms():
+    """The raw scan must signal arm overflow instead of silently dropping."""
+    import jax.numpy as jnp
+
+    from asgart_tpu.chain_jax import chain_scan
+
+    cfg = ChainConfig(probe_size=10, step_size=5, max_gap_size=30,
+                      min_duplication_length=100, max_cardinality=50,
+                      max_arms=2, max_matches=8, out_cap=16)
+    # one probe spawning 4 distinct new arms: 2 fit, 2 dropped
+    probe_is = jnp.asarray(np.array([5], dtype=np.int32))
+    matches = np.full((1, 8), -1, dtype=np.int32)
+    matches[0, :4] = [100, 300, 500, 700]
+    valid = jnp.asarray(np.array([True]))
+    out, n_out, n_fam, n_dropped = chain_scan(
+        cfg, probe_is, jnp.asarray(matches), valid)
+    assert int(n_dropped) == 2

@@ -82,3 +82,17 @@ def test_prepare_data_trim_clamping(tmp_path):
     assert trim is None  # clamped stop(100) <= shift(500)
     trim, _, _ = prepare_data([str(p)], False, (10, 90))
     assert trim == (10, 90)
+
+
+def test_header_with_only_whitespace():
+    """A '>' header followed by whitespace must parse as an empty name
+    (ADVICE r1: used to raise IndexError)."""
+    import tempfile, os
+    from asgart_tpu.fasta import read_fasta
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.fa")
+        with open(p, "w") as fh:
+            fh.write("> \nACGT\n>chr2\nGGGG\n")
+        map_, total = read_fasta(p, skip_masked=False)
+        assert [m.name for m in map_] == ["", "chr2"]
+        assert total.tobytes() == b"ACGTGGGG"

@@ -53,7 +53,7 @@ def test_single_device_step_matches_native():
                            min_duplication_length=500, max_cardinality=50)
     idx, is_, statics, args = build_device_inputs(text, settings)
 
-    out, n_out, n_fam, n_hits = device_search_step(
+    out, n_out, n_fam, n_hits, n_dropped = device_search_step(
         statics, args["key_hi"], args["key_lo"], args["bucket_starts"],
         args["sa_pos"], args["codes"],
         jnp.asarray(is_.astype(np.int32)),
@@ -95,7 +95,7 @@ def test_sharded_step_runs_on_mesh():
     step = sharded_search_step(statics, mesh)
     pos_sharded = shard_probe_positions(is_.astype(np.int32), n_dev)
 
-    out, n_out, n_fam, total_hits = step(
+    out, n_out, n_fam, total_hits, total_dropped = step(
         args["key_hi"], args["key_lo"], args["bucket_starts"],
         args["sa_pos"], args["codes"], jnp.asarray(pos_sharded),
         args["needle_offset"], args["needle_len"], args["reverse"])
@@ -129,7 +129,7 @@ def test_table_step_matches_native():
                       max_arms=128, max_matches=64, out_cap=512)
     statics = SearchStatics(cfg=cfg, k=k, steps=1, prefix_shift=-1,
                             raw_cap=64)
-    out, n_out, n_fam, n_hits = device_table_search_step(
+    out, n_out, n_fam, n_hits, n_dropped = device_table_search_step(
         statics,
         jnp.asarray(pidx.pos_lo.astype(np.int32)),
         jnp.asarray(pidx.pos_hi.astype(np.int32)),
@@ -161,7 +161,7 @@ def test_graft_entry_and_dryrun():
     fn, args = ge.entry()
     res = jax.jit(fn)(*args)
     jax.block_until_ready(res)
-    out, n_out, n_fam, n_hits = res
+    out, n_out, n_fam, n_hits, n_dropped = res
     assert int(n_hits) > 0
     assert int(n_out) >= 1
     ge.dryrun_multichip(8)

@@ -211,3 +211,34 @@ def test_odd_probe_size_end_to_end(tmp_path):
     best = max(sds, key=lambda sd: sd.right_length)
     assert abs(best.global_left_position - 1500) < 300
     assert abs(best.global_right_position - 8000) < 300
+
+
+def test_probe_size_over_21_rejected():
+    """k > 21 overflows 3-bit/symbol int64 packing (ADVICE r1 high): every
+    entry point must reject it with a clear error, and the CLI must exit
+    cleanly."""
+    import numpy as np
+    import pytest
+
+    from asgart_tpu.index import GenomeIndex, PositionIndex
+    from asgart_tpu.pipeline import search_duplications
+    from asgart_tpu.structs import RunSettings
+
+    data = np.frombuffer(b"ACGTACGTACGTACGTACGTACGTACGT$", dtype=np.uint8)
+    for builder in (lambda: PositionIndex.build(data, 24),
+                    lambda: PositionIndex.build_single(data, 22),
+                    lambda: GenomeIndex.build(data, 30)):
+        with pytest.raises(ValueError, match="probe_size"):
+            builder()
+    with pytest.raises(ValueError, match="probe_size"):
+        search_duplications(["/nonexistent.fa"],
+                            RunSettings(probe_size=24))
+
+
+def test_probe_size_over_21_cli_error(tmp_path):
+    from asgart_tpu.cli.main import main
+
+    fa = tmp_path / "g.fa"
+    fa.write_text(">chr\n" + "ACGT" * 300 + "\n")
+    rc = main([str(fa), "-k", "24", "--out", str(tmp_path / "o.json")])
+    assert rc == 1
