@@ -76,6 +76,17 @@ def _load() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.c_void_p,
         ]
 
+        lib.asgart_chain_events.restype = ctypes.c_int
+        lib.asgart_chain_events.argtypes = [
+            ctypes.c_void_p,  # params
+            ctypes.c_void_p, ctypes.c_void_p,  # probe_is, z_before
+            ctypes.c_void_p, ctypes.c_void_p,  # m_offsets, m_starts
+            ctypes.c_int64, ctypes.c_int64,    # n_events, z_trail
+            ctypes.c_void_p, ctypes.c_void_p,  # outputs
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+
         lib.asgart_levenshtein.restype = ctypes.c_int64
         lib.asgart_levenshtein.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
@@ -256,6 +267,71 @@ def chain(
         size = int(out_fams[f])
         fam = [tuple(int(x) for x in out_sds[k + s]) for s in range(size)]
         families.append(fam)
+        k += size
+    return families
+
+
+def chain_events(
+    probe_is: np.ndarray,
+    z_before: np.ndarray,
+    m_offsets: np.ndarray,
+    m_starts: np.ndarray,
+    *,
+    z_trail: int,
+    probe_size: int,
+    step_size: int,
+    max_gap_size: int,
+    min_duplication_length: int,
+    max_cardinality: int,
+) -> list[list[tuple[int, int, int, int]]]:
+    """Run the automaton over a compacted event stream (probes with >= 1
+    kept match, CSR matches already filtered, plus intervening aging-step
+    counts). Exactly equivalent to :func:`chain` on the full probe stream;
+    the device engine downloads only events, so this is the host-side
+    chaining endpoint of the TPU scan path."""
+    lib = _load()
+    probe_is = _as_i64(probe_is)
+    z_before = _as_i64(z_before)
+    m_offsets = _as_i64(m_offsets)
+    m_starts = _as_i64(m_starts)
+    n_events = len(probe_is)
+    params = _ChainParams(
+        probe_size=probe_size,
+        step_size=step_size,
+        max_gap_size=max_gap_size,
+        min_duplication_length=min_duplication_length,
+        max_cardinality=max_cardinality,
+        needle_offset=0, needle_len=0, reverse=0,
+        max_match_pos=1 << 62, sa_is_i32=0,
+    )
+    cap_sds, cap_fams = 4096, 1024
+    while True:
+        out_sds = np.empty((cap_sds, 4), dtype=np.int64)
+        out_fams = np.empty(cap_fams, dtype=np.int64)
+        n_sds = ctypes.c_int64(0)
+        n_fams = ctypes.c_int64(0)
+        rc = lib.asgart_chain_events(
+            ctypes.byref(params),
+            probe_is.ctypes.data_as(ctypes.c_void_p),
+            z_before.ctypes.data_as(ctypes.c_void_p),
+            m_offsets.ctypes.data_as(ctypes.c_void_p),
+            m_starts.ctypes.data_as(ctypes.c_void_p),
+            n_events, z_trail,
+            out_sds.ctypes.data_as(ctypes.c_void_p),
+            out_fams.ctypes.data_as(ctypes.c_void_p),
+            cap_sds, cap_fams,
+            ctypes.byref(n_sds), ctypes.byref(n_fams))
+        if rc == 0:
+            break
+        cap_sds = max(cap_sds * 2, int(n_sds.value) + 1)
+        cap_fams = max(cap_fams * 2, int(n_fams.value) + 1)
+
+    families = []
+    k = 0
+    for f in range(n_fams.value):
+        size = int(out_fams[f])
+        families.append(
+            [tuple(int(x) for x in out_sds[k + s]) for s in range(size)])
         k += size
     return families
 

@@ -348,6 +348,151 @@ int asgart_chain(const ChainParams* prm, const int64_t* sa,
   return overflow ? 1 : 0;
 }
 
+// Event-stream variant of the automaton: consumes only probes that have
+// at least one kept match ("events"), with the number of intervening
+// aging steps (valid zero-match probes) precomputed. The device engine
+// compacts the probe stream on the TPU and downloads just the events;
+// this entry replays the exact per-step semantics of `asgart_chain`
+// (aging, the 200-arm prune, simultaneous-death families) by simulating
+// the skipped steps — bounded by the arm-death horizon, after which a
+// quiet run cannot change state further.
+//
+//   probe_is[e]   : needle-relative probe index of event e (ascending)
+//   z_before[e]   : count of valid zero-match probes since the previous
+//                   event (aging steps to apply BEFORE event e)
+//   m_offsets[e]  : CSR offsets into m_starts (kept matches, SA order,
+//                   already self/direction/cardinality filtered upstream;
+//                   every event satisfies 1 <= count <= max_cardinality)
+//   z_trail       : valid zero-match probes after the last event (arms
+//                   still alive after those steps are dropped, matching
+//                   the end-of-needle behavior)
+int asgart_chain_events(const ChainParams* prm, const int64_t* probe_is,
+                        const int64_t* z_before, const int64_t* m_offsets,
+                        const int64_t* m_starts, int64_t n_events,
+                        int64_t z_trail, int64_t* out_sds,
+                        int64_t* out_family_sizes, int64_t cap_sds,
+                        int64_t cap_families, int64_t* n_sds_out,
+                        int64_t* n_families_out) {
+  std::vector<Arm> arms;
+  std::vector<int32_t> ops;
+  int64_t n_sds = 0, n_families = 0;
+  bool overflow = false;
+  const int64_t ps = prm->probe_size;
+
+  auto prune = [&]() {
+    if (arms.size() > 200) {
+      arms.erase(std::remove_if(arms.begin(), arms.end(),
+                                [&](const Arm& a) {
+                                  return !(a.active ||
+                                           a.l_end - a.l_start >=
+                                               prm->min_duplication_length ||
+                                           a.r_end - a.r_start >=
+                                               prm->min_duplication_length);
+                                }),
+                 arms.end());
+    }
+  };
+  auto emit_if_all_dead = [&]() {
+    if (arms.empty()) return;
+    for (const auto& a : arms)
+      if (a.active) return;
+    int64_t fam_size = 0;
+    for (const auto& a : arms) {
+      if (a.r_end - a.r_start >= prm->min_duplication_length) {
+        if (n_sds < cap_sds) {
+          out_sds[4 * n_sds + 0] = a.l_start;
+          out_sds[4 * n_sds + 1] = a.r_start;
+          out_sds[4 * n_sds + 2] = a.l_end - a.l_start;
+          out_sds[4 * n_sds + 3] = a.r_end - a.r_start;
+        } else {
+          overflow = true;
+        }
+        ++n_sds;
+        ++fam_size;
+      }
+    }
+    if (fam_size > 0) {
+      if (n_families < cap_families)
+        out_family_sizes[n_families] = fam_size;
+      else
+        overflow = true;
+      ++n_families;
+    }
+    arms.clear();
+  };
+  // z skipped quiet steps, each: age-all, prune, emit-check. Arms only
+  // ever lose activity during a quiet run, so once none are active (and
+  // the emission fired) the remaining steps are no-ops.
+  auto apply_aging = [&](int64_t z) {
+    for (int64_t s = 0; s < z && !arms.empty(); ++s) {
+      bool any_active = false;
+      for (auto& a : arms) {
+        a.gap += prm->step_size;
+        if (a.gap >= prm->max_gap_size) a.active = false;
+        any_active |= a.active;
+      }
+      prune();
+      emit_if_all_dead();
+      if (!any_active) break;  // arms now cleared or permanently inert
+    }
+  };
+
+  for (int64_t e = 0; e < n_events; ++e) {
+    apply_aging(z_before[e]);
+    const int64_t i = probe_is[e];
+    const int64_t mb = m_offsets[e], me = m_offsets[e + 1];
+
+    for (auto& a : arms) a.dirty = false;
+    ops.resize(me - mb);
+    for (int64_t mi = mb; mi < me; ++mi) {
+      const int64_t m_start = m_starts[mi];
+      const int64_t m_end = m_start + ps;
+      int32_t op = -1;
+      for (size_t j = 0; j < arms.size(); ++j) {
+        const Arm& a = arms[j];
+        if (!a.active) continue;
+        const int64_t allow =
+            std::max(prm->max_gap_size,
+                     (int64_t)(0.1 * (double)(a.l_end - a.l_start)));
+        if (d_ss(a.r_start, a.r_end, m_start, m_end) < allow &&
+            m_end > a.r_end) {
+          op = (int32_t)j;
+          break;
+        }
+      }
+      ops[mi - mb] = op;
+    }
+    for (int64_t mi = mb; mi < me; ++mi) {
+      if (ops[mi - mb] >= 0) {
+        Arm& a = arms[ops[mi - mb]];
+        a.l_end = i + ps;
+        a.r_end = m_starts[mi] + ps;
+        a.dirty = true;
+        a.gap = 0;
+      }
+    }
+    for (int64_t mi = mb; mi < me; ++mi) {
+      if (ops[mi - mb] < 0) {
+        arms.push_back(Arm{i, i + ps, m_starts[mi], m_starts[mi] + ps, 0,
+                           true, false});
+      }
+    }
+    for (auto& a : arms) {
+      if (!a.dirty) {
+        a.gap += prm->step_size;
+        if (a.gap >= prm->max_gap_size) a.active = false;
+      }
+    }
+    prune();
+    emit_if_all_dead();
+  }
+  apply_aging(z_trail);
+  // arms alive after the trailing quiet run are dropped (end-of-needle)
+  *n_sds_out = n_sds;
+  *n_families_out = n_families;
+  return overflow ? 1 : 0;
+}
+
 // Suffix sort seeded by packed k-mers: parallel LSD radix sort of
 // (k-mer, position), then Manber-Myers prefix doubling restricted to the
 // unresolved (non-singleton) groups. Produces the same suffix array as

@@ -81,3 +81,90 @@ def test_kmer_suffix_sort_repetitive():
     got = native.kmer_suffix_sort(kmers, 20, n_threads=4)
     want = native.suffix_array(data)
     np.testing.assert_array_equal(got, want)
+
+
+def events_from_stream(sa, is_, lo, hi, *, needle_offset, needle_len,
+                       reverse, max_cardinality, max_match_pos=1 << 62):
+    """Host reference of the device compaction: full probe stream →
+    (events, aging counts, CSR matches, trailing quiet count)."""
+    probe_evt, z_list, offs, flat = [], [], [0], []
+    z = 0
+    for p in range(len(is_)):
+        i = int(is_[p])
+        ms = []
+        for r in range(int(lo[p]), int(hi[p])):
+            m = int(sa[r])
+            if m >= max_match_pos or m == i:
+                continue
+            if not reverse:
+                if not (m > i + needle_offset):
+                    continue
+            else:
+                if not (m >= needle_offset + needle_len - i):
+                    continue
+            ms.append(m)
+        if len(ms) > max_cardinality:
+            continue  # cardinality skip: no aging
+        if not ms:
+            z += 1
+            continue
+        probe_evt.append(i)
+        z_list.append(z)
+        z = 0
+        flat.extend(ms)
+        offs.append(len(flat))
+    return (np.asarray(probe_evt, dtype=np.int64),
+            np.asarray(z_list, dtype=np.int64),
+            np.asarray(offs, dtype=np.int64),
+            np.asarray(flat, dtype=np.int64), z)
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_chain_events_equals_chain(trial):
+    """The event-stream automaton must reproduce the full-stream automaton
+    exactly (randomized genomes/settings, incl. quiet-run emission timing,
+    arm pruning and cardinality skips)."""
+    from asgart_tpu.index import GenomeIndex
+    from asgart_tpu.pipeline import _pack_probe_kmers, probe_positions
+    from asgart_tpu.index import CODE
+    from tests.util import random_dna, revcomp
+
+    rng = np.random.default_rng(4200 + trial)
+    k = int(rng.choice([8, 10, 14]))
+    max_gap = int(rng.integers(k + 5, 100))
+    min_dup = int(rng.integers(50, 300))
+    max_card = int(rng.integers(3, 60))
+    reverse = bool(rng.integers(0, 2))
+    n = int(rng.integers(2000, 5000))
+    alpha = [b"ACGT", b"ACG"][trial % 2]
+    g = bytearray(random_dna(rng, n, alpha))
+    L = int(rng.integers(150, 400))
+    src = int(rng.integers(0, n // 2 - L))
+    dst = int(rng.integers(n // 2, n - L))
+    seg = bytes(g[src:src + L])
+    if reverse:
+        seg = revcomp(seg)
+    g[dst:dst + L] = seg
+    text = bytes(g) + b"$"
+
+    idx = GenomeIndex.build(np.frombuffer(text, dtype=np.uint8), k)
+    needle = text[:-1]
+    if reverse:
+        needle = needle.translate(
+            bytes.maketrans(b"ACGTN", b"TGCAN"))[::-1]
+    arr = np.frombuffer(needle, dtype=np.uint8)
+    is_ = probe_positions(arr, k)
+    codes = np.zeros(len(arr) + k, dtype=np.uint8)
+    codes[:len(arr)] = CODE[arr]
+    pk = _pack_probe_kmers(codes, is_, k)
+    lo, hi = idx.lookup(pk)
+
+    kw = dict(probe_size=k, step_size=k // 2, max_gap_size=max_gap,
+              min_duplication_length=min_dup, max_cardinality=max_card)
+    want = native.chain(idx.sa, is_, lo, hi, needle_offset=0,
+                        needle_len=len(arr), reverse=reverse, **kw)
+    pe, zb, offs, flat, z_trail = events_from_stream(
+        idx.sa, is_, lo, hi, needle_offset=0, needle_len=len(arr),
+        reverse=reverse, max_cardinality=max_card)
+    got = native.chain_events(pe, zb, offs, flat, z_trail=z_trail, **kw)
+    assert got == want
