@@ -1,0 +1,263 @@
+"""On-device suffix-array index construction.
+
+TPU-native replacement of the host C++ index builder for the TPU engine
+(reference analog: libdivsufsort's ``divsufsort64``, src/divsufsort.rs:10,
+driven from asgart.rs:473-479). Motivation, measured on this rig
+(scripts/tpu_probe.py): host->device transfers run at ~0.06 GB/s through
+the axon tunnel, so shipping a prebuilt index (~12 B/bp) to the chip costs
+tens of seconds — while ``jax.lax.sort`` sorts 128M two-plane keys in
+~1 s. The only upload is therefore the 3-bit symbol codes (1 B/bp); the
+doubled text (for R/C/RC runs), packed keys, suffix order and
+per-position equal-range tables are all computed in HBM:
+
+  1. **transform + pack**: the appended half (reverse / complement /
+     reverse-complement of the genome) is computed on device; every
+     position packs its next k symbols into two int32 planes (hi/lo 30
+     bits), identical to :mod:`asgart_tpu.seed`'s packing.
+  2. **initial sort**: one ``lax.sort`` over (key_hi, key_lo, position).
+  3. **prefix doubling on the tied set**: positions whose k-mers collide
+     (duplicated content) are compacted into a fixed-capacity slot list
+     and refined by Manber-Myers rounds — sort the tied subset by
+     (group, rank[p+h]), scatter back, recompute ranks — until every
+     suffix rank is distinct. Each round is one device call; the tied
+     set only shrinks. This reproduces the host builder's suffix order
+     bit-exactly (asgart_native.cpp bpi_codes_impl).
+  4. **tables**: per-position equal-range [lo, hi) over the k-mer groups
+     (one row-gather per probe at scan time — no binary search).
+
+Equality with the host ``PositionIndex`` is pinned by
+tests/test_device_index.py on fuzzed genomes.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .index import CODE, check_probe_size
+
+I32 = jnp.int32
+INT32_MAX = np.int32(2**31 - 1)
+
+# 3-bit symbol rank complement: $->$, A<->T, C<->G, N->N
+COMP_CODE = np.array([0, 5, 3, 2, 4, 1], dtype=np.uint8)
+
+LO_SYMS = 10  # symbols in the low plane (30 bits)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "reverse", "complement",
+                                             "pad_to"))
+def _build_text_codes(codes: jax.Array, k: int, reverse: bool,
+                      complement: bool, pad_to: int):
+    """codes [n1] (genome + '$' ranks) → doubled/padded text codes
+    [pad_to + k] with zero padding. The appended half is T(genome): the
+    run transform applied on device (complement first, then reverse —
+    pipeline.transform_needle order)."""
+    n1 = codes.shape[0]
+    half = codes[: n1 - 1]
+    if complement:
+        half = jnp.asarray(COMP_CODE)[half]
+    if reverse:
+        half = half[::-1]
+    if reverse or complement:
+        text = jnp.concatenate([codes, half])
+    else:
+        text = codes
+    out = jnp.zeros(pad_to + k, dtype=jnp.uint8)
+    return out.at[: text.shape[0]].set(text)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n"))
+def _pack_planes_all(codes_padded: jax.Array, k: int, n: int):
+    """(hi, lo) int32 planes of the k-mer at every position 0..n."""
+    c = codes_padded.astype(I32)
+    n_hi = max(k - LO_SYMS, 0)
+    hi = jnp.zeros(n, dtype=I32)
+    lo = jnp.zeros(n, dtype=I32)
+    for j in range(n_hi):
+        hi = (hi << 3) | jax.lax.dynamic_slice(c, (j,), (n,))
+    for j in range(n_hi, k):
+        lo = (lo << 3) | jax.lax.dynamic_slice(c, (j,), (n,))
+    return hi, lo
+
+
+@jax.jit
+def _initial_sort(key_hi: jax.Array, key_lo: jax.Array):
+    n = key_hi.shape[0]
+    skhi, sklo, sa = jax.lax.sort(
+        (key_hi, key_lo, jnp.arange(n, dtype=I32)), num_keys=2)
+    return skhi, sklo, sa
+
+
+@jax.jit
+def _groups_and_tables(skhi: jax.Array, sklo: jax.Array, sa: jax.Array):
+    """Equal-key run boundaries over the sorted keys.
+
+    Returns (rank [n] pos→run-start slot, ranges [n, 2] pos→[lo, hi),
+    tied_slot [n] bool)."""
+    n = skhi.shape[0]
+    iota = jnp.arange(n, dtype=I32)
+    neq = jnp.concatenate([
+        jnp.ones(1, bool),
+        (skhi[1:] != skhi[:-1]) | (sklo[1:] != sklo[:-1])])
+    run_lo = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(neq, iota, 0))
+    # run end: first boundary at or after i+1 (reverse min-scan)
+    nxt = jnp.concatenate([neq[1:], jnp.ones(1, bool)])
+    run_hi = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(nxt, iota + 1, n), reverse=True)
+    rank = jnp.zeros(n, dtype=I32).at[sa].set(run_lo)
+    ranges = jnp.zeros((n, 2), dtype=I32)
+    ranges = ranges.at[sa, 0].set(run_lo)
+    ranges = ranges.at[sa, 1].set(run_hi)
+    tied_slot = (run_hi - run_lo) > 1
+    return rank, ranges, tied_slot
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _extract_tied(tied_slot: jax.Array, cap: int):
+    """Compact the tied slot indices (ascending) into [cap]; returns
+    (slots [cap] padded with n, count)."""
+    n = tied_slot.shape[0]
+    r = jnp.cumsum(tied_slot.astype(I32)) - 1
+    dest = jnp.where(tied_slot & (r < cap), r, cap)
+    slots = jnp.full(cap, n, dtype=I32).at[dest].set(
+        jnp.arange(n, dtype=I32), mode="drop")
+    return slots, jnp.sum(tied_slot.astype(I32))
+
+
+@functools.partial(jax.jit, static_argnames=("rounds",))
+def _doubling_rounds(sa: jax.Array, rank: jax.Array, slots: jax.Array,
+                     n_tied: jax.Array, h0: jax.Array, rounds: int):
+    """`rounds` Manber-Myers refinement rounds on the tied subset.
+
+    Tied slots hold positions whose suffixes agree on their first h
+    symbols; each round sorts every tied group by rank[p+h] and refines
+    ranks. The slot list stays ascending, so the j-th sorted element
+    lands in the j-th tied slot of its group.
+    """
+    n = sa.shape[0]
+    cap = slots.shape[0]
+    jcap = jnp.arange(cap, dtype=I32)
+
+    def one_round(carry, _):
+        sa, rank, slots, n_tied, h = carry
+        live = jcap < n_tied
+        slot = jnp.where(live, slots, 0)
+        p = sa[slot]
+        prim = jnp.where(live, rank[p], INT32_MAX)
+        ph = p + h
+        sec = jnp.where(live & (ph < n), rank[jnp.clip(ph, 0, n - 1)], -1)
+        sp, ss, p_sorted = jax.lax.sort((prim, sec, p), num_keys=2)
+        # scatter sorted positions back into the (ascending) slots
+        dest = jnp.where(jcap < n_tied, slots, n)
+        sa = sa.at[dest].set(p_sorted, mode="drop")
+        # refined rank: start slot of each new (prim, sec) sub-run
+        nb = jnp.concatenate([
+            jnp.ones(1, bool),
+            (sp[1:] != sp[:-1]) | (ss[1:] != ss[:-1])])
+        rs = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(nb, dest, -1))
+        rank = rank.at[jnp.where(jcap < n_tied, p_sorted, n)].set(
+            rs, mode="drop")
+        # still tied: sub-run length > 1
+        nxt_same = jnp.concatenate([rs[1:] == rs[:-1], jnp.zeros(1, bool)])
+        prv_same = jnp.concatenate([jnp.zeros(1, bool), rs[1:] == rs[:-1]])
+        still = (nxt_same | prv_same) & (jcap < n_tied)
+        r = jnp.cumsum(still.astype(I32)) - 1
+        new_slots = jnp.full(cap, n, dtype=I32).at[
+            jnp.where(still, r, cap)].set(dest, mode="drop")
+        new_n = jnp.sum(still.astype(I32))
+        return (sa, rank, new_slots, new_n, h * 2), None
+
+    (sa, rank, slots, n_tied, _), _ = jax.lax.scan(
+        one_round, (sa, rank, slots, n_tied, h0), None, length=rounds)
+    return sa, rank, slots, n_tied
+
+
+@jax.jit
+def _full_round(sa: jax.Array, rank: jax.Array, h: jax.Array):
+    """Fallback full-array doubling round for hyper-repetitive inputs
+    whose tied set exceeds the subset capacity."""
+    n = sa.shape[0]
+    p = sa
+    prim = rank[p]
+    ph = p + h
+    sec = jnp.where(ph < n, rank[jnp.clip(ph, 0, n - 1)], -1)
+    sp, ss, p_sorted = jax.lax.sort((prim, sec, p), num_keys=2)
+    iota = jnp.arange(n, dtype=I32)
+    nb = jnp.concatenate([
+        jnp.ones(1, bool), (sp[1:] != sp[:-1]) | (ss[1:] != ss[:-1])])
+    rs = jax.lax.associative_scan(jnp.maximum, jnp.where(nb, iota, 0))
+    rank = jnp.zeros(n, dtype=I32).at[p_sorted].set(rs)
+    nxt_same = jnp.concatenate([rs[1:] == rs[:-1], jnp.zeros(1, bool)])
+    prv_same = jnp.concatenate([jnp.zeros(1, bool), rs[1:] == rs[:-1]])
+    tied_slot = nxt_same | prv_same
+    return p_sorted, rank, tied_slot
+
+
+@dataclass
+class DeviceIndex:
+    """Device-resident doubled-text position index (the on-device analog
+    of :class:`asgart_tpu.index.PositionIndex`)."""
+
+    sa: jax.Array        # [n] int32, suffix order over the (doubled) text
+    ranges: jax.Array    # [n, 2] int32 per-position [lo, hi)
+    codes: jax.Array     # [n + k] uint8 text codes, zero padded
+    k: int
+    n: int               # doubled text length
+    first_len: int       # genome + '$' length
+    reverse: bool
+    complement: bool
+
+    @classmethod
+    def build(cls, strand_data: np.ndarray, k: int, reverse: bool = False,
+              complement: bool = False, rounds_per_call: int = 4,
+              tied_cap: int | None = None) -> "DeviceIndex":
+        """Build from the host strand bytes (genome + '$'). Only the
+        symbol codes (1 B/bp) cross the host->device boundary."""
+        check_probe_size(k)
+        n1 = int(len(strand_data))
+        n = 2 * n1 - 1 if (reverse or complement) else n1
+        if n >= (1 << 31):
+            raise ValueError(
+                "device index shard too large for int32; shard the index")
+        codes_host = CODE[strand_data]
+        codes1 = jax.device_put(codes_host)  # the only bulk upload
+
+        text_codes = _build_text_codes(codes1, k, reverse, complement, n)
+        key_hi, key_lo = _pack_planes_all(text_codes, k, n)
+        skhi, sklo, sa = _initial_sort(key_hi, key_lo)
+        rank, ranges, tied_slot = _groups_and_tables(skhi, sklo, sa)
+        del key_hi, key_lo, skhi, sklo
+
+        if tied_cap is None:
+            tied_cap = max(1024, n // 8)
+        slots, n_tied = _extract_tied(tied_slot, tied_cap)
+        n_tied_host = int(n_tied)
+        h = k
+        if n_tied_host > tied_cap:
+            # hyper-repetitive input: full-array rounds until the tied
+            # set fits the subset capacity
+            while n_tied_host > tied_cap and h < 2 * n:
+                sa, rank, tied_slot = _full_round(sa, rank, jnp.int32(h))
+                h *= 2
+                slots, n_tied = _extract_tied(tied_slot, tied_cap)
+                n_tied_host = int(n_tied)
+        while n_tied_host > 0 and h < 2 * n:
+            sa, rank, slots, n_tied = _doubling_rounds(
+                sa, rank, slots, n_tied, jnp.int32(h), rounds_per_call)
+            h <<= rounds_per_call
+            n_tied_host = int(n_tied)
+
+        return cls(sa=sa, ranges=ranges, codes=text_codes, k=k, n=n,
+                   first_len=n1, reverse=reverse, complement=complement)
+
+    def to_host_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        """(sa, ranges) as numpy — test/diagnostic use only (bulk
+        device->host downloads are slow on this rig)."""
+        return np.asarray(self.sa), np.asarray(self.ranges)

@@ -1,0 +1,71 @@
+"""On-device index construction vs the host builder (CPU backend)."""
+
+import numpy as np
+import pytest
+
+from asgart_tpu.device_index import DeviceIndex
+from asgart_tpu.index import PositionIndex
+from tests.util import plant_duplication, random_dna, revcomp
+
+
+def assert_index_equal(didx: DeviceIndex, pidx: PositionIndex):
+    sa, ranges = didx.to_host_arrays()
+    np.testing.assert_array_equal(sa, pidx.sa.astype(np.int32))
+    np.testing.assert_array_equal(ranges, pidx.ranges)
+    assert didx.first_len == pidx.first_len
+
+
+@pytest.mark.parametrize("seed,alpha", [(0, b"ACGT"), (1, b"ACG"),
+                                        (2, b"ACGTN"), (3, b"AC")])
+def test_device_index_random(seed, alpha):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(500, 3000))
+    data = np.frombuffer(random_dna(rng, n, alpha) + b"$", dtype=np.uint8)
+    k = int(rng.choice([4, 8, 12, 20]))
+    didx = DeviceIndex.build(data, k)
+    pidx = PositionIndex.build(data, k)
+    assert_index_equal(didx, pidx)
+
+
+@pytest.mark.parametrize("reverse,complement", [(True, True), (True, False),
+                                                (False, True)])
+def test_device_index_doubled(reverse, complement):
+    rng = np.random.default_rng(11)
+    text = plant_duplication(rng, 5000, 700, 600, 3200,
+                             transform=revcomp) + b"$"
+    data = np.frombuffer(text, dtype=np.uint8)
+    didx = DeviceIndex.build(data, 14, reverse=reverse,
+                             complement=complement)
+    pidx = PositionIndex.build(data, 14, reverse=reverse,
+                               complement=complement)
+    assert_index_equal(didx, pidx)
+
+
+def test_device_index_long_identical_duplications():
+    """Deep ties: identical copies force many doubling rounds."""
+    rng = np.random.default_rng(5)
+    g = bytearray(random_dna(rng, 9000, b"ACGT"))
+    g[4000:5500] = bytes(g[100:1600])    # 1.5 kbp identical copy
+    g[7000:8500] = bytes(g[100:1600])    # three-way tie
+    data = np.frombuffer(bytes(g) + b"$", dtype=np.uint8)
+    didx = DeviceIndex.build(data, 12)
+    pidx = PositionIndex.build(data, 12)
+    assert_index_equal(didx, pidx)
+
+
+def test_device_index_hyper_repetitive_full_rounds():
+    """Tiny tied_cap forces the full-array fallback rounds."""
+    rng = np.random.default_rng(6)
+    base = random_dna(rng, 40, b"ACGT")
+    text = base * 50 + random_dna(rng, 500, b"ACGT") + b"$"
+    data = np.frombuffer(text, dtype=np.uint8)
+    didx = DeviceIndex.build(data, 8, tied_cap=64)
+    pidx = PositionIndex.build(data, 8)
+    assert_index_equal(didx, pidx)
+
+
+def test_device_index_all_same_symbol():
+    data = np.frombuffer(b"A" * 2000 + b"$", dtype=np.uint8)
+    didx = DeviceIndex.build(data, 10, tied_cap=128)
+    pidx = PositionIndex.build(data, 10)
+    assert_index_equal(didx, pidx)
