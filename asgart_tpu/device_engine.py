@@ -1,0 +1,226 @@
+"""The TPU production engine: on-device index + scan, host event chain.
+
+End-to-end chunk scan on the chip (reference hot loop being replaced:
+automaton.rs:96-201 + searcher.rs:145-180):
+
+  1. probe stream derived on device from the text codes (stride k/2,
+     N-probe skip — automaton.rs:90-102);
+  2. probe equal-ranges by one row-gather into the per-position tables of
+     the doubled-text :class:`~asgart_tpu.device_index.DeviceIndex` — no
+     per-probe search;
+  3. flat CSR gather of all match windows, filtered exactly like the
+     native chain (self hit, direction predicate, appended-half cutoff),
+     per-probe kept counts, cardinality skip (automaton.rs:103-117);
+  4. compaction to *events* (probes with >= 1 kept match) plus the
+     intervening quiet-step counts — typically 50-500x smaller than the
+     probe stream;
+  5. events are downloaded (a few MB) and chained by the native
+     event-stream automaton, which is fuzz-pinned equal to the full
+     automaton. The sequential part of the algorithm is microseconds;
+     everything bandwidth-heavy stayed on the chip.
+
+A counts-only pre-pass sizes the flat gather capacity before the big
+step is compiled, so repeat-dense genomes (Alu-like scatter) pick a
+sufficient capacity in one shot instead of retry-recompiling.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import native
+from .device_index import DeviceIndex
+
+I32 = jnp.int32
+log = logging.getLogger("asgart")
+
+N_CODE = 4  # 3-bit rank of 'N'
+
+
+def _bucket(n: int, lo: int = 1 << 16) -> int:
+    b = lo
+    while b < n:
+        b <<= 1
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=("k", "reverse", "complement",
+                                             "b_pad"))
+def _probe_tables(ranges, codes, chunk_start, chunk_len, first_len,
+                  k: int, reverse: bool, complement: bool, b_pad: int):
+    """Probe positions, their table equal-ranges, and raw total.
+
+    Returns (is_ [b_pad] needle-relative probe indices, mask [b_pad],
+    lo, hi [b_pad], total_raw scalar).
+    """
+    step = k // 2
+    j = jnp.arange(b_pad, dtype=I32)
+    is_ = (j + 1) * step
+    bound = chunk_len - k - step
+    mask = (j * step) < bound  # (j+1-1)*step < bound, automaton.rs:90-97
+    # N-probe skip checks the *needle* symbol at i; reverse flips the
+    # position, complement maps N->N, so the original text code suffices
+    q = jnp.where(jnp.asarray(reverse),
+                  chunk_start + chunk_len - 1 - is_,
+                  chunk_start + is_)
+    qc = codes[jnp.clip(q, 0, codes.shape[0] - 1)]
+    mask = mask & (qc != N_CODE)
+
+    # table position of each probe's k-mer (index.PositionIndex
+    # .probe_table_positions)
+    if reverse:
+        qq = chunk_start + chunk_len - is_ - k
+        x = first_len + (first_len - 1 - qq - k)
+    elif complement:
+        x = first_len + chunk_start + is_
+    else:
+        x = chunk_start + is_
+    x = jnp.clip(x, 0, ranges.shape[0] - 1)
+    r = ranges[x]
+    lo = jnp.where(mask, r[:, 0], 0)
+    hi = jnp.where(mask, r[:, 1], 0)
+    # float64 is unavailable without x64 mode; a float32 sum is only used
+    # to size the flat-gather capacity (the overflow retry is the exact
+    # safety net), so pad for its 24-bit mantissa
+    total_raw = jnp.sum((hi - lo).astype(jnp.float32))
+    return is_, mask, lo, hi, total_raw
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "ev_cap", "reverse"))
+def _scan_compact(sa, is_, mask, lo, hi, chunk_start, chunk_len,
+                  max_match_pos, max_cardinality,
+                  cap: int, ev_cap: int, reverse: bool):
+    """CSR gather + exact filter + event compaction (device side).
+
+    Returns (ev_pack [3, ev_cap]: probe_i / z_before / kept-count,
+    m_flat [cap], scalars [4]: n_events, total_kept, z_trail, overflow).
+    """
+    B = is_.shape[0]
+    counts_raw = (hi - lo).astype(I32)
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, I32), jnp.cumsum(counts_raw).astype(I32)])
+    starts = offsets[:-1]
+    total_raw = offsets[-1]
+
+    # flat CSR expansion: probe id per slot via boundary scatter + cumsum
+    seg = jnp.zeros(cap + 1, I32).at[
+        jnp.minimum(starts, cap)].add(1, mode="drop")
+    probe_id = jnp.clip(jnp.cumsum(seg[:cap]) - 1, 0, B - 1)
+    flat_pos = jnp.arange(cap, dtype=I32)
+    within = flat_pos - starts[probe_id]
+    flat_valid = (flat_pos < total_raw) & (within < counts_raw[probe_id])
+    m = sa[jnp.clip(lo[probe_id] + within, 0, sa.shape[0] - 1)]
+
+    i_of = is_[probe_id]
+    if reverse:
+        dir_ok = m >= chunk_start + chunk_len - i_of
+    else:
+        dir_ok = m > i_of + chunk_start
+    keep = flat_valid & (m != i_of) & (m < max_match_pos) & dir_ok
+
+    kept = jnp.zeros(B, I32).at[probe_id].add(
+        keep.astype(I32), mode="drop")
+    valid = mask & (kept <= max_cardinality)
+    event = valid & (kept > 0)
+    vz = valid & (kept == 0)
+
+    # event compaction
+    e_rank = jnp.cumsum(event.astype(I32)) - 1
+    n_events = jnp.sum(event.astype(I32))
+    dest = jnp.where(event & (e_rank < ev_cap), e_rank, ev_cap)
+    A = jnp.cumsum(vz.astype(I32))
+    ev_pack = jnp.zeros((3, ev_cap), I32)
+    ev_pack = ev_pack.at[0, dest].set(is_, mode="drop")
+    ev_pack = ev_pack.at[1, dest].set(A, mode="drop")          # A at event
+    ev_pack = ev_pack.at[2, dest].set(kept, mode="drop")
+    # z_before[e] = A_evt[e] - A_evt[e-1] (A excludes the event itself)
+    a_evt = ev_pack[1]
+    ev_pack = ev_pack.at[1, 1:].set(a_evt[1:] - a_evt[:-1])
+    z_trail = (A[B - 1] if B > 0 else jnp.int32(0)) - jnp.where(
+        n_events > 0, a_evt[jnp.maximum(n_events - 1, 0)], 0)
+
+    # matches compaction in (probe, SA-slot) order; only event probes
+    keep_f = keep & event[probe_id]
+    kr = jnp.cumsum(keep_f.astype(I32)) - 1
+    total_kept = jnp.sum(keep_f.astype(I32))
+    m_flat = jnp.zeros(cap, I32).at[
+        jnp.where(keep_f, kr, cap)].set(m, mode="drop")
+
+    overflow = ((total_raw > cap) | (n_events > ev_cap)).astype(I32)
+    scalars = jnp.stack([n_events, total_kept, z_trail, overflow])
+    return ev_pack, m_flat, scalars
+
+
+class DeviceEngine:
+    """On-device search over one prepared strand (the ``engine="tpu"``
+    production path)."""
+
+    def __init__(self, strand, settings, profile: dict | None = None):
+        self.strand = strand
+        self.settings = settings
+        t0 = time.time()
+        self.didx = DeviceIndex.build(
+            strand.data, settings.probe_size,
+            reverse=settings.reverse, complement=settings.complement)
+        if profile is not None:
+            profile["device_index_s"] = round(time.time() - t0, 3)
+
+    def run_chunk(self, chunk: tuple[int, int]):
+        """Families for one chunk, native-engine format + coordinate
+        fixup left to the caller (mirrors SearchEngine.run_chunk)."""
+        s = self.settings
+        start, length = chunk
+        k = s.probe_size
+        if length < s.min_duplication_length:
+            return []
+        step = k // 2
+        bound = length - k - step
+        if bound <= 0:
+            return []
+        n_probes = (bound + step - 1) // step
+        b_pad = _bucket(n_probes)
+
+        didx = self.didx
+        is_, mask, lo, hi, total_raw = _probe_tables(
+            didx.ranges, didx.codes, jnp.int32(start), jnp.int32(length),
+            jnp.int32(didx.first_len), k, s.reverse, s.complement, b_pad)
+        total_raw = int(float(total_raw) * 1.001) + 8  # sync: sizes the gather
+
+        cap = _bucket(max(total_raw + 1, 1 << 20))
+        ev_cap = _bucket(min(cap, b_pad)) // 4
+        while True:
+            ev_pack, m_flat, scalars = _scan_compact(
+                didx.sa, is_, mask, lo, hi, jnp.int32(start),
+                jnp.int32(length), jnp.int32(didx.first_len - 1),
+                jnp.int32(s.max_cardinality), cap, ev_cap, s.reverse)
+            n_events, total_kept, z_trail, overflow = (
+                int(v) for v in np.asarray(scalars))
+            if not overflow:
+                break
+            if n_events > ev_cap:
+                ev_cap = _bucket(n_events + 1)
+            else:
+                cap *= 2  # exact raw total exceeded the estimate
+            log.debug("device scan retry: cap=%d ev_cap=%d", cap, ev_cap)
+
+        if n_events == 0:
+            return []
+        ev = np.asarray(ev_pack[:, :n_events])
+        m_host = np.asarray(m_flat[:total_kept])
+        m_offsets = np.zeros(n_events + 1, dtype=np.int64)
+        np.cumsum(ev[2], out=m_offsets[1:])
+
+        raw_families = native.chain_events(
+            ev[0], ev[1], m_offsets, m_host,
+            z_trail=z_trail,
+            probe_size=k, step_size=step,
+            max_gap_size=s.max_gap_size,
+            min_duplication_length=s.min_duplication_length,
+            max_cardinality=s.max_cardinality)
+        return raw_families

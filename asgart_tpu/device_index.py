@@ -104,12 +104,10 @@ def _groups_and_tables(skhi: jax.Array, sklo: jax.Array, sa: jax.Array):
     neq = jnp.concatenate([
         jnp.ones(1, bool),
         (skhi[1:] != skhi[:-1]) | (sklo[1:] != sklo[:-1])])
-    run_lo = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(neq, iota, 0))
+    run_lo = jax.lax.cummax(jnp.where(neq, iota, 0))
     # run end: first boundary at or after i+1 (reverse min-scan)
     nxt = jnp.concatenate([neq[1:], jnp.ones(1, bool)])
-    run_hi = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(nxt, iota + 1, n), reverse=True)
+    run_hi = jax.lax.cummin(jnp.where(nxt, iota + 1, n), reverse=True)
     rank = jnp.zeros(n, dtype=I32).at[sa].set(run_lo)
     ranges = jnp.zeros((n, 2), dtype=I32)
     ranges = ranges.at[sa, 0].set(run_lo)
@@ -160,8 +158,7 @@ def _doubling_rounds(sa: jax.Array, rank: jax.Array, slots: jax.Array,
         nb = jnp.concatenate([
             jnp.ones(1, bool),
             (sp[1:] != sp[:-1]) | (ss[1:] != ss[:-1])])
-        rs = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(nb, dest, -1))
+        rs = jax.lax.cummax(jnp.where(nb, dest, -1))
         rank = rank.at[jnp.where(jcap < n_tied, p_sorted, n)].set(
             rs, mode="drop")
         # still tied: sub-run length > 1
@@ -192,7 +189,7 @@ def _full_round(sa: jax.Array, rank: jax.Array, h: jax.Array):
     iota = jnp.arange(n, dtype=I32)
     nb = jnp.concatenate([
         jnp.ones(1, bool), (sp[1:] != sp[:-1]) | (ss[1:] != ss[:-1])])
-    rs = jax.lax.associative_scan(jnp.maximum, jnp.where(nb, iota, 0))
+    rs = jax.lax.cummax(jnp.where(nb, iota, 0))
     rank = jnp.zeros(n, dtype=I32).at[p_sorted].set(rs)
     nxt_same = jnp.concatenate([rs[1:] == rs[:-1], jnp.zeros(1, bool)])
     prv_same = jnp.concatenate([jnp.zeros(1, bool), rs[1:] == rs[:-1]])

@@ -67,6 +67,27 @@ def _pack_probe_kmers(needle_codes_padded: np.ndarray, is_: np.ndarray,
     return out
 
 
+def raw_families_to_protosds(raw_families, s: RunSettings, start: int,
+                             length: int) -> list[list[ProtoSD]]:
+    """Chunk-engine output → ProtoSDs in global coordinates with
+    direction flags stamped (coordinate fixup, asgart.rs:229-253)."""
+    families = []
+    for fam in raw_families:
+        family = []
+        for (left, right, llen, rlen) in fam:
+            if not s.reverse:
+                left = left + start
+            else:
+                left = start + length - left - llen
+            family.append(ProtoSD(
+                left=left, right=right,
+                left_length=llen, right_length=rlen,
+                identity=0.0,
+                reversed=s.reverse, complemented=s.complement))
+        families.append(family)
+    return families
+
+
 class SearchEngine:
     """Seed lookup + chaining over one prepared strand (see the module
     docstring for the strategy matrix)."""
@@ -165,22 +186,23 @@ class SearchEngine:
             max_match_pos=max_match_pos,
         )
 
-        families = []
-        for fam in raw_families:
-            family = []
-            for (left, right, llen, rlen) in fam:
-                # coordinate fixup (asgart.rs:229-237)
-                if not s.reverse:
-                    left = left + start
-                else:
-                    left = start + length - left - llen
-                family.append(ProtoSD(
-                    left=left, right=right,
-                    left_length=llen, right_length=rlen,
-                    identity=0.0,
-                    reversed=s.reverse, complemented=s.complement))
-            families.append(family)
-        return families
+        return raw_families_to_protosds(raw_families, s, start, length)
+
+
+class _DeviceEngineAdapter:
+    """Pipeline-facing wrapper of :class:`asgart_tpu.device_engine
+    .DeviceEngine` (same ``run_chunk`` contract as SearchEngine)."""
+
+    def __init__(self, strand, settings, profile=None):
+        from .device_engine import DeviceEngine
+
+        self.settings = settings
+        self.dev = DeviceEngine(strand, settings, profile=profile)
+
+    def run_chunk(self, chunk):
+        start, length = chunk
+        raw = self.dev.run_chunk(chunk)
+        return raw_families_to_protosds(raw, self.settings, start, length)
 
 
 def search_duplications(
@@ -238,7 +260,14 @@ def search_duplications(
     # [1/N] proto-duplication search
     log.info("[1] Looking for proto-duplications...")
     t0 = time.time()
-    se = SearchEngine(strand, settings, trim, engine=engine)
+    if engine == "tpu" and trim is None:
+        # production TPU path: index built in HBM, scan + compaction on
+        # device, event chaining on host (device_engine module docstring)
+        se = _DeviceEngineAdapter(strand, settings, profile=prof)
+    else:
+        # trim windows keep the windowed-SA strategy (host build + the
+        # legacy device binary-search lookup for engine="tpu")
+        se = SearchEngine(strand, settings, trim, engine=engine)
     prof["index_s"] = round(time.time() - t0, 3)
     t0 = time.time()
     families: list[list[ProtoSD]] = []

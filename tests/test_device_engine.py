@@ -1,0 +1,119 @@
+"""TPU production engine (device index + scan + event chain) vs the host
+engine: full-pipeline output equality on the CPU backend."""
+
+import json
+
+import numpy as np
+import pytest
+
+from asgart_tpu.pipeline import search_duplications
+from asgart_tpu.structs import RunSettings
+from tests.util import plant_duplication, random_dna, revcomp, write_fasta
+
+
+def run_both(tmp_path, text_body: bytes, settings_kw: dict):
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", text_body)])
+    host = search_duplications([str(fa)], RunSettings(**settings_kw),
+                               engine="host")
+    tpu = search_duplications([str(fa)], RunSettings(**settings_kw),
+                              engine="tpu")
+    return host, tpu
+
+
+def assert_results_equal(host, tpu):
+    h = [[vars(sd) for sd in fam] for fam in host.families]
+    t = [[vars(sd) for sd in fam] for fam in tpu.families]
+    assert json.dumps(t, sort_keys=True) == json.dumps(h, sort_keys=True)
+
+
+def test_device_engine_direct(tmp_path):
+    rng = np.random.default_rng(0)
+    text = plant_duplication(rng, 30000, 2000, 5000, 20000, noise=0.01)
+    host, tpu = run_both(tmp_path, text, {})
+    assert_results_equal(host, tpu)
+    assert host.families, "nothing found"
+
+
+def test_device_engine_rc(tmp_path):
+    rng = np.random.default_rng(1)
+    text = plant_duplication(rng, 24000, 1500, 3000, 15000,
+                             transform=revcomp)
+    host, tpu = run_both(tmp_path, text,
+                         dict(reverse=True, complement=True))
+    assert_results_equal(host, tpu)
+    assert host.families
+
+
+def test_device_engine_multi_chunk_and_ns(tmp_path):
+    """N-runs split chunks; probes and aging must stay chunk-local."""
+    rng = np.random.default_rng(2)
+    g = bytearray(random_dna(rng, 40000, b"ACGT"))
+    g[9000:11000] = bytes(g[2000:4000])
+    g[20000:26000] = b"N" * 6000          # chunk split (> 5000)
+    g[32000:33500] = bytes(g[27000:28500])
+    host, tpu = run_both(tmp_path, bytes(g),
+                         dict(min_duplication_length=800))
+    assert_results_equal(host, tpu)
+    assert sum(len(f) for f in host.families) >= 2
+
+
+def test_device_engine_repeat_heavy_cardinality(tmp_path):
+    """Alu-like scatter: many matches per probe, cardinality skips, and a
+    valid medium-cardinality family."""
+    rng = np.random.default_rng(3)
+    n = 30000
+    g = bytearray(random_dna(rng, n, b"ACGT"))
+    alu = random_dna(rng, 300, b"ACGT")
+    for i in range(40):  # 40 noisy copies -> probes above max_cardinality
+        p = 300 + i * 700
+        elt = bytearray(alu)
+        for _ in range(12):
+            elt[int(rng.integers(0, 300))] = int(rng.integers(65, 68))
+        g[p:p + 300] = bytes(elt)
+    g[n - 3000:n - 1000] = bytes(g[500:2500])
+    host, tpu = run_both(
+        tmp_path, bytes(g),
+        dict(max_cardinality=20, min_duplication_length=500))
+    assert_results_equal(host, tpu)
+
+
+@pytest.mark.parametrize("trial", range(5))
+def test_device_engine_fuzz(tmp_path, trial):
+    rng = np.random.default_rng(100 + trial)
+    k = int(rng.choice([10, 14, 20]))
+    reverse = bool(rng.integers(0, 2))
+    kw = dict(
+        probe_size=k,
+        max_gap_size=int(rng.integers(k + 5, 120)),
+        min_duplication_length=int(rng.integers(150, 600)),
+        max_cardinality=int(rng.integers(10, 120)),
+        reverse=reverse, complement=reverse)
+    n = int(rng.integers(8000, 20000))
+    g = bytearray(random_dna(rng, n, b"ACGT" if trial % 2 else b"ACG"))
+    for _ in range(int(rng.integers(1, 4))):
+        L = int(rng.integers(300, 900))
+        src = int(rng.integers(0, n // 2 - L))
+        dst = int(rng.integers(n // 2, n - L))
+        seg = bytes(g[src:src + L])
+        if reverse:
+            seg = revcomp(seg)
+        g[dst:dst + L] = seg
+    host, tpu = run_both(tmp_path, bytes(g), kw)
+    assert_results_equal(host, tpu)
+
+
+def test_device_engine_json_byte_equal(tmp_path):
+    """The full exported JSON must be byte-identical across engines."""
+    import io
+
+    from asgart_tpu.exporters import JSONExporter
+
+    rng = np.random.default_rng(9)
+    text = plant_duplication(rng, 16000, 1200, 2000, 9000)
+    host, tpu = run_both(tmp_path, text, {})
+    bh, bt = io.StringIO(), io.StringIO()
+    JSONExporter().save(host, bh)
+    JSONExporter().save(tpu, bt)
+    assert bt.getvalue() == bh.getvalue()
+    assert len(bh.getvalue()) > 200
