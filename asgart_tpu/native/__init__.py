@@ -91,6 +91,10 @@ def _load() -> ctypes.CDLL:
         lib.asgart_levenshtein.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
 
+        lib.asgart_levenshtein_myers.restype = ctypes.c_int64
+        lib.asgart_levenshtein_myers.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+
         lib.asgart_kmer_suffix_sort.restype = ctypes.c_int
         lib.asgart_kmer_suffix_sort.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -488,6 +492,18 @@ def group_tables(sa: np.ndarray, kmers: np.ndarray,
 
 
 def levenshtein(a: bytes, b: bytes) -> int:
+    """Levenshtein distance (Myers/Hyyrö bit-parallel; same metric as the
+    reference's DP, usable on Mbp-scale arms)."""
+    lib = _load()
+    ab = np.frombuffer(a, dtype=np.uint8)
+    bb = np.frombuffer(b, dtype=np.uint8)
+    return int(lib.asgart_levenshtein_myers(
+        ab.ctypes.data_as(ctypes.c_void_p), len(ab),
+        bb.ctypes.data_as(ctypes.c_void_p), len(bb)))
+
+
+def levenshtein_dp(a: bytes, b: bytes) -> int:
+    """Two-row DP oracle (the reference's algorithm, structs.rs:439-452)."""
     lib = _load()
     ab = np.frombuffer(a, dtype=np.uint8)
     bb = np.frombuffer(b, dtype=np.uint8)

@@ -1333,7 +1333,58 @@ int asgart_pack_at(const uint8_t* codes, int64_t n, int64_t k,
   return 0;
 }
 
-// Levenshtein distance, two-row DP.
+// Levenshtein distance, Myers/Hyyrö bit-parallel (word-packed DP columns,
+// O(n*m/64)). Exactly the same metric as the reference's two-row DP
+// (bio::alignment::distance::levenshtein, used by structs.rs:439-452) —
+// the DP implementation below is kept as the test oracle. Global-distance
+// variant: the horizontal input into each column starts at +1 (row 0 of
+// the DP is 0,1,2,... unlike Myers' semi-global matcher).
+int64_t asgart_levenshtein_myers(const uint8_t* a, int64_t n,
+                                 const uint8_t* b, int64_t m) {
+  // a = text (columns), b = pattern (rows, bit-packed)
+  if (m == 0) return n;
+  if (n == 0) return m;
+  const int64_t W = 64;
+  const int64_t B = (m + W - 1) / W;
+  // per-symbol pattern-match masks (dense 256 keeps it branch-free)
+  std::vector<uint64_t> peq(256 * B, 0);
+  for (int64_t i = 0; i < m; ++i)
+    peq[int64_t(b[i]) * B + i / W] |= uint64_t(1) << (i % W);
+
+  std::vector<uint64_t> VP(B, ~uint64_t(0)), VN(B, 0);
+  int64_t score = m;
+  const int64_t r = (m - 1) % W;  // row m-1's bit in the last block
+
+  for (int64_t j = 0; j < n; ++j) {
+    const uint64_t* eqc = &peq[int64_t(a[j]) * B];
+    int hin = 1;  // global distance: row 0 grows by 1 per column
+    for (int64_t bk = 0; bk < B; ++bk) {
+      uint64_t Eq = eqc[bk];
+      const uint64_t vp = VP[bk], vn = VN[bk];
+      const uint64_t Xv = Eq | vn;
+      if (hin < 0) Eq |= 1;
+      const uint64_t Xh = (((Eq & vp) + vp) ^ vp) | Eq;
+      uint64_t Ph = vn | ~(Xh | vp);
+      uint64_t Mh = vp & Xh;
+      const int64_t out_bit = (bk == B - 1) ? r : W - 1;
+      int hout = 0;
+      if ((Ph >> out_bit) & 1) hout = 1;
+      else if ((Mh >> out_bit) & 1) hout = -1;
+      Ph <<= 1;
+      Mh <<= 1;
+      if (hin > 0) Ph |= 1;
+      else if (hin < 0) Mh |= 1;
+      VP[bk] = Mh | ~(Xv | Ph);
+      VN[bk] = Ph & Xv;
+      if (bk == B - 1) score += hout;
+      hin = hout;
+    }
+  }
+  return score;
+}
+
+// Levenshtein distance, two-row DP (test oracle; the production path is
+// the bit-parallel variant above).
 int64_t asgart_levenshtein(const uint8_t* a, int64_t n, const uint8_t* b,
                            int64_t m) {
   if (n == 0) return m;

@@ -1,0 +1,83 @@
+"""Real-TPU smoke + timing of the device engine: staged sizes, with
+equality check against the host engine at the small size."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    log(f"devices: {jax.devices()}")
+
+    from asgart_tpu.device_index import DeviceIndex
+    from asgart_tpu.fasta import Strand, find_chunks_to_process
+    from asgart_tpu.pipeline import (SearchEngine, _DeviceEngineAdapter)
+    from asgart_tpu.structs import RunSettings, Start
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import synthetic_genome
+
+    for mbp in (8, 32, float(os.environ.get("SMOKE_MBP", "0")) or None):
+        if mbp is None:
+            break
+        n = int(mbp * 1e6)
+        rng = np.random.default_rng(1234)
+        g = synthetic_genome(n, rng)
+        data = np.concatenate([g, np.frombuffer(b"$", dtype=np.uint8)])
+        strand = Strand(file_names="bench", data=data,
+                        map=[Start("chr1", 0, n)])
+        chunks = find_chunks_to_process(g)
+        settings = RunSettings(reverse=True, complement=True)
+
+        t0 = time.time()
+        dev = _DeviceEngineAdapter(strand, settings)
+        t_index = time.time() - t0
+        t0 = time.time()
+        fams_dev = []
+        for c in chunks:
+            fams_dev.extend(dev.run_chunk(c))
+        t_scan = time.time() - t0
+        n_dev = sum(len(f) for f in fams_dev)
+        log(f"[{mbp:.0f} Mbp] device: index {t_index:.2f}s scan "
+            f"{t_scan:.2f}s -> {mbp/(t_index+t_scan):.1f} Mbp/s, "
+            f"{n_dev} SDs")
+
+        if mbp <= 8:
+            t0 = time.time()
+            se = SearchEngine(strand, settings, None, engine="host")
+            th_i = time.time() - t0
+            t0 = time.time()
+            fams_host = []
+            for c in chunks:
+                fams_host.extend(se.run_chunk(c))
+            th_s = time.time() - t0
+            n_host = sum(len(f) for f in fams_host)
+            log(f"[{mbp:.0f} Mbp] host:   index {th_i:.2f}s scan "
+                f"{th_s:.2f}s -> {mbp/(th_i+th_s):.1f} Mbp/s, "
+                f"{n_host} SDs")
+            same = ([[vars(s_) for s_ in f] for f in fams_dev] ==
+                    [[vars(s_) for s_ in f] for f in fams_host])
+            log(f"[{mbp:.0f} Mbp] EQUAL: {same}")
+            if not same:
+                log("MISMATCH — aborting")
+                return
+
+    log("smoke done")
+
+
+if __name__ == "__main__":
+    main()
