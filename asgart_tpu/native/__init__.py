@@ -95,6 +95,16 @@ def _load() -> ctypes.CDLL:
         lib.asgart_levenshtein_myers.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
 
+        lib.asgart_reduce_overlap.restype = ctypes.c_int
+        lib.asgart_reduce_overlap.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+
+        lib.asgart_filter_ns.restype = ctypes.c_int
+        lib.asgart_filter_ns.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+
         lib.asgart_kmer_suffix_sort.restype = ctypes.c_int
         lib.asgart_kmer_suffix_sort.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -489,6 +499,45 @@ def group_tables(sa: np.ndarray, kmers: np.ndarray,
     if rc != 0:
         raise RuntimeError("asgart_group_tables failed")
     return pos_lo, pos_hi
+
+
+def reduce_overlap_csr(sds: np.ndarray, fam_offsets: np.ndarray,
+                       n_threads: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Fixpoint overlap reduction over CSR-packed families ([total, 4]
+    int64 records + offsets), threaded across families. Returns the
+    reduced (sds, offsets)."""
+    lib = _load()
+    sds = np.ascontiguousarray(sds, dtype=np.int64)
+    fam_offsets = _as_i64(fam_offsets)
+    n_fams = len(fam_offsets) - 1
+    out_sds = np.empty_like(sds)
+    out_offsets = np.empty_like(fam_offsets)
+    n_threads = n_threads or (os.cpu_count() or 1)
+    rc = lib.asgart_reduce_overlap(
+        sds.ctypes.data_as(ctypes.c_void_p),
+        fam_offsets.ctypes.data_as(ctypes.c_void_p), n_fams,
+        out_sds.ctypes.data_as(ctypes.c_void_p),
+        out_offsets.ctypes.data_as(ctypes.c_void_p), n_threads)
+    if rc != 0:
+        raise RuntimeError("asgart_reduce_overlap failed")
+    return out_sds[: out_offsets[-1]], out_offsets
+
+
+def filter_ns_flags(sds: np.ndarray, strand: bytes,
+                    n_threads: int = 0) -> np.ndarray:
+    """Per-record keep flags for the FilterNs step (>20% N drop)."""
+    lib = _load()
+    sds = np.ascontiguousarray(sds, dtype=np.int64)
+    keep = np.empty(len(sds), dtype=np.uint8)
+    sb = np.frombuffer(strand, dtype=np.uint8)
+    n_threads = n_threads or (os.cpu_count() or 1)
+    rc = lib.asgart_filter_ns(
+        sds.ctypes.data_as(ctypes.c_void_p), len(sds),
+        sb.ctypes.data_as(ctypes.c_void_p), len(sb),
+        keep.ctypes.data_as(ctypes.c_void_p), n_threads)
+    if rc != 0:
+        raise RuntimeError("asgart_filter_ns failed")
+    return keep.astype(bool)
 
 
 def levenshtein(a: bytes, b: bytes) -> int:

@@ -1333,6 +1333,153 @@ int asgart_pack_at(const uint8_t* codes, int64_t n, int64_t k,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Post-processing: FilterNs + ReduceOverlap over CSR-packed families,
+// threaded across families (the reference parallelizes these steps with
+// rayon par_iter, asgart.rs:40,89,105). Records are [4] int64:
+// left, right, left_length, right_length.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline bool pp_subsegment(int64_t xs, int64_t xl, int64_t ys, int64_t yl) {
+  return xs >= ys && xs + xl <= ys + yl;
+}
+
+inline bool pp_overlap(int64_t xs, int64_t xl, int64_t ys, int64_t yl) {
+  const int64_t xe = xs + xl, ye = ys + yl;
+  return (ys <= xs && xs <= ye && xe >= ye) ||
+         (xs <= ys && ys <= xe && ye >= xe);
+}
+
+// One absorb pass (asgart.rs:515-551), preserving the reference's
+// left/right length mixing in merge (asgart.rs:497-513).
+inline int64_t pp_reduce_once(const int64_t* in, int64_t m, int64_t* out) {
+  int64_t k = 0;
+  for (int64_t i = 0; i < m; ++i) {
+    const int64_t xl = in[4 * i], xr = in[4 * i + 1];
+    const int64_t xll = in[4 * i + 2], xrl = in[4 * i + 3];
+    bool absorbed = false;
+    for (int64_t j = 0; j < k; ++j) {
+      int64_t& yl = out[4 * j];
+      int64_t& yr = out[4 * j + 1];
+      int64_t& yll = out[4 * j + 2];
+      int64_t& yrl = out[4 * j + 3];
+      if (pp_subsegment(xl, xll, yl, yll) &&
+          pp_subsegment(xr, xrl, yr, yrl)) {
+        absorbed = true;
+        break;
+      }
+      if (pp_subsegment(yl, yll, xl, xll) &&
+          pp_subsegment(yr, yrl, xr, xrl)) {
+        yl = xl; yr = xr; yll = xll; yrl = xrl;
+        absorbed = true;
+        break;
+      }
+      if (pp_overlap(xl, xll, yl, yll) && pp_overlap(xr, xrl, yr, yrl)) {
+        const int64_t nl = std::min(xl, yl);
+        const int64_t ls =
+            std::max(xl + xll, yl + yrl) - nl;  // reference quirk
+        const int64_t nr = std::min(xr, yr);
+        const int64_t rs = std::max(xr + xll, yr + yrl) - nr;
+        yl = nl; yr = nr; yll = ls; yrl = rs;
+        absorbed = true;
+        break;
+      }
+    }
+    if (!absorbed) {
+      out[4 * k] = xl; out[4 * k + 1] = xr;
+      out[4 * k + 2] = xll; out[4 * k + 3] = xrl;
+      ++k;
+    }
+  }
+  return k;
+}
+
+}  // namespace
+
+// Fixpoint overlap reduction per family (asgart.rs:553-561), threaded
+// across families. In/out CSR; out buffers must be at least input-sized
+// (output never grows). Returns 0.
+int asgart_reduce_overlap(const int64_t* sds, const int64_t* fam_offsets,
+                          int64_t n_fams, int64_t* out_sds,
+                          int64_t* out_offsets, int64_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::vector<int64_t> sizes(n_fams, 0);
+  std::atomic<int64_t> cursor{0};
+  std::vector<std::thread> ts;
+  std::vector<std::vector<int64_t>> results(n_fams);
+  for (int64_t t = 0; t < n_threads; ++t) {
+    ts.emplace_back([&]() {
+      std::vector<int64_t> buf_a, buf_b;
+      int64_t f;
+      while ((f = cursor.fetch_add(1)) < n_fams) {
+        const int64_t b = fam_offsets[f], e = fam_offsets[f + 1];
+        int64_t m = e - b;
+        buf_a.assign(sds + 4 * b, sds + 4 * e);
+        buf_b.resize(4 * m);
+        int64_t old_size = m;
+        int64_t k = pp_reduce_once(buf_a.data(), m, buf_b.data());
+        buf_a.swap(buf_b);
+        while (k < old_size) {
+          old_size = k;
+          buf_b.resize(4 * k);
+          k = pp_reduce_once(buf_a.data(), k, buf_b.data());
+          buf_a.swap(buf_b);
+        }
+        buf_a.resize(4 * k);
+        results[f] = buf_a;
+        sizes[f] = k;
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  int64_t off = 0;
+  out_offsets[0] = 0;
+  for (int64_t f = 0; f < n_fams; ++f) {
+    std::memcpy(out_sds + 4 * off, results[f].data(),
+                sizeof(int64_t) * 4 * sizes[f]);
+    off += sizes[f];
+    out_offsets[f + 1] = off;
+  }
+  return 0;
+}
+
+// FilterNs (asgart.rs:81-96 / structs.rs:454-467): drop duplicons whose
+// worse arm exceeds 20% N ('N' or 'n'; arms are INCLUSIVE slices, and
+// the fractions are computed in f32 like the reference). keep_out[i] = 1
+// to keep record i. Threaded across records.
+int asgart_filter_ns(const int64_t* sds, int64_t n_sds,
+                     const uint8_t* strand, int64_t strand_len,
+                     uint8_t* keep_out, int64_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  const int64_t per = (n_sds + n_threads - 1) / n_threads;
+  std::vector<std::thread> ts;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    int64_t b0 = t * per, b1 = std::min(n_sds, (t + 1) * per);
+    if (b0 >= b1) break;
+    ts.emplace_back([&, b0, b1]() {
+      auto count_n = [&](int64_t s, int64_t l) -> int64_t {
+        int64_t e = std::min(s + l + 1, strand_len);  // inclusive slice
+        s = std::min(std::max(s, int64_t(0)), strand_len);
+        int64_t c = 0;
+        for (int64_t q = s; q < e; ++q)
+          c += (strand[q] == 'N') | (strand[q] == 'n');
+        return c;
+      };
+      for (int64_t i = b0; i < b1; ++i) {
+        const int64_t ln = count_n(sds[4 * i], sds[4 * i + 2]);
+        const int64_t rn = count_n(sds[4 * i + 1], sds[4 * i + 3]);
+        const float lf = float(ln) / float(sds[4 * i + 2]);
+        const float rf = float(rn) / float(sds[4 * i + 3]);
+        keep_out[i] = (std::max(lf, rf) <= 0.2f) ? 1 : 0;
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
+  return 0;
+}
+
 // Levenshtein distance, Myers/Hyyrö bit-parallel (word-packed DP columns,
 // O(n*m/64)). Exactly the same metric as the reference's two-row DP
 // (bio::alignment::distance::levenshtein, used by structs.rs:439-452) —

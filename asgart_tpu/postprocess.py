@@ -17,11 +17,58 @@ from __future__ import annotations
 from .structs import ProtoSD
 
 
-def filter_ns(families: list[list[ProtoSD]], strand: bytes) -> list[list[ProtoSD]]:
-    """Drop duplicons with > 20% N in either arm (asgart.rs:81-96)."""
+def _pack_csr(families: list[list[ProtoSD]]):
+    import numpy as np
+
+    offsets = np.zeros(len(families) + 1, dtype=np.int64)
+    total = 0
+    for f, fam in enumerate(families):
+        total += len(fam)
+        offsets[f + 1] = total
+    sds = np.empty((total, 4), dtype=np.int64)
+    i = 0
+    for fam in families:
+        for sd in fam:
+            sds[i] = (sd.left, sd.right, sd.left_length, sd.right_length)
+            i += 1
+    return sds, offsets
+
+
+def filter_ns(families: list[list[ProtoSD]],
+              strand: bytes) -> list[list[ProtoSD]]:
+    """Drop duplicons with > 20% N in either arm (asgart.rs:81-96).
+    Record-parallel in the native runtime (rayon analog: asgart.rs:89)."""
+    from . import native
+
+    sds, _ = _pack_csr(families)
+    if not len(sds):
+        return []
+    keep = native.filter_ns_flags(sds, strand)
+    out = []
+    i = 0
+    for family in families:
+        kept = [sd for sd, k in zip(family, keep[i:i + len(family)]) if k]
+        i += len(family)
+        if kept:
+            out.append(kept)
+    return out
+
+
+def filter_ns_py(families: list[list[ProtoSD]],
+                 strand: bytes) -> list[list[ProtoSD]]:
+    """Pure-Python oracle of :func:`filter_ns`.
+
+    The threshold compare happens in f32 like the reference
+    (``n_content() <= 0.2`` with an f32 n_content infers an f32 literal,
+    asgart.rs:89 / structs.rs:453): an arm at exactly 2/10 N is KEPT.
+    Round 1 compared in f64 and wrongly dropped it.
+    """
+    import numpy as np
+
+    thr = float(np.float32(0.2))
     out = []
     for family in families:
-        kept = [sd for sd in family if sd.n_content(strand) <= 0.2]
+        kept = [sd for sd in family if sd.n_content(strand) <= thr]
         if kept:
             out.append(kept)
     return out
@@ -101,16 +148,54 @@ def reduce_overlap_family(family: list[ProtoSD]) -> list[ProtoSD]:
 
 
 def reduce_overlap(families: list[list[ProtoSD]]) -> list[list[ProtoSD]]:
+    """Family-parallel fixpoint reduction in the native runtime."""
+    from . import native
+
+    if not families:
+        return families
+    sds, offsets = _pack_csr(families)
+    out_sds, out_offsets = native.reduce_overlap_csr(sds, offsets)
+    out = []
+    for f, family in enumerate(families):
+        proto = family[0]
+        out.append([
+            ProtoSD(left=int(row[0]), right=int(row[1]),
+                    left_length=int(row[2]), right_length=int(row[3]),
+                    identity=0.0, reversed=proto.reversed,
+                    complemented=proto.complemented)
+            for row in out_sds[out_offsets[f]:out_offsets[f + 1]]])
+    return out
+
+
+def reduce_overlap_py(families: list[list[ProtoSD]]) -> list[list[ProtoSD]]:
+    """Pure-Python oracle of :func:`reduce_overlap`."""
     return [reduce_overlap_family(f) for f in families]
 
 
-def compute_score(families: list[list[ProtoSD]], strand: bytes) -> list[list[ProtoSD]]:
-    """Levenshtein identity (asgart.rs:98-112); f64 → f32 cast at store."""
+def compute_score(families: list[list[ProtoSD]],
+                  strand: bytes) -> list[list[ProtoSD]]:
+    """Levenshtein identity (asgart.rs:98-112); f64 → f32 cast at store.
+    Duplicon-parallel: the native Myers kernel releases the GIL, so a
+    thread pool gets real concurrency (rayon analog: asgart.rs:105)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     import numpy as np
 
-    for family in families:
-        for sd in family:
-            sd.identity = float(np.float32(sd.levenshtein(strand)))
+    flat = [sd for family in families for sd in family]
+    if not flat:
+        return families
+
+    def score(sd):
+        sd.identity = float(np.float32(sd.levenshtein(strand)))
+
+    workers = min(len(flat), os.cpu_count() or 1)
+    if workers > 1 and len(flat) > 8:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(score, flat))
+    else:
+        for sd in flat:
+            score(sd)
     return families
 
 
