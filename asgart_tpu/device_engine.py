@@ -135,13 +135,13 @@ def _scan_compact(sa, is_, mask, lo, hi, chunk_start, chunk_len,
     n_events = jnp.sum(event.astype(I32))
     dest = jnp.where(event & (e_rank < ev_cap), e_rank, ev_cap)
     A = jnp.cumsum(vz.astype(I32))
-    ev_pack = jnp.zeros((3, ev_cap), I32)
-    ev_pack = ev_pack.at[0, dest].set(is_, mode="drop")
-    ev_pack = ev_pack.at[1, dest].set(A, mode="drop")          # A at event
-    ev_pack = ev_pack.at[2, dest].set(kept, mode="drop")
+    z = jnp.zeros(ev_cap, I32)
+    ev_probe = z.at[dest].set(is_, mode="drop")
+    a_evt = z.at[dest].set(A, mode="drop")                     # A at event
+    ev_count = z.at[dest].set(kept, mode="drop")
     # z_before[e] = A_evt[e] - A_evt[e-1] (A excludes the event itself)
-    a_evt = ev_pack[1]
-    ev_pack = ev_pack.at[1, 1:].set(a_evt[1:] - a_evt[:-1])
+    ev_z = jnp.concatenate([a_evt[:1], a_evt[1:] - a_evt[:-1]])
+    ev_pack = jnp.stack([ev_probe, ev_z, ev_count])
     z_trail = (A[B - 1] if B > 0 else jnp.int32(0)) - jnp.where(
         n_events > 0, a_evt[jnp.maximum(n_events - 1, 0)], 0)
 
@@ -157,17 +157,85 @@ def _scan_compact(sa, is_, mask, lo, hi, chunk_start, chunk_len,
     return ev_pack, m_flat, scalars
 
 
+def _sharded_scan_compact(mesh, cap: int, ev_cap: int, reverse: bool,
+                          axis: str = "probes"):
+    """SPMD scan: index replicated over the mesh, probe slices sharded.
+
+    Every device runs the identical `_scan_compact` on its contiguous
+    probe slice; per-shard event streams come back stacked and the host
+    concatenates them with an aging-carry fix (`_merge_shard_events`) —
+    the subsequent global event chain is then *identical* to the
+    single-device run: shard boundaries drop nothing.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    rep, shard = P(), P(axis)
+
+    def step(sa, is_, mask, lo, hi, chunk_start, chunk_len,
+             max_match_pos, max_cardinality):
+        ev_pack, m_flat, scalars = _scan_compact(
+            sa, is_, mask, lo, hi, chunk_start, chunk_len,
+            max_match_pos, max_cardinality, cap, ev_cap, reverse)
+        # per-shard trailing-aging totals for the host-side carry fix
+        return ev_pack[None], m_flat[None], scalars[None]
+
+    mapped = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(rep, shard, shard, shard, shard, rep, rep, rep, rep),
+        out_specs=(shard, shard, shard),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+def _merge_shard_events(shard_events):
+    """Concatenate per-shard (probe_i, z_before, counts, m_flat, z_trail)
+    into one global event stream.
+
+    Aging carry: quiet probes trailing shard s (and whole quiet shards)
+    prepend onto the first event of the next shard with events, exactly
+    reproducing the unsharded stream's z_before sequence.
+    """
+    evs, ms = [], []
+    carry = 0
+    for (ev, m, z_trail) in shard_events:
+        if ev.shape[1] > 0:
+            ev = ev.copy()
+            ev[1, 0] += carry
+            evs.append(ev)
+            ms.append(m)
+            carry = z_trail
+        else:
+            carry += z_trail
+    if not evs:
+        return None, None, carry
+    return np.concatenate(evs, axis=1), np.concatenate(ms), carry
+
+
 class DeviceEngine:
     """On-device search over one prepared strand (the ``engine="tpu"``
-    production path)."""
+    production path). With more than one visible device, the probe axis
+    is sharded over a mesh (index replicated in every HBM)."""
 
-    def __init__(self, strand, settings, profile: dict | None = None):
+    def __init__(self, strand, settings, profile: dict | None = None,
+                 mesh=None):
         self.strand = strand
         self.settings = settings
         t0 = time.time()
         self.didx = DeviceIndex.build(
             strand.data, settings.probe_size,
             reverse=settings.reverse, complement=settings.complement)
+        if mesh is None and len(jax.devices()) > 1:
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.array(jax.devices()), ("probes",))
+        self.mesh = mesh or None  # mesh=False forces the single-device path
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.mesh, P())
+            self.didx.sa = jax.device_put(self.didx.sa, rep)
+            self.didx.ranges = jax.device_put(self.didx.ranges, rep)
+            self.didx.codes = jax.device_put(self.didx.codes, rep)
         if profile is not None:
             profile["device_index_s"] = round(time.time() - t0, 3)
 
@@ -186,6 +254,10 @@ class DeviceEngine:
         n_probes = (bound + step - 1) // step
         b_pad = _bucket(n_probes)
 
+        n_shards = self.mesh.devices.size if self.mesh is not None else 1
+        if b_pad % n_shards:
+            b_pad = ((b_pad + n_shards - 1) // n_shards) * n_shards
+
         didx = self.didx
         is_, mask, lo, hi, total_raw = _probe_tables(
             didx.ranges, didx.codes, jnp.int32(start), jnp.int32(length),
@@ -195,24 +267,44 @@ class DeviceEngine:
         cap = _bucket(max(total_raw + 1, 1 << 20))
         ev_cap = _bucket(min(cap, b_pad)) // 4
         while True:
-            ev_pack, m_flat, scalars = _scan_compact(
-                didx.sa, is_, mask, lo, hi, jnp.int32(start),
-                jnp.int32(length), jnp.int32(didx.first_len - 1),
-                jnp.int32(s.max_cardinality), cap, ev_cap, s.reverse)
-            n_events, total_kept, z_trail, overflow = (
-                int(v) for v in np.asarray(scalars))
-            if not overflow:
+            if self.mesh is None:
+                ev_pack, m_flat, scalars = _scan_compact(
+                    didx.sa, is_, mask, lo, hi, jnp.int32(start),
+                    jnp.int32(length), jnp.int32(didx.first_len - 1),
+                    jnp.int32(s.max_cardinality), cap, ev_cap, s.reverse)
+                shards = [(ev_pack, m_flat, scalars)]
+            else:
+                step_fn = _sharded_scan_compact(
+                    self.mesh, cap, ev_cap, s.reverse)
+                evs, mfs, scs = step_fn(
+                    didx.sa, is_, mask, lo, hi, jnp.int32(start),
+                    jnp.int32(length), jnp.int32(didx.first_len - 1),
+                    jnp.int32(s.max_cardinality))
+                shards = [(evs[i], mfs[i], scs[i])
+                          for i in range(n_shards)]
+
+            parts = []
+            overflow_any = False
+            max_ev = 0
+            for ev_pack, m_flat, scalars in shards:
+                n_events, total_kept, z_trail, overflow = (
+                    int(v) for v in np.asarray(scalars))
+                overflow_any |= bool(overflow)
+                max_ev = max(max_ev, n_events)
+                parts.append((np.asarray(ev_pack[:, :n_events]),
+                              np.asarray(m_flat[:total_kept]), z_trail))
+            if not overflow_any:
                 break
-            if n_events > ev_cap:
-                ev_cap = _bucket(n_events + 1)
+            if max_ev > ev_cap:
+                ev_cap = _bucket(max_ev + 1)
             else:
                 cap *= 2  # exact raw total exceeded the estimate
             log.debug("device scan retry: cap=%d ev_cap=%d", cap, ev_cap)
 
-        if n_events == 0:
+        ev, m_host, z_trail = _merge_shard_events(parts)
+        if ev is None:
             return []
-        ev = np.asarray(ev_pack[:, :n_events])
-        m_host = np.asarray(m_flat[:total_kept])
+        n_events = ev.shape[1]
         m_offsets = np.zeros(n_events + 1, dtype=np.int64)
         np.cumsum(ev[2], out=m_offsets[1:])
 

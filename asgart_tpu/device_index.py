@@ -49,6 +49,13 @@ COMP_CODE = np.array([0, 5, 3, 2, 4, 1], dtype=np.uint8)
 LO_SYMS = 10  # symbols in the low plane (30 bits)
 
 
+def _bucket_pow2(n: int) -> int:
+    b = 1
+    while b < n:
+        b <<= 1
+    return b
+
+
 @functools.partial(jax.jit, static_argnames=("k", "reverse", "complement",
                                              "pad_to"))
 def _build_text_codes(codes: jax.Array, k: int, reverse: bool,
@@ -98,7 +105,13 @@ def _groups_and_tables(skhi: jax.Array, sklo: jax.Array, sa: jax.Array):
     """Equal-key run boundaries over the sorted keys.
 
     Returns (rank [n] pos→run-start slot, ranges [n, 2] pos→[lo, hi),
-    tied_slot [n] bool)."""
+    tied_slot [n] bool).
+
+    The position-indexed outputs are produced by ONE payload sort keyed
+    on `sa` (an inverse permutation): full-size random scatters run at
+    ~25-50M elem/s on this rig (latency-bound HBM) while `lax.sort`
+    moves 128M rows in ~1s, so sorting beats scattering ~4x here.
+    """
     n = skhi.shape[0]
     iota = jnp.arange(n, dtype=I32)
     neq = jnp.concatenate([
@@ -108,10 +121,10 @@ def _groups_and_tables(skhi: jax.Array, sklo: jax.Array, sa: jax.Array):
     # run end: first boundary at or after i+1 (reverse min-scan)
     nxt = jnp.concatenate([neq[1:], jnp.ones(1, bool)])
     run_hi = jax.lax.cummin(jnp.where(nxt, iota + 1, n), reverse=True)
-    rank = jnp.zeros(n, dtype=I32).at[sa].set(run_lo)
-    ranges = jnp.zeros((n, 2), dtype=I32)
-    ranges = ranges.at[sa, 0].set(run_lo)
-    ranges = ranges.at[sa, 1].set(run_hi)
+    _, lo_by_pos, hi_by_pos = jax.lax.sort(
+        (sa, run_lo, run_hi), num_keys=1)
+    ranges = jnp.stack([lo_by_pos, hi_by_pos], axis=1)
+    rank = lo_by_pos
     tied_slot = (run_hi - run_lo) > 1
     return rank, ranges, tied_slot
 
@@ -119,13 +132,12 @@ def _groups_and_tables(skhi: jax.Array, sklo: jax.Array, sa: jax.Array):
 @functools.partial(jax.jit, static_argnames=("cap",))
 def _extract_tied(tied_slot: jax.Array, cap: int):
     """Compact the tied slot indices (ascending) into [cap]; returns
-    (slots [cap] padded with n, count)."""
+    (slots [cap] padded with n, count). Sort-based for the same
+    scatter-vs-sort reason as `_groups_and_tables`."""
     n = tied_slot.shape[0]
-    r = jnp.cumsum(tied_slot.astype(I32)) - 1
-    dest = jnp.where(tied_slot & (r < cap), r, cap)
-    slots = jnp.full(cap, n, dtype=I32).at[dest].set(
-        jnp.arange(n, dtype=I32), mode="drop")
-    return slots, jnp.sum(tied_slot.astype(I32))
+    key = jnp.where(tied_slot, jnp.arange(n, dtype=I32), n)
+    (sorted_keys,) = jax.lax.sort((key,), num_keys=1)
+    return sorted_keys[:cap], jnp.sum(tied_slot.astype(I32))
 
 
 @functools.partial(jax.jit, static_argnames=("rounds",))
@@ -190,7 +202,7 @@ def _full_round(sa: jax.Array, rank: jax.Array, h: jax.Array):
     nb = jnp.concatenate([
         jnp.ones(1, bool), (sp[1:] != sp[:-1]) | (ss[1:] != ss[:-1])])
     rs = jax.lax.cummax(jnp.where(nb, iota, 0))
-    rank = jnp.zeros(n, dtype=I32).at[p_sorted].set(rs)
+    _, rank = jax.lax.sort((p_sorted, rs), num_keys=1)  # inverse perm
     nxt_same = jnp.concatenate([rs[1:] == rs[:-1], jnp.zeros(1, bool)])
     prv_same = jnp.concatenate([jnp.zeros(1, bool), rs[1:] == rs[:-1]])
     tied_slot = nxt_same | prv_same
@@ -217,6 +229,24 @@ class DeviceIndex:
               tied_cap: int | None = None) -> "DeviceIndex":
         """Build from the host strand bytes (genome + '$'). Only the
         symbol codes (1 B/bp) cross the host->device boundary."""
+        import os
+        import time
+
+        prof = os.environ.get("ASGART_DEVICE_PROFILE")
+        t0 = time.time()
+
+        def lap(what, *sync):
+            nonlocal t0
+            if not prof:
+                return
+            for x in sync:
+                # a tiny fetch forces real completion (block_until_ready
+                # returns early through the axon relay)
+                np.asarray(x.ravel()[:1])
+            now = time.time()
+            print(f"[didx] {what}: {now - t0:.2f}s", flush=True)
+            t0 = now
+
         check_probe_size(k)
         n1 = int(len(strand_data))
         n = 2 * n1 - 1 if (reverse or complement) else n1
@@ -225,31 +255,46 @@ class DeviceIndex:
                 "device index shard too large for int32; shard the index")
         codes_host = CODE[strand_data]
         codes1 = jax.device_put(codes_host)  # the only bulk upload
+        lap("upload", codes1)
 
         text_codes = _build_text_codes(codes1, k, reverse, complement, n)
+        lap("text", text_codes)
         key_hi, key_lo = _pack_planes_all(text_codes, k, n)
+        lap("pack", key_hi)
         skhi, sklo, sa = _initial_sort(key_hi, key_lo)
+        lap("sort", sa)
         rank, ranges, tied_slot = _groups_and_tables(skhi, sklo, sa)
+        lap("groups+tables", rank, ranges)
         del key_hi, key_lo, skhi, sklo
 
         if tied_cap is None:
             tied_cap = max(1024, n // 8)
-        slots, n_tied = _extract_tied(tied_slot, tied_cap)
-        n_tied_host = int(n_tied)
+        n_tied_host = int(jnp.sum(tied_slot.astype(I32)))
         h = k
-        if n_tied_host > tied_cap:
-            # hyper-repetitive input: full-array rounds until the tied
-            # set fits the subset capacity
-            while n_tied_host > tied_cap and h < 2 * n:
-                sa, rank, tied_slot = _full_round(sa, rank, jnp.int32(h))
-                h *= 2
-                slots, n_tied = _extract_tied(tied_slot, tied_cap)
+        lap(f"tied count ({n_tied_host})")
+        # hyper-repetitive input: full-array rounds until the tied set
+        # fits the subset capacity
+        while n_tied_host > tied_cap and h < 2 * n:
+            sa, rank, tied_slot = _full_round(sa, rank, jnp.int32(h))
+            h *= 2
+            n_tied_host = int(jnp.sum(tied_slot.astype(I32)))
+            lap(f"full round h={h//2} ({n_tied_host} tied)")
+        # subset rounds, with the slot buffer sized to the live tied set
+        # (scatter cost is per-lane whether live or dropped) and shrunk
+        # as ties resolve
+        if n_tied_host > 0:
+            cap = max(1024, _bucket_pow2(n_tied_host))
+            slots, n_tied = _extract_tied(tied_slot, cap)
+            while n_tied_host > 0 and h < 2 * n:
+                sa, rank, slots, n_tied = _doubling_rounds(
+                    sa, rank, slots, n_tied, jnp.int32(h), rounds_per_call)
+                h <<= rounds_per_call
                 n_tied_host = int(n_tied)
-        while n_tied_host > 0 and h < 2 * n:
-            sa, rank, slots, n_tied = _doubling_rounds(
-                sa, rank, slots, n_tied, jnp.int32(h), rounds_per_call)
-            h <<= rounds_per_call
-            n_tied_host = int(n_tied)
+                lap(f"rounds to h={h} cap={cap} ({n_tied_host} tied)")
+                new_cap = max(1024, _bucket_pow2(n_tied_host))
+                if n_tied_host and new_cap <= cap // 4:
+                    cap = new_cap
+                    slots = slots[:cap]
 
         return cls(sa=sa, ranges=ranges, codes=text_codes, k=k, n=n,
                    first_len=n1, reverse=reverse, complement=complement)

@@ -117,3 +117,39 @@ def test_device_engine_json_byte_equal(tmp_path):
     JSONExporter().save(tpu, bt)
     assert bt.getvalue() == bh.getvalue()
     assert len(bh.getvalue()) > 200
+
+
+def test_sharded_equals_single_device(tmp_path):
+    """The 8-shard mesh scan must reproduce the single-device event
+    stream and families exactly — shard boundaries drop nothing (the
+    global event chain subsumes any boundary-crossing arm)."""
+    import jax
+
+    from asgart_tpu.device_engine import DeviceEngine
+    from asgart_tpu.fasta import Strand, find_chunks_to_process
+    from asgart_tpu.structs import RunSettings, Start
+
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(55)
+    g = bytearray(random_dna(rng, 50000, b"ACGT"))
+    # duplications straddling shard boundaries: each shard covers ~1/8 of
+    # the probe stream, i.e. ~6250 bp — plant copies across those lines
+    for (src, dst, L) in [(1000, 5500, 2500), (11000, 17500, 3000),
+                          (24000, 30500, 2000), (36000, 43500, 2500)]:
+        g[dst:dst + L] = bytes(g[src:src + L])
+    data = np.concatenate([np.frombuffer(bytes(g), dtype=np.uint8),
+                           np.frombuffer(b"$", dtype=np.uint8)])
+    strand = Strand(file_names="t", data=data,
+                    map=[Start("chr1", 0, len(g))])
+    chunks = find_chunks_to_process(np.frombuffer(bytes(g), np.uint8))
+    settings = RunSettings(min_duplication_length=800)
+
+    single = DeviceEngine(strand, settings, mesh=False)
+    sharded = DeviceEngine(strand, settings)
+    assert sharded.mesh is not None
+    fams_single, fams_sharded = [], []
+    for c in chunks:
+        fams_single.extend(single.run_chunk(c))
+        fams_sharded.extend(sharded.run_chunk(c))
+    assert fams_sharded == fams_single
+    assert sum(len(f) for f in fams_single) >= 4
