@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None, metavar="FILE",
                    help="Journal completed chunks to FILE and resume from "
                         "it after a crash/preemption")
+    p.add_argument("--index-cache", default=None, metavar="DIR",
+                   help="Cache the genome index in DIR keyed by input "
+                        "hash; one cached index serves direct and R/C/RC "
+                        "runs (host engine)")
     p.add_argument("--profile", action="store_true",
                    help="Print phase timings (JSON) to stderr")
     return p
@@ -96,7 +100,8 @@ def _main(argv=None) -> int:
     prof: dict = {}
     result = search_duplications(
         args.strands, settings, engine=args.engine,
-        checkpoint=args.checkpoint, profile=prof)
+        checkpoint=args.checkpoint, profile=prof,
+        index_cache=args.index_cache)
     if args.profile:
         import json as _json
         print(_json.dumps(prof), file=sys.stderr)

@@ -204,6 +204,56 @@ class PositionIndex:
                    reverse=reverse, complement=complement)
 
     @classmethod
+    def build_single_cached(cls, strand_data: np.ndarray, k: int,
+                            cache_dir: str, n_threads: int = 0
+                            ) -> "PositionIndex":
+        """``build_single`` with an on-disk cache keyed by the strand
+        content hash and k. One cached single-text index serves all four
+        run modes (direct and R/C/RC resolve against the same tables /
+        keys), so repeated runs skip the suffix sort entirely; arrays are
+        memory-mapped on load, so pages fault in lazily during the scan
+        instead of up front. Beyond-reference feature (the reference
+        rebuilds its SA every run)."""
+        import hashlib
+        import json
+        import os
+
+        h = hashlib.sha256()
+        h.update(strand_data.tobytes())
+        h.update(f"|k={k}|v1".encode())
+        key = h.hexdigest()[:32]
+        base = os.path.join(cache_dir, f"asgart-index-{key}")
+        meta_p = base + ".json"
+        try:
+            with open(meta_p) as fh:
+                meta = json.load(fh)
+            if meta.get("n") == int(len(strand_data)) and meta.get("k") == k:
+                sa = np.load(base + ".sa.npy", mmap_mode="r")
+                ranges = np.load(base + ".ranges.npy", mmap_mode="r")
+                keys = np.load(base + ".keys.npy", mmap_mode="r")
+                idx = cls(sa=sa, ranges=ranges, k=k,
+                          first_len=len(strand_data),
+                          reverse=False, complement=False, keys=keys)
+                idx._build_bucket_table(n_threads)
+                return idx
+        except (OSError, ValueError):
+            pass
+        idx = cls.build_single(strand_data, k, n_threads=n_threads)
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = base + ".tmp"
+        try:
+            np.save(tmp + ".sa.npy", idx.sa)
+            np.save(tmp + ".ranges.npy", idx.ranges)
+            np.save(tmp + ".keys.npy", idx.keys)
+            for part in (".sa.npy", ".ranges.npy", ".keys.npy"):
+                os.replace(tmp + part, base + part)
+            with open(meta_p, "w") as fh:
+                json.dump({"n": int(len(strand_data)), "k": k}, fh)
+        except OSError:
+            pass  # cache is best-effort
+        return idx
+
+    @classmethod
     def build_single(cls, strand_data: np.ndarray, k: int,
                      n_threads: int = 0) -> "PositionIndex":
         """Single-text index (host fast path for transformed modes): the

@@ -94,7 +94,8 @@ class SearchEngine:
 
     def __init__(self, strand: Strand, settings: RunSettings,
                  trim: Optional[tuple[int, int]], engine: str = "host",
-                 attach_device: bool = True):
+                 attach_device: bool = True,
+                 index_cache: Optional[str] = None):
         self.strand = strand
         self.settings = settings
         self.engine = engine
@@ -102,7 +103,12 @@ class SearchEngine:
         self.pidx: Optional[PositionIndex] = None
         self.index: Optional[GenomeIndex] = None
         transformed = settings.reverse or settings.complement
-        if trim is None:
+        if trim is None and index_cache is not None and engine != "tpu":
+            # one cached single-text index serves every run mode
+            self.pidx = PositionIndex.build_single_cached(
+                strand.data, settings.probe_size, index_cache,
+                n_threads=settings.threads_count or 0)
+        elif trim is None:
             if engine == "tpu" or not transformed:
                 # table strategy: every probe is one gather (device-ready);
                 # direct runs need no appended half
@@ -211,6 +217,7 @@ def search_duplications(
     engine: str = "host",
     checkpoint: Optional[str] = None,
     profile: Optional[dict] = None,
+    index_cache: Optional[str] = None,
 ) -> RunResult:
     """The full pipeline (asgart.rs:731-822).
 
@@ -267,7 +274,8 @@ def search_duplications(
     else:
         # trim windows keep the windowed-SA strategy (host build + the
         # legacy device binary-search lookup for engine="tpu")
-        se = SearchEngine(strand, settings, trim, engine=engine)
+        se = SearchEngine(strand, settings, trim, engine=engine,
+                          index_cache=index_cache)
     prof["index_s"] = round(time.time() - t0, 3)
     t0 = time.time()
     families: list[list[ProtoSD]] = []

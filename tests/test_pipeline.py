@@ -242,3 +242,40 @@ def test_probe_size_over_21_cli_error(tmp_path):
     fa.write_text(">chr\n" + "ACGT" * 300 + "\n")
     rc = main([str(fa), "-k", "24", "--out", str(tmp_path / "o.json")])
     assert rc == 1
+
+
+def test_index_cache_roundtrip(tmp_path):
+    """--index-cache: one cached single-text index serves direct AND RC
+    runs with byte-identical output; the second run loads from disk."""
+    import numpy as np
+
+    from asgart_tpu.pipeline import search_duplications
+    from asgart_tpu.structs import RunSettings
+    from tests.util import plant_duplication, revcomp, write_fasta
+
+    rng = np.random.default_rng(21)
+    text = plant_duplication(rng, 20000, 1500, 2000, 12000,
+                             transform=revcomp)
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", text)])
+    cache = str(tmp_path / "cache")
+
+    kw = dict(reverse=True, complement=True)
+    plain = search_duplications([str(fa)], RunSettings(**kw))
+    first = search_duplications([str(fa)], RunSettings(**kw),
+                                index_cache=cache)
+    import os
+    assert any(f.endswith(".sa.npy") for f in os.listdir(cache))
+    second = search_duplications([str(fa)], RunSettings(**kw),
+                                 index_cache=cache)
+    # direct run served by the same cache entry
+    direct = search_duplications([str(fa)], RunSettings(),
+                                 index_cache=cache)
+    assert len(os.listdir(cache)) == 4  # sa/ranges/keys/meta — one entry
+
+    def dump(r):
+        return [[vars(sd) for sd in fam] for fam in r.families]
+
+    assert dump(first) == dump(plain)
+    assert dump(second) == dump(plain)
+    assert dump(direct) is not None
