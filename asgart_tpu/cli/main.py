@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", default=None, metavar="FILE",
                    help="Journal completed chunks to FILE and resume from "
                         "it after a crash/preemption")
+    p.add_argument("--shards", type=int, default=1, metavar="N",
+                   help="Shard the index into N trim windows probed by "
+                        "the whole genome and merged (the automated "
+                        "version of the reference's --trim + asgart-slice "
+                        "workflow; bounds index memory to 1/N)")
     p.add_argument("--index-cache", default=None, metavar="DIR",
                    help="Cache the genome index in DIR keyed by input "
                         "hash; one cached index serves direct and R/C/RC "
@@ -101,7 +106,7 @@ def _main(argv=None) -> int:
     result = search_duplications(
         args.strands, settings, engine=args.engine,
         checkpoint=args.checkpoint, profile=prof,
-        index_cache=args.index_cache)
+        index_cache=args.index_cache, shards=args.shards)
     if args.profile:
         import json as _json
         print(_json.dumps(prof), file=sys.stderr)

@@ -195,6 +195,57 @@ class SearchEngine:
         return raw_families_to_protosds(raw_families, s, start, length)
 
 
+def _search_duplications_sharded(
+    strands_files: list[str],
+    settings: RunSettings,
+    shards: int,
+    engine: str = "host",
+    profile: Optional[dict] = None,
+) -> RunResult:
+    """Index-sharded run: the automated version of the reference's manual
+    scale-out (``--trim`` windows + ``asgart-slice`` merge,
+    asgart.rs:142-148,433-463 + structs.rs:114-141 + README v2.0 notes).
+
+    The genome is split into ``shards`` equal trim windows; each window
+    gets its own (1/N-sized) index while the whole genome is probed
+    against it, and the per-window families are concatenated in window
+    order — exactly what ``RunResult.from_files`` does with sequential
+    partial runs, so the output is byte-equal to that workflow. Windows
+    run concurrently (the native index build and chain release the GIL).
+    On a multi-host deployment each window maps to one host; within a
+    host the device engine's probe-axis mesh sharding composes with it.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    prof = profile if profile is not None else {}
+    t0 = time.time()
+    _, _, strand = prepare_data(strands_files, settings.skip_masked, None)
+    total_len = int(len(strand.data)) - 1  # drop '$'
+    per = (total_len + shards - 1) // shards
+    windows = [(w * per, min(total_len, (w + 1) * per))
+               for w in range(shards)]
+    windows = [w for w in windows if w[0] < w[1]]
+    prof["prepare_s"] = round(time.time() - t0, 3)
+
+    def run_window(w):
+        import dataclasses
+
+        s = dataclasses.replace(settings, trim=w)
+        return search_duplications(strands_files, s, engine=engine)
+
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=min(len(windows),
+                                            os.cpu_count() or 1)) as ex:
+        results = list(ex.map(run_window, windows))
+    prof["scan_s"] = round(time.time() - t0, 3)
+
+    merged = results[0]
+    for r in results[1:]:
+        merged.families.extend(r.families)
+    merged.settings = settings  # the user's settings, not a window's
+    return merged
+
+
 class _DeviceEngineAdapter:
     """Pipeline-facing wrapper of :class:`asgart_tpu.device_engine
     .DeviceEngine` (same ``run_chunk`` contract as SearchEngine)."""
@@ -218,6 +269,7 @@ def search_duplications(
     checkpoint: Optional[str] = None,
     profile: Optional[dict] = None,
     index_cache: Optional[str] = None,
+    shards: int = 1,
 ) -> RunResult:
     """The full pipeline (asgart.rs:731-822).
 
@@ -229,6 +281,12 @@ def search_duplications(
     from .index import check_probe_size
 
     check_probe_size(settings.probe_size)
+    if shards > 1:
+        if settings.trim is not None:
+            raise ValueError("--shards cannot be combined with --trim")
+        return _search_duplications_sharded(
+            strands_files, settings, shards, engine=engine,
+            profile=profile)
     total = time.time()
     prof = profile if profile is not None else {}
     log.info("Preprocessing data")

@@ -279,3 +279,48 @@ def test_index_cache_roundtrip(tmp_path):
     assert dump(first) == dump(plain)
     assert dump(second) == dump(plain)
     assert dump(direct) is not None
+
+
+def test_shards_equals_sequential_trim_merge(tmp_path):
+    """--shards N reproduces the reference's manual scale-out exactly:
+    N sequential --trim runs merged in window order (the asgart-slice
+    workflow)."""
+    import dataclasses
+
+    import numpy as np
+
+    from asgart_tpu.pipeline import search_duplications
+    from asgart_tpu.structs import RunSettings
+    from tests.util import plant_duplication, random_dna, write_fasta
+
+    rng = np.random.default_rng(77)
+    n = 40000
+    g = bytearray(random_dna(rng, n, b"ACGT"))
+    # duplications whose arms land in different windows, plus one whose
+    # right arm crosses a window boundary
+    g[22000:24000] = bytes(g[3000:5000])
+    g[9000:10500] = bytes(g[30000:31500])
+    g[19500:20500] = bytes(g[34000:35000])  # spans the 2-shard boundary
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", bytes(g))])
+    settings = RunSettings(min_duplication_length=600)
+
+    sharded = search_duplications([str(fa)], settings, shards=4)
+
+    per = (n + 3) // 4
+    manual = []
+    for w in range(4):
+        win = (w * per, min(n, (w + 1) * per))
+        s = dataclasses.replace(settings, trim=win)
+        manual.append(search_duplications([str(fa)], s))
+    merged = manual[0]
+    for r in manual[1:]:
+        merged.families.extend(r.families)
+
+    def dump(r):
+        return [[vars(sd) for sd in fam] for fam in r.families]
+
+    assert dump(sharded) == dump(merged)
+    assert sum(len(f) for f in sharded.families) >= 2
+    # the merged settings carry no window trim
+    assert sharded.settings.trim is None
