@@ -52,7 +52,8 @@ def _bucket(n: int, lo: int = 1 << 16) -> int:
 
 @functools.partial(jax.jit, static_argnames=("k", "reverse", "complement",
                                              "b_pad"))
-def _probe_tables(ranges, codes, chunk_start, chunk_len, first_len,
+def _probe_tables(pos_lo_tab, pos_hi_tab, codes, chunk_start, chunk_len,
+                  first_len,
                   k: int, reverse: bool, complement: bool, b_pad: int):
     """Probe positions, their table equal-ranges, and raw total.
 
@@ -81,10 +82,9 @@ def _probe_tables(ranges, codes, chunk_start, chunk_len, first_len,
         x = first_len + chunk_start + is_
     else:
         x = chunk_start + is_
-    x = jnp.clip(x, 0, ranges.shape[0] - 1)
-    r = ranges[x]
-    lo = jnp.where(mask, r[:, 0], 0)
-    hi = jnp.where(mask, r[:, 1], 0)
+    x = jnp.clip(x, 0, pos_lo_tab.shape[0] - 1)
+    lo = jnp.where(mask, pos_lo_tab[x], 0)
+    hi = jnp.where(mask, pos_hi_tab[x], 0)
     # float64 is unavailable without x64 mode; a float32 sum is only used
     # to size the flat-gather capacity (the overflow retry is the exact
     # safety net), so pad for its 24-bit mantissa
@@ -234,7 +234,8 @@ class DeviceEngine:
 
             rep = NamedSharding(self.mesh, P())
             self.didx.sa = jax.device_put(self.didx.sa, rep)
-            self.didx.ranges = jax.device_put(self.didx.ranges, rep)
+            self.didx.pos_lo = jax.device_put(self.didx.pos_lo, rep)
+            self.didx.pos_hi = jax.device_put(self.didx.pos_hi, rep)
             self.didx.codes = jax.device_put(self.didx.codes, rep)
         if profile is not None:
             profile["device_index_s"] = round(time.time() - t0, 3)
@@ -242,6 +243,21 @@ class DeviceEngine:
     def run_chunk(self, chunk: tuple[int, int]):
         """Families for one chunk, native-engine format + coordinate
         fixup left to the caller (mirrors SearchEngine.run_chunk)."""
+        import os
+
+        prof = os.environ.get("ASGART_DEVICE_PROFILE")
+        t0 = time.time()
+
+        def lap(what, *sync):
+            nonlocal t0
+            if not prof:
+                return
+            for x in sync:
+                np.asarray(x.ravel()[:1])
+            now = time.time()
+            print(f"[dscan] {what}: {now - t0:.2f}s", flush=True)
+            t0 = now
+
         s = self.settings
         start, length = chunk
         k = s.probe_size
@@ -260,9 +276,12 @@ class DeviceEngine:
 
         didx = self.didx
         is_, mask, lo, hi, total_raw = _probe_tables(
-            didx.ranges, didx.codes, jnp.int32(start), jnp.int32(length),
-            jnp.int32(didx.first_len), k, s.reverse, s.complement, b_pad)
+            didx.pos_lo, didx.pos_hi, didx.codes, jnp.int32(start),
+            jnp.int32(length), jnp.int32(didx.first_len), k, s.reverse,
+            s.complement, b_pad)
+        lap("probe tables", lo)
         total_raw = int(float(total_raw) * 1.001) + 8  # sync: sizes the gather
+        lap(f"raw-total fetch ({total_raw})")
 
         cap = _bucket(max(total_raw + 1, 1 << 20))
         ev_cap = _bucket(min(cap, b_pad)) // 4
@@ -273,6 +292,7 @@ class DeviceEngine:
                     jnp.int32(length), jnp.int32(didx.first_len - 1),
                     jnp.int32(s.max_cardinality), cap, ev_cap, s.reverse)
                 shards = [(ev_pack, m_flat, scalars)]
+                lap(f"scan+compact (cap={cap})", ev_pack)
             else:
                 step_fn = _sharded_scan_compact(
                     self.mesh, cap, ev_cap, s.reverse)
@@ -282,6 +302,7 @@ class DeviceEngine:
                     jnp.int32(s.max_cardinality))
                 shards = [(evs[i], mfs[i], scs[i])
                           for i in range(n_shards)]
+                lap(f"sharded scan+compact (cap={cap})", evs)
 
             parts = []
             overflow_any = False
@@ -301,6 +322,7 @@ class DeviceEngine:
                 cap *= 2  # exact raw total exceeded the estimate
             log.debug("device scan retry: cap=%d ev_cap=%d", cap, ev_cap)
 
+        lap("event download")
         ev, m_host, z_trail = _merge_shard_events(parts)
         if ev is None:
             return []
@@ -308,6 +330,7 @@ class DeviceEngine:
         m_offsets = np.zeros(n_events + 1, dtype=np.int64)
         np.cumsum(ev[2], out=m_offsets[1:])
 
+        lap("merge")
         raw_families = native.chain_events(
             ev[0], ev[1], m_offsets, m_host,
             z_trail=z_trail,
@@ -315,4 +338,5 @@ class DeviceEngine:
             max_gap_size=s.max_gap_size,
             min_duplication_length=s.min_duplication_length,
             max_cardinality=s.max_cardinality)
+        lap("host event chain")
         return raw_families

@@ -104,7 +104,7 @@ def _initial_sort(key_hi: jax.Array, key_lo: jax.Array):
 def _groups_and_tables(skhi: jax.Array, sklo: jax.Array, sa: jax.Array):
     """Equal-key run boundaries over the sorted keys.
 
-    Returns (rank [n] pos→run-start slot, ranges [n, 2] pos→[lo, hi),
+    Returns (rank [n] pos→run-start slot, pos_lo [n], pos_hi [n],
     tied_slot [n] bool).
 
     The position-indexed outputs are produced by ONE payload sort keyed
@@ -123,10 +123,11 @@ def _groups_and_tables(skhi: jax.Array, sklo: jax.Array, sa: jax.Array):
     run_hi = jax.lax.cummin(jnp.where(nxt, iota + 1, n), reverse=True)
     _, lo_by_pos, hi_by_pos = jax.lax.sort(
         (sa, run_lo, run_hi), num_keys=1)
-    ranges = jnp.stack([lo_by_pos, hi_by_pos], axis=1)
+    # NB: tables stay as two 1-D arrays — a [n, 2] device array tiles as
+    # (8, 128) on TPU, padding the minor dim 2 up to 128 (64x memory)
     rank = lo_by_pos
     tied_slot = (run_hi - run_lo) > 1
-    return rank, ranges, tied_slot
+    return rank, lo_by_pos, hi_by_pos, tied_slot
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
@@ -215,7 +216,8 @@ class DeviceIndex:
     of :class:`asgart_tpu.index.PositionIndex`)."""
 
     sa: jax.Array        # [n] int32, suffix order over the (doubled) text
-    ranges: jax.Array    # [n, 2] int32 per-position [lo, hi)
+    pos_lo: jax.Array    # [n] int32 per-position range start
+    pos_hi: jax.Array    # [n] int32 per-position range end
     codes: jax.Array     # [n + k] uint8 text codes, zero padded
     k: int
     n: int               # doubled text length
@@ -263,8 +265,9 @@ class DeviceIndex:
         lap("pack", key_hi)
         skhi, sklo, sa = _initial_sort(key_hi, key_lo)
         lap("sort", sa)
-        rank, ranges, tied_slot = _groups_and_tables(skhi, sklo, sa)
-        lap("groups+tables", rank, ranges)
+        rank, pos_lo, pos_hi, tied_slot = _groups_and_tables(
+            skhi, sklo, sa)
+        lap("groups+tables", rank, pos_hi)
         del key_hi, key_lo, skhi, sklo
 
         if tied_cap is None:
@@ -296,10 +299,13 @@ class DeviceIndex:
                     cap = new_cap
                     slots = slots[:cap]
 
-        return cls(sa=sa, ranges=ranges, codes=text_codes, k=k, n=n,
-                   first_len=n1, reverse=reverse, complement=complement)
+        return cls(sa=sa, pos_lo=pos_lo, pos_hi=pos_hi, codes=text_codes,
+                   k=k, n=n, first_len=n1, reverse=reverse,
+                   complement=complement)
 
     def to_host_arrays(self) -> tuple[np.ndarray, np.ndarray]:
-        """(sa, ranges) as numpy — test/diagnostic use only (bulk
+        """(sa, ranges[n,2]) as numpy — test/diagnostic use only (bulk
         device->host downloads are slow on this rig)."""
-        return np.asarray(self.sa), np.asarray(self.ranges)
+        return (np.asarray(self.sa),
+                np.stack([np.asarray(self.pos_lo),
+                          np.asarray(self.pos_hi)], axis=1))

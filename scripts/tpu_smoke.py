@@ -31,9 +31,10 @@ def main():
         os.path.abspath(__file__))))
     from bench import synthetic_genome
 
-    for mbp in (8, 32, float(os.environ.get("SMOKE_MBP", "0")) or None):
-        if mbp is None:
-            break
+    sizes = [float(x) for x in
+             os.environ.get("SMOKE_SIZES", "8,32").split(",")]
+    passes = int(os.environ.get("SMOKE_PASSES", "1"))
+    for mbp in sizes:
         n = int(mbp * 1e6)
         rng = np.random.default_rng(1234)
         g = synthetic_genome(n, rng)
@@ -43,18 +44,20 @@ def main():
         chunks = find_chunks_to_process(g)
         settings = RunSettings(reverse=True, complement=True)
 
-        t0 = time.time()
-        dev = _DeviceEngineAdapter(strand, settings)
-        t_index = time.time() - t0
-        t0 = time.time()
-        fams_dev = []
-        for c in chunks:
-            fams_dev.extend(dev.run_chunk(c))
-        t_scan = time.time() - t0
-        n_dev = sum(len(f) for f in fams_dev)
-        log(f"[{mbp:.0f} Mbp] device: index {t_index:.2f}s scan "
-            f"{t_scan:.2f}s -> {mbp/(t_index+t_scan):.1f} Mbp/s, "
-            f"{n_dev} SDs")
+        for p in range(passes):
+            t0 = time.time()
+            dev = _DeviceEngineAdapter(strand, settings)
+            t_index = time.time() - t0
+            t0 = time.time()
+            fams_dev = []
+            for c in chunks:
+                fams_dev.extend(dev.run_chunk(c))
+            t_scan = time.time() - t0
+            n_dev = sum(len(f) for f in fams_dev)
+            log(f"[{mbp:.0f} Mbp pass {p}] device: index {t_index:.2f}s "
+                f"scan {t_scan:.2f}s -> {mbp/(t_index+t_scan):.1f} Mbp/s, "
+                f"{n_dev} SDs")
+            del dev
 
         if mbp <= 8:
             t0 = time.time()
