@@ -44,145 +44,189 @@ N_CODE = 4  # 3-bit rank of 'N'
 
 
 def _bucket(n: int, lo: int = 1 << 16) -> int:
+    """Pow2 buckets up to B_GRAN, then B_GRAN multiples (pow2 buckets
+    waste up to 50% of the stream lanes at genome scale)."""
     b = lo
-    while b < n:
+    while b < n and b < B_GRAN:
         b <<= 1
+    while b < n:
+        b += B_GRAN
     return b
+
+
+# probe-count bucket granularity: coarse enough to bound recompiles,
+# fine enough not to waste stream lanes (old pow2 buckets wasted ~30%)
+B_GRAN = 1 << 20
+# tables are padded by this much so the strided-slice probe reads below
+# never clamp (padded probe lanes read garbage that the mask discards)
+TABLE_PAD = 0  # set at index attach: B_GRAN * (k//2) + k of the LARGEST k
+
+
+def table_pad_for(k: int) -> int:
+    """Table padding so the strided probe-slice reads of `_scan_chunk`
+    never clamp for lanes holding real probes (bucket slack is at most
+    B_GRAN + shard-divisibility roundup)."""
+    return (B_GRAN + 1024) * (k // 2) + k
+
+
+def _probe_x0(chunk_start, chunk_len, first_len, k: int, reverse: bool,
+              complement: bool):
+    """Table position of probe j=0 (i = step); x is affine increasing in
+    j for every transform: x = x0 + j*step (PositionIndex
+    .probe_table_positions algebra)."""
+    step = k // 2
+    if reverse:
+        # x = n1 + (n1 - 1 - (start + len - i - k) - k) = const + i
+        return 2 * first_len - 1 - chunk_start - chunk_len + step
+    if complement:
+        return first_len + chunk_start + step
+    return chunk_start + step
 
 
 @functools.partial(jax.jit, static_argnames=("k", "reverse", "complement",
                                              "b_pad"))
-def _probe_tables(pos_lo_tab, pos_hi_tab, codes, chunk_start, chunk_len,
-                  first_len,
-                  k: int, reverse: bool, complement: bool, b_pad: int):
-    """Probe positions, their table equal-ranges, and raw total.
+def _raw_total(pos_lo_tab, pos_hi_tab, codes, chunk_start, chunk_len,
+               first_len, k: int, reverse: bool, complement: bool,
+               b_pad: int):
+    """Cheap pre-pass: the summed raw window size, to size the flat
+    gather before the big step is compiled."""
+    step = k // 2
+    x0 = _probe_x0(chunk_start, chunk_len, first_len, k, reverse,
+                   complement)
+    lo = jax.lax.dynamic_slice(pos_lo_tab, (x0,),
+                               (b_pad * step,))[::step]
+    hi = jax.lax.dynamic_slice(pos_hi_tab, (x0,),
+                               (b_pad * step,))[::step]
+    j = jnp.arange(b_pad, dtype=I32)
+    bound = chunk_len - k - step
+    mask = (j * step) < bound
+    # N-probe mask is not needed for an upper bound
+    total = jnp.sum(jnp.where(mask, hi - lo, 0).astype(jnp.float32))
+    return total
 
-    Returns (is_ [b_pad] needle-relative probe indices, mask [b_pad],
-    lo, hi [b_pad], total_raw scalar).
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "reverse", "complement", "b_pad", "cap", "ev_cap"))
+def _scan_chunk(pos_lo_tab, pos_hi_tab, codes, sa,
+                chunk_start, chunk_len, first_len, max_match_pos,
+                max_cardinality, j0,
+                k: int, reverse: bool, complement: bool,
+                b_pad: int, cap: int, ev_cap: int):
+    """Fused device scan for one probe slice [j0, j0 + b_pad):
+    probe stream -> table equal-ranges (strided slices) -> flat CSR
+    match gather -> exact filters -> per-probe cardinality -> event
+    compaction (sort-based: full-size drop-scatters are latency-bound
+    on this rig, a payload sort is ~3x cheaper).
+
+    Returns (ev_pack [3, ev_cap], m_flat [cap], scalars [4]).
     """
     step = k // 2
-    j = jnp.arange(b_pad, dtype=I32)
+    jl = jnp.arange(b_pad, dtype=I32)
+    j = j0 + jl
     is_ = (j + 1) * step
     bound = chunk_len - k - step
-    mask = (j * step) < bound  # (j+1-1)*step < bound, automaton.rs:90-97
-    # N-probe skip checks the *needle* symbol at i; reverse flips the
-    # position, complement maps N->N, so the original text code suffices
+    mask = (j * step) < bound  # pre-increment loop, automaton.rs:90-97
+
+    # N-probe skip checks the needle symbol at i (complement maps N->N,
+    # so the original text code suffices; reverse flips the position)
     q = jnp.where(jnp.asarray(reverse),
                   chunk_start + chunk_len - 1 - is_,
                   chunk_start + is_)
     qc = codes[jnp.clip(q, 0, codes.shape[0] - 1)]
     mask = mask & (qc != N_CODE)
 
-    # table position of each probe's k-mer (index.PositionIndex
-    # .probe_table_positions)
-    if reverse:
-        qq = chunk_start + chunk_len - is_ - k
-        x = first_len + (first_len - 1 - qq - k)
-    elif complement:
-        x = first_len + chunk_start + is_
-    else:
-        x = chunk_start + is_
-    x = jnp.clip(x, 0, pos_lo_tab.shape[0] - 1)
-    lo = jnp.where(mask, pos_lo_tab[x], 0)
-    hi = jnp.where(mask, pos_hi_tab[x], 0)
-    # float64 is unavailable without x64 mode; a float32 sum is only used
-    # to size the flat-gather capacity (the overflow retry is the exact
-    # safety net), so pad for its 24-bit mantissa
-    total_raw = jnp.sum((hi - lo).astype(jnp.float32))
-    return is_, mask, lo, hi, total_raw
+    # equal-ranges by strided slice (x affine increasing in j; tables are
+    # padded by table_pad_for(k) so the slice never clamps)
+    x0 = _probe_x0(chunk_start, chunk_len, first_len, k, reverse,
+                   complement) + j0 * step
+    lo = jax.lax.dynamic_slice(pos_lo_tab, (x0,), (b_pad * step,))[::step]
+    hi = jax.lax.dynamic_slice(pos_hi_tab, (x0,), (b_pad * step,))[::step]
+    lo = jnp.where(mask, lo, 0)
+    hi = jnp.where(mask, hi, 0)
 
+    counts_raw = hi - lo
+    ck = jnp.cumsum(counts_raw)
+    starts = ck - counts_raw
+    total_raw = ck[b_pad - 1] if b_pad > 0 else jnp.int32(0)
 
-@functools.partial(jax.jit, static_argnames=("cap", "ev_cap", "reverse"))
-def _scan_compact(sa, is_, mask, lo, hi, chunk_start, chunk_len,
-                  max_match_pos, max_cardinality,
-                  cap: int, ev_cap: int, reverse: bool):
-    """CSR gather + exact filter + event compaction (device side).
-
-    Returns (ev_pack [3, ev_cap]: probe_i / z_before / kept-count,
-    m_flat [cap], scalars [4]: n_events, total_kept, z_trail, overflow).
-    """
-    B = is_.shape[0]
-    counts_raw = (hi - lo).astype(I32)
-    offsets = jnp.concatenate(
-        [jnp.zeros(1, I32), jnp.cumsum(counts_raw).astype(I32)])
-    starts = offsets[:-1]
-    total_raw = offsets[-1]
-
-    # flat CSR expansion: probe id per slot via boundary scatter + cumsum
+    # flat CSR expansion; probe id via boundary scatter + cumsum, the
+    # segment start position via cummax (no per-slot gathers needed)
     seg = jnp.zeros(cap + 1, I32).at[
         jnp.minimum(starts, cap)].add(1, mode="drop")
-    probe_id = jnp.clip(jnp.cumsum(seg[:cap]) - 1, 0, B - 1)
+    probe_id = jnp.clip(jnp.cumsum(seg[:cap]) - 1, 0, b_pad - 1)
     flat_pos = jnp.arange(cap, dtype=I32)
-    within = flat_pos - starts[probe_id]
-    flat_valid = (flat_pos < total_raw) & (within < counts_raw[probe_id])
+    seg_start = jax.lax.cummax(
+        jnp.where(seg[:cap] > 0, flat_pos, 0))
+    within = flat_pos - seg_start
+    flat_valid = flat_pos < jnp.minimum(total_raw, cap)
     m = sa[jnp.clip(lo[probe_id] + within, 0, sa.shape[0] - 1)]
 
-    i_of = is_[probe_id]
+    i_of = (j0 + probe_id + 1) * step  # = is_[probe_id], no gather
     if reverse:
         dir_ok = m >= chunk_start + chunk_len - i_of
     else:
         dir_ok = m > i_of + chunk_start
     keep = flat_valid & (m != i_of) & (m < max_match_pos) & dir_ok
 
-    kept = jnp.zeros(B, I32).at[probe_id].add(
+    kept = jnp.zeros(b_pad, I32).at[probe_id].add(
         keep.astype(I32), mode="drop")
     valid = mask & (kept <= max_cardinality)
     event = valid & (kept > 0)
     vz = valid & (kept == 0)
 
-    # event compaction
-    e_rank = jnp.cumsum(event.astype(I32)) - 1
+    # event compaction by sort: key pushes non-events to the back
     n_events = jnp.sum(event.astype(I32))
-    dest = jnp.where(event & (e_rank < ev_cap), e_rank, ev_cap)
     A = jnp.cumsum(vz.astype(I32))
-    z = jnp.zeros(ev_cap, I32)
-    ev_probe = z.at[dest].set(is_, mode="drop")
-    a_evt = z.at[dest].set(A, mode="drop")                     # A at event
-    ev_count = z.at[dest].set(kept, mode="drop")
+    ekey = jnp.where(event, jl, b_pad)
+    _, ev_probe, a_evt, ev_count = jax.lax.sort(
+        (ekey, is_, A, kept), num_keys=1)
+    ev_probe = ev_probe[:ev_cap]
+    a_evt = a_evt[:ev_cap]
+    ev_count = ev_count[:ev_cap]
     # z_before[e] = A_evt[e] - A_evt[e-1] (A excludes the event itself)
     ev_z = jnp.concatenate([a_evt[:1], a_evt[1:] - a_evt[:-1]])
     ev_pack = jnp.stack([ev_probe, ev_z, ev_count])
-    z_trail = (A[B - 1] if B > 0 else jnp.int32(0)) - jnp.where(
-        n_events > 0, a_evt[jnp.maximum(n_events - 1, 0)], 0)
+    z_trail = A[b_pad - 1] - jnp.where(
+        n_events > 0, a_evt[jnp.clip(n_events - 1, 0, ev_cap - 1)], 0)
 
-    # matches compaction in (probe, SA-slot) order; only event probes
+    # matches compaction in (probe, SA-slot) order, event probes only
     keep_f = keep & event[probe_id]
-    kr = jnp.cumsum(keep_f.astype(I32)) - 1
     total_kept = jnp.sum(keep_f.astype(I32))
-    m_flat = jnp.zeros(cap, I32).at[
-        jnp.where(keep_f, kr, cap)].set(m, mode="drop")
+    mkey = jnp.where(keep_f, flat_pos, cap)
+    _, m_flat = jax.lax.sort((mkey, m), num_keys=1)
 
     overflow = ((total_raw > cap) | (n_events > ev_cap)).astype(I32)
     scalars = jnp.stack([n_events, total_kept, z_trail, overflow])
     return ev_pack, m_flat, scalars
 
 
-def _sharded_scan_compact(mesh, cap: int, ev_cap: int, reverse: bool,
-                          axis: str = "probes"):
-    """SPMD scan: index replicated over the mesh, probe slices sharded.
-
-    Every device runs the identical `_scan_compact` on its contiguous
-    probe slice; per-shard event streams come back stacked and the host
-    concatenates them with an aging-carry fix (`_merge_shard_events`) —
-    the subsequent global event chain is then *identical* to the
-    single-device run: shard boundaries drop nothing.
+def _sharded_scan(mesh, k: int, reverse: bool, complement: bool,
+                  b_local: int, cap: int, ev_cap: int,
+                  axis: str = "probes"):
+    """SPMD scan: index replicated over the mesh; every device runs the
+    fused `_scan_chunk` on its own probe slice (j0 from its axis index —
+    no sharded inputs at all). Per-shard event streams come back stacked
+    and the host concatenates them with an aging-carry fix
+    (`_merge_shard_events`) — the subsequent global event chain is then
+    *identical* to the single-device run: shard boundaries drop nothing.
     """
     from jax.sharding import PartitionSpec as P
 
-    rep, shard = P(), P(axis)
-
-    def step(sa, is_, mask, lo, hi, chunk_start, chunk_len,
-             max_match_pos, max_cardinality):
-        ev_pack, m_flat, scalars = _scan_compact(
-            sa, is_, mask, lo, hi, chunk_start, chunk_len,
-            max_match_pos, max_cardinality, cap, ev_cap, reverse)
-        # per-shard trailing-aging totals for the host-side carry fix
+    def stepf(pos_lo_tab, pos_hi_tab, codes, sa, chunk_start, chunk_len,
+              first_len, max_match_pos, max_cardinality):
+        d = jax.lax.axis_index(axis).astype(I32)
+        j0 = d * b_local
+        ev_pack, m_flat, scalars = _scan_chunk(
+            pos_lo_tab, pos_hi_tab, codes, sa, chunk_start, chunk_len,
+            first_len, max_match_pos, max_cardinality, j0,
+            k=k, reverse=reverse, complement=complement,
+            b_pad=b_local, cap=cap, ev_cap=ev_cap)
         return ev_pack[None], m_flat[None], scalars[None]
 
     mapped = jax.shard_map(
-        step, mesh=mesh,
-        in_specs=(rep, shard, shard, shard, shard, rep, rep, rep, rep),
-        out_specs=(shard, shard, shard),
+        stepf, mesh=mesh,
+        in_specs=(P(),) * 9,
+        out_specs=(P(axis), P(axis), P(axis)),
         check_vma=False)
     return jax.jit(mapped)
 
@@ -268,41 +312,43 @@ class DeviceEngine:
         if bound <= 0:
             return []
         n_probes = (bound + step - 1) // step
-        b_pad = _bucket(n_probes)
 
         n_shards = self.mesh.devices.size if self.mesh is not None else 1
+        b_pad = _bucket(n_probes)
         if b_pad % n_shards:
-            b_pad = ((b_pad + n_shards - 1) // n_shards) * n_shards
+            b_pad += n_shards - (b_pad % n_shards)
+        b_local = b_pad // n_shards
 
         didx = self.didx
-        is_, mask, lo, hi, total_raw = _probe_tables(
+        args = (didx.pos_lo, didx.pos_hi, didx.codes, didx.sa,
+                jnp.int32(start), jnp.int32(length),
+                jnp.int32(didx.first_len),
+                jnp.int32(didx.first_len - 1),
+                jnp.int32(s.max_cardinality))
+        total_raw = _raw_total(
             didx.pos_lo, didx.pos_hi, didx.codes, jnp.int32(start),
-            jnp.int32(length), jnp.int32(didx.first_len), k, s.reverse,
-            s.complement, b_pad)
-        lap("probe tables", lo)
-        total_raw = int(float(total_raw) * 1.001) + 8  # sync: sizes the gather
-        lap(f"raw-total fetch ({total_raw})")
+            jnp.int32(length), jnp.int32(didx.first_len),
+            k, s.reverse, s.complement, b_pad)
+        total_raw = int(float(total_raw) * 1.001) + 8  # sizes the gather
+        lap(f"raw-total pre-pass ({total_raw})")
 
         cap = _bucket(max(total_raw + 1, 1 << 20))
-        ev_cap = _bucket(min(cap, b_pad)) // 4
+        ev_cap = _bucket(min(cap, b_local)) // 4
         while True:
             if self.mesh is None:
-                ev_pack, m_flat, scalars = _scan_compact(
-                    didx.sa, is_, mask, lo, hi, jnp.int32(start),
-                    jnp.int32(length), jnp.int32(didx.first_len - 1),
-                    jnp.int32(s.max_cardinality), cap, ev_cap, s.reverse)
+                ev_pack, m_flat, scalars = _scan_chunk(
+                    *args, jnp.int32(0), k=k, reverse=s.reverse,
+                    complement=s.complement, b_pad=b_pad, cap=cap,
+                    ev_cap=ev_cap)
                 shards = [(ev_pack, m_flat, scalars)]
-                lap(f"scan+compact (cap={cap})", ev_pack)
             else:
-                step_fn = _sharded_scan_compact(
-                    self.mesh, cap, ev_cap, s.reverse)
-                evs, mfs, scs = step_fn(
-                    didx.sa, is_, mask, lo, hi, jnp.int32(start),
-                    jnp.int32(length), jnp.int32(didx.first_len - 1),
-                    jnp.int32(s.max_cardinality))
+                stepf = _sharded_scan(
+                    self.mesh, k, s.reverse, s.complement, b_local,
+                    cap, ev_cap)
+                evs, mfs, scs = stepf(*args)
                 shards = [(evs[i], mfs[i], scs[i])
                           for i in range(n_shards)]
-                lap(f"sharded scan+compact (cap={cap})", evs)
+            lap(f"scan+compact dispatch (cap={cap})")
 
             parts = []
             overflow_any = False

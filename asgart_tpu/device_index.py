@@ -49,6 +49,11 @@ COMP_CODE = np.array([0, 5, 3, 2, 4, 1], dtype=np.uint8)
 LO_SYMS = 10  # symbols in the low plane (30 bits)
 
 
+@functools.partial(jax.jit, static_argnames=("pad",))
+def _pad_zeros(x: jax.Array, pad: int):
+    return jnp.concatenate([x, jnp.zeros(pad, x.dtype)])
+
+
 def _bucket_pow2(n: int) -> int:
     b = 1
     while b < n:
@@ -267,6 +272,13 @@ class DeviceIndex:
         lap("sort", sa)
         rank, pos_lo, pos_hi, tied_slot = _groups_and_tables(
             skhi, sklo, sa)
+        # pad so the engine's strided probe-slice reads never clamp
+        # (padded lanes read zero ranges, discarded by the probe mask)
+        from .device_engine import table_pad_for
+
+        pad = table_pad_for(k)
+        pos_lo = _pad_zeros(pos_lo, pad)
+        pos_hi = _pad_zeros(pos_hi, pad)
         lap("groups+tables", rank, pos_hi)
         del key_hi, key_lo, skhi, sklo
 
@@ -307,5 +319,5 @@ class DeviceIndex:
         """(sa, ranges[n,2]) as numpy — test/diagnostic use only (bulk
         device->host downloads are slow on this rig)."""
         return (np.asarray(self.sa),
-                np.stack([np.asarray(self.pos_lo),
-                          np.asarray(self.pos_hi)], axis=1))
+                np.stack([np.asarray(self.pos_lo[: self.n]),
+                          np.asarray(self.pos_hi[: self.n])], axis=1))
