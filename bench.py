@@ -3,21 +3,23 @@
 North-star metric (BASELINE.json): Mbp scanned/sec/chip, self-duplication
 search with k=20 and -RC, vs single-core reference throughput.
 
-The reference binary cannot be built in this image (no Rust toolchain), so
-``vs_baseline`` is measured against a reference-design proxy built from
-this repo's own exact components: single-threaded SA-IS suffix array +
-per-probe equal-range binary search + the native automaton — the
-reference's architecture, same outputs, measured on the same genome.
+The reference binary cannot be built in this image (no Rust toolchain —
+CONFORMANCE.md), so ``vs_baseline`` is measured against a
+reference-design proxy built from this repo's own exact components:
+single-threaded SA-IS suffix array + per-probe equal-range binary search
++ the native automaton — the reference's architecture, same outputs,
+measured on the same genome.
+
+Headline engine: the TPU production path (on-device index build + scan +
+event compaction; host event chain), measured end-to-end best-of-N after
+one compile pass — the sustained throughput of a long-lived service, the
+production-serving target. The cold pass and the host engine are
+reported on stderr for comparison. If the device is unavailable or
+stalls past its budget, the host number is the (disclosed) fallback.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "Mbp/s", "vs_baseline": N}
 Diagnostics go to stderr.
-
-Methodology note: the engine is measured best-of-2. This sandbox kernel
-charges ~6s/GB for first-touch page faults, which dominates a cold index
-build; the second run reuses the warmed heap and reflects the sustained
-throughput of a long-lived service (the production-serving target).
-Run 1 (cold, like a one-shot CLI) is reported on stderr alongside.
 """
 
 import json
@@ -31,6 +33,7 @@ import numpy as np  # noqa: E402
 
 GENOME_MBP = float(os.environ.get("BENCH_MBP", "128"))
 BASELINE_MBP = float(os.environ.get("BENCH_BASELINE_MBP", "64"))
+DEVICE_BUDGET_S = float(os.environ.get("BENCH_DEVICE_BUDGET", "900"))
 SEED = 1234
 
 
@@ -76,25 +79,55 @@ def synthetic_genome(n: int, rng: np.random.Generator) -> np.ndarray:
     return g
 
 
-def _try_promote_to_device(se, budget_s: float) -> bool:
-    """Attach device tables + warm the remote-compile path, under a
-    watchdog: the axon relay's first-executable latency is 2s on a good
-    day and unbounded on a bad one. Returns True when the device path is
-    ready; on timeout the (stuck) worker thread is abandoned and the
-    host path is used."""
+def run_host(strand, chunks, settings):
+    from asgart_tpu.pipeline import SearchEngine
+
+    t0 = time.time()
+    se = SearchEngine(strand, settings, None, engine="host")
+    t_index = time.time() - t0
+    t0 = time.time()
+    fams = []
+    for chunk in chunks:
+        fams.extend(se.run_chunk(chunk))
+    t_scan = time.time() - t0
+    return fams, t_index, t_scan
+
+
+def run_device_pass(strand, chunks, settings):
+    from asgart_tpu.pipeline import _DeviceEngineAdapter
+
+    t0 = time.time()
+    dev = _DeviceEngineAdapter(strand, settings)
+    t_index = time.time() - t0
+    t0 = time.time()
+    fams = []
+    for chunk in chunks:
+        fams.extend(dev.run_chunk(chunk))
+    t_scan = time.time() - t0
+    return fams, t_index, t_scan
+
+
+def measure_device(strand, chunks, settings, n, budget_s):
+    """TPU path under a watchdog: a worker thread runs compile pass +
+    measured passes; on stall the thread is abandoned (daemon) and the
+    caller falls back to the host number."""
     import threading
 
+    state = {"passes": []}
     done = threading.Event()
-    state = {}
 
     def worker():
         try:
-            from asgart_tpu.seed import DevicePositionTables
-            t0 = time.time()
-            dev = DevicePositionTables(se.pidx)
-            dev.gather_ranges(np.zeros(8, dtype=np.int64))
-            state["dev"] = dev
-            state["warmup"] = time.time() - t0
+            deadline = time.time() + budget_s
+            for p in range(3):
+                fams, ti, ts = run_device_pass(strand, chunks, settings)
+                t = ti + ts
+                state["passes"].append((t, ti, ts, fams))
+                log(f"tpu pass {p} ({n/1e6:.0f} Mbp): index {ti:.1f}s "
+                    f"scan {ts:.1f}s -> {n/1e6/t:.2f} Mbp/s, "
+                    f"{sum(len(f) for f in fams)} SDs")
+                if time.time() > deadline:
+                    break
         except Exception as e:  # pragma: no cover - defensive
             state["err"] = e
         finally:
@@ -103,52 +136,12 @@ def _try_promote_to_device(se, budget_s: float) -> bool:
     th = threading.Thread(target=worker, daemon=True)
     th.start()
     done.wait(budget_s)
-    if "dev" in state:
-        log(f"device warmup: {state['warmup']:.1f}s")
-        se._device = state["dev"]
-        return True
-    log(f"device warmup exceeded {budget_s:.0f}s "
-        f"({state.get('err', 'stalled')}); falling back to host engine")
-    return False
-
-
-def run_search(strand, chunks, settings, engine, warmup_budget=240.0):
-    from asgart_tpu.pipeline import SearchEngine
-
-    t0 = time.time()
-    # engine="tpu" builds the doubled table index (device-gather ready);
-    # the device itself attaches under the watchdog below
-    se = SearchEngine(strand, settings, None, engine=engine,
-                      attach_device=False)
-    t_index = time.time() - t0
-
-    used_engine = "host"
-    if engine == "tpu" and _try_promote_to_device(se, warmup_budget):
-        used_engine = "tpu"
-
-    t0 = time.time()
-    fams = []
-    for chunk in chunks:
-        fams.extend(se.run_chunk(chunk))
-    t_scan = time.time() - t0
-    return fams, t_index, t_scan, used_engine
-
-
-def run_device_diagnostic(strand, chunks, settings, warmup_budget=180.0):
-    """Side measurement of the TPU-gather scan path (doubled tables on
-    device). On a single chip the host single+search config wins the
-    end-to-end metric (the index dominates and is half the size); the
-    device path is where mesh scaling attaches, so its scan rate is
-    tracked here."""
-    try:
-        fams, ti, ts, used = run_search(
-            strand, chunks, settings, "tpu", warmup_budget)
-        n = sum(c[1] for c in chunks)
-        log(f"device diagnostic [{used}]: index {ti:.1f}s scan {ts:.1f}s "
-            f"→ scan rate {n / 1e6 / max(ts, 1e-9):.1f} Mbp/s, "
-            f"{sum(len(f) for f in fams)} SDs")
-    except Exception as e:  # pragma: no cover
-        log(f"device diagnostic failed: {e}")
+    if "err" in state:
+        log(f"tpu path failed: {state['err']!r}")
+    if not state["passes"]:
+        log(f"tpu path produced no complete pass within {budget_s:.0f}s")
+        return None
+    return state["passes"]
 
 
 def main():
@@ -159,13 +152,13 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-    # Fire-and-forget tiny dispatch: the axon remote-compile service takes
-    # tens to hundreds of seconds to serve a process's first executable;
-    # starting it now overlaps that warmup with the host-side index build.
+    # Fire-and-forget tiny dispatch: the axon service takes seconds to
+    # minutes to serve a process's first work; start the claim now so it
+    # overlaps the host-side setup below.
     import jax.numpy as jnp
     _warm = jax.jit(lambda x: x * 2 + 1)(jnp.arange(8))
 
-    from asgart_tpu.fasta import Strand
+    from asgart_tpu.fasta import Strand, find_chunks_to_process
     from asgart_tpu.structs import RunSettings, Start
 
     n = int(GENOME_MBP * 1e6)
@@ -177,7 +170,6 @@ def main():
     data = np.concatenate([g, np.frombuffer(b"$", dtype=np.uint8)])
     strand = Strand(file_names="bench", data=data,
                     map=[Start("chr1", 0, n)])
-    from asgart_tpu.fasta import find_chunks_to_process
     chunks = find_chunks_to_process(g)
     settings = RunSettings(reverse=True, complement=True)
 
@@ -224,27 +216,44 @@ def main():
     base_total = tib + tsb
     base_mbps = nb / 1e6 / base_total
     log(f"reference-proxy baseline ({nb/1e6:.0f} Mbp): index {tib:.1f}s "
-        f"scan {tsb:.1f}s → {base_mbps:.2f} Mbp/s, {n_base_sds} SDs")
+        f"scan {tsb:.1f}s -> {base_mbps:.2f} Mbp/s, {n_base_sds} SDs")
 
-    # --- production config on the full genome -----------------------------
-    # single-text index + parallel batched equal-range: the fastest
-    # single-chip configuration (half the sort of the doubled text)
-    # best of two runs: this VM's memory system is very noisy (identical
-    # index builds vary 2x run-to-run); the second run reuses the warmed
-    # heap and reflects sustainable throughput
-    best = None
+    # --- host engine (comparison line), best of two -----------------------
+    host_best = None
+    host_sds = 0
     for attempt in range(2):
-        fams, ti, ts, used = run_search(strand, chunks, settings, "host")
+        fams, ti, ts = run_host(strand, chunks, settings)
         t = ti + ts
-        log(f"{used} run {attempt + 1} ({n/1e6:.0f} Mbp): index {ti:.1f}s "
-            f"scan {ts:.1f}s → {n/1e6/t:.2f} Mbp/s, "
-            f"{sum(len(f) for f in fams)} SDs")
-        if best is None or t < best:
-            best = t
-    total = best
-    mbps = n / 1e6 / total
+        host_sds = sum(len(f) for f in fams)
+        log(f"host run {attempt + 1} ({n/1e6:.0f} Mbp): index {ti:.1f}s "
+            f"scan {ts:.1f}s -> {n/1e6/t:.2f} Mbp/s, {host_sds} SDs")
+        if host_best is None or t < host_best:
+            host_best = t
+    host_mbps = n / 1e6 / host_best
 
-    # the driver's one JSON line goes out before any optional diagnostics
+    # --- TPU production path (the headline) -------------------------------
+    engine = "host"
+    mbps = host_mbps
+    if os.environ.get("BENCH_SKIP_DEVICE") != "1":
+        passes = measure_device(strand, chunks, settings, n,
+                                DEVICE_BUDGET_S)
+        if passes:
+            tpu_sds = sum(len(f) for f in passes[0][3])
+            if tpu_sds != host_sds:
+                log(f"ENGINE MISMATCH: tpu {tpu_sds} SDs vs host "
+                    f"{host_sds} SDs — falling back to host metric")
+            else:
+                # best pass = sustained; pass 0 (compiles) reported above
+                warm = [p for p in passes[1:]] or passes
+                t_best = min(p[0] for p in warm)
+                tpu_mbps = n / 1e6 / t_best
+                log(f"tpu sustained: {tpu_mbps:.2f} Mbp/s "
+                    f"(cold incl. compile: {n/1e6/passes[0][0]:.2f})")
+                if tpu_mbps > 0:
+                    engine = "tpu"
+                    mbps = tpu_mbps
+
+    log(f"headline engine: {engine}")
     print(json.dumps({
         "metric": "Mbp scanned/sec/chip (synthetic chr1-like self-dup, "
                   "k=20, -RC)",
@@ -253,11 +262,6 @@ def main():
         "vs_baseline": round(mbps / base_mbps, 3),
     }))
     sys.stdout.flush()
-
-    # --- TPU-gather path diagnostic (the mesh-scaling attach point) -------
-    if os.environ.get("BENCH_SKIP_DEVICE") != "1":
-        run_device_diagnostic(strand, chunks, settings)
-
     os._exit(0)  # a stalled device worker thread must not hold exit
 
 
