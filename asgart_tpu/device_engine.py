@@ -284,33 +284,31 @@ class DeviceEngine:
         if profile is not None:
             profile["device_index_s"] = round(time.time() - t0, 3)
 
-    def run_chunk(self, chunk: tuple[int, int]):
-        """Families for one chunk, native-engine format + coordinate
-        fixup left to the caller (mirrors SearchEngine.run_chunk)."""
+    def _lap(self, t0, what, *sync):
         import os
 
-        prof = os.environ.get("ASGART_DEVICE_PROFILE")
-        t0 = time.time()
+        if not os.environ.get("ASGART_DEVICE_PROFILE"):
+            return time.time()
+        for x in sync:
+            np.asarray(x.ravel()[:1])
+        now = time.time()
+        print(f"[dscan] {what}: {now - t0:.2f}s", flush=True)
+        return now
 
-        def lap(what, *sync):
-            nonlocal t0
-            if not prof:
-                return
-            for x in sync:
-                np.asarray(x.ravel()[:1])
-            now = time.time()
-            print(f"[dscan] {what}: {now - t0:.2f}s", flush=True)
-            t0 = now
-
+    def _dispatch_chunk(self, chunk, cap=None, ev_cap=None):
+        """Size + dispatch the device scan for one chunk; returns a
+        state dict (results still in flight) or None for empty chunks.
+        Dispatching every chunk before collecting any overlaps one
+        chunk's downloads with the next one's device execution."""
         s = self.settings
         start, length = chunk
         k = s.probe_size
         if length < s.min_duplication_length:
-            return []
+            return None
         step = k // 2
         bound = length - k - step
         if bound <= 0:
-            return []
+            return None
         n_probes = (bound + step - 1) // step
 
         n_shards = self.mesh.devices.size if self.mesh is not None else 1
@@ -319,56 +317,72 @@ class DeviceEngine:
             b_pad += n_shards - (b_pad % n_shards)
         b_local = b_pad // n_shards
 
+        t0 = time.time()
         didx = self.didx
         args = (didx.pos_lo, didx.pos_hi, didx.codes, didx.sa,
                 jnp.int32(start), jnp.int32(length),
                 jnp.int32(didx.first_len),
                 jnp.int32(didx.first_len - 1),
                 jnp.int32(s.max_cardinality))
-        total_raw = _raw_total(
-            didx.pos_lo, didx.pos_hi, didx.codes, jnp.int32(start),
-            jnp.int32(length), jnp.int32(didx.first_len),
-            k, s.reverse, s.complement, b_pad)
-        total_raw = int(float(total_raw) * 1.001) + 8  # sizes the gather
-        lap(f"raw-total pre-pass ({total_raw})")
+        if cap is None:
+            total_raw = _raw_total(
+                didx.pos_lo, didx.pos_hi, didx.codes, jnp.int32(start),
+                jnp.int32(length), jnp.int32(didx.first_len),
+                k, s.reverse, s.complement, b_pad)
+            total_raw = int(float(total_raw) * 1.001) + 8
+            t0 = self._lap(t0, f"raw-total pre-pass ({total_raw})")
+            cap = _bucket(max(total_raw + 1, 1 << 20))
+        if ev_cap is None:
+            ev_cap = _bucket(min(cap, b_local)) // 4
 
-        cap = _bucket(max(total_raw + 1, 1 << 20))
-        ev_cap = _bucket(min(cap, b_local)) // 4
+        if self.mesh is None:
+            ev_pack, m_flat, scalars = _scan_chunk(
+                *args, jnp.int32(0), k=k, reverse=s.reverse,
+                complement=s.complement, b_pad=b_pad, cap=cap,
+                ev_cap=ev_cap)
+            shards = [(ev_pack, m_flat, scalars)]
+        else:
+            stepf = _sharded_scan(
+                self.mesh, k, s.reverse, s.complement, b_local,
+                cap, ev_cap)
+            evs, mfs, scs = stepf(*args)
+            shards = [(evs[i], mfs[i], scs[i])
+                      for i in range(n_shards)]
+        self._lap(t0, f"scan dispatch (cap={cap})")
+        return {"chunk": chunk, "cap": cap, "ev_cap": ev_cap,
+                "shards": shards}
+
+    def _collect_chunk(self, st):
+        """Download + merge one dispatched chunk's events and chain
+        them; retries the dispatch with doubled capacities on
+        overflow."""
+        if st is None:
+            return []
+        s = self.settings
+        k = s.probe_size
         while True:
-            if self.mesh is None:
-                ev_pack, m_flat, scalars = _scan_chunk(
-                    *args, jnp.int32(0), k=k, reverse=s.reverse,
-                    complement=s.complement, b_pad=b_pad, cap=cap,
-                    ev_cap=ev_cap)
-                shards = [(ev_pack, m_flat, scalars)]
-            else:
-                stepf = _sharded_scan(
-                    self.mesh, k, s.reverse, s.complement, b_local,
-                    cap, ev_cap)
-                evs, mfs, scs = stepf(*args)
-                shards = [(evs[i], mfs[i], scs[i])
-                          for i in range(n_shards)]
-            lap(f"scan+compact dispatch (cap={cap})")
-
+            t0 = time.time()
             parts = []
             overflow_any = False
             max_ev = 0
-            for ev_pack, m_flat, scalars in shards:
+            for ev_pack, m_flat, scalars in st["shards"]:
                 n_events, total_kept, z_trail, overflow = (
                     int(v) for v in np.asarray(scalars))
                 overflow_any |= bool(overflow)
                 max_ev = max(max_ev, n_events)
                 parts.append((np.asarray(ev_pack[:, :n_events]),
                               np.asarray(m_flat[:total_kept]), z_trail))
+            t0 = self._lap(t0, "event download")
             if not overflow_any:
                 break
+            cap, ev_cap = st["cap"], st["ev_cap"]
             if max_ev > ev_cap:
                 ev_cap = _bucket(max_ev + 1)
             else:
                 cap *= 2  # exact raw total exceeded the estimate
             log.debug("device scan retry: cap=%d ev_cap=%d", cap, ev_cap)
+            st = self._dispatch_chunk(st["chunk"], cap=cap, ev_cap=ev_cap)
 
-        lap("event download")
         ev, m_host, z_trail = _merge_shard_events(parts)
         if ev is None:
             return []
@@ -376,13 +390,23 @@ class DeviceEngine:
         m_offsets = np.zeros(n_events + 1, dtype=np.int64)
         np.cumsum(ev[2], out=m_offsets[1:])
 
-        lap("merge")
         raw_families = native.chain_events(
             ev[0], ev[1], m_offsets, m_host,
             z_trail=z_trail,
-            probe_size=k, step_size=step,
+            probe_size=k, step_size=k // 2,
             max_gap_size=s.max_gap_size,
             min_duplication_length=s.min_duplication_length,
             max_cardinality=s.max_cardinality)
-        lap("host event chain")
+        self._lap(t0, "merge+chain")
         return raw_families
+
+    def run_chunk(self, chunk: tuple[int, int]):
+        """Families for one chunk, native-engine format + coordinate
+        fixup left to the caller (mirrors SearchEngine.run_chunk)."""
+        return self._collect_chunk(self._dispatch_chunk(chunk))
+
+    def run_chunks(self, chunks):
+        """All chunks, with dispatch/collect pipelining: chunk i+1
+        executes on the device while chunk i's events download."""
+        states = [self._dispatch_chunk(c) for c in chunks]
+        return [self._collect_chunk(st) for st in states]

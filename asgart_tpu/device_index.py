@@ -62,18 +62,16 @@ def _bucket_pow2(n: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "reverse", "complement",
-                                             "pad_to", "n1"))
-def _build_text_codes(packed: jax.Array, k: int, reverse: bool,
-                      complement: bool, pad_to: int, n1: int):
-    """Nibble-packed codes [ceil(n1/2)] (two 3-bit ranks per byte, the
-    host->device upload format — the tunnel runs at ~0.06 GB/s, so the
-    upload is halved) → doubled/padded text codes [pad_to + k] with zero
-    padding. The appended half is T(genome): the run transform applied
-    on device (complement first, then reverse —
-    pipeline.transform_needle order)."""
-    idx = jnp.arange(n1, dtype=I32)
-    byte = packed[idx >> 1]
-    codes = jnp.where(idx & 1, byte & 0xF, byte >> 4).astype(jnp.uint8)
+                                             "pad_to"))
+def _build_text_codes(codes: jax.Array, k: int, reverse: bool,
+                      complement: bool, pad_to: int):
+    """codes [n1] (genome + '$' ranks) → doubled/padded text codes
+    [pad_to + k] with zero padding. The appended half is T(genome): the
+    run transform applied on device (complement first, then reverse —
+    pipeline.transform_needle order). (A nibble-packed upload was tried
+    and reverted: the halved transfer lost more to the on-device unpack
+    gather than it saved on the wire.)"""
+    n1 = codes.shape[0]
     half = codes[: n1 - 1]
     if complement:
         half = jnp.asarray(COMP_CODE)[half]
@@ -265,15 +263,10 @@ class DeviceIndex:
             raise ValueError(
                 "device index shard too large for int32; shard the index")
         codes_host = CODE[strand_data]
-        if n1 % 2:
-            codes_host = np.concatenate(
-                [codes_host, np.zeros(1, dtype=np.uint8)])
-        packed_host = (codes_host[0::2] << 4) | codes_host[1::2]
-        packed = jax.device_put(packed_host)  # the only bulk upload
-        lap("upload", packed)
+        codes1 = jax.device_put(codes_host)  # the only bulk upload
+        lap("upload", codes1)
 
-        text_codes = _build_text_codes(packed, k, reverse, complement,
-                                       n, n1)
+        text_codes = _build_text_codes(codes1, k, reverse, complement, n)
         lap("text", text_codes)
         key_hi, key_lo = _pack_planes_all(text_codes, k, n)
         lap("pack", key_hi)
@@ -309,16 +302,10 @@ class DeviceIndex:
         if n_tied_host > 0:
             cap = max(1024, _bucket_pow2(n_tied_host))
             slots, n_tied = _extract_tied(tied_slot, cap)
-            first = True
             while n_tied_host > 0 and h < 2 * n:
-                # the first round usually collapses most ties (k-mer
-                # collisions inside long identical copies), so run it
-                # alone and shrink the slot buffer before the blocks
-                rounds = 1 if first else rounds_per_call
-                first = False
                 sa, rank, slots, n_tied = _doubling_rounds(
-                    sa, rank, slots, n_tied, jnp.int32(h), rounds)
-                h <<= rounds
+                    sa, rank, slots, n_tied, jnp.int32(h), rounds_per_call)
+                h <<= rounds_per_call
                 n_tied_host = int(n_tied)
                 lap(f"rounds to h={h} cap={cap} ({n_tied_host} tied)")
                 new_cap = max(1024, _bucket_pow2(n_tied_host))

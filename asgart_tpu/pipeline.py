@@ -261,6 +261,13 @@ class _DeviceEngineAdapter:
         raw = self.dev.run_chunk(chunk)
         return raw_families_to_protosds(raw, self.settings, start, length)
 
+    def run_chunks(self, chunks):
+        """Pipelined multi-chunk execution (device dispatch of chunk i+1
+        overlaps chunk i's downloads)."""
+        raws = self.dev.run_chunks(chunks)
+        return [raw_families_to_protosds(raw, self.settings, c[0], c[1])
+                for raw, c in zip(raws, chunks)]
+
 
 def search_duplications(
     strands_files: list[str],
@@ -365,7 +372,14 @@ def search_duplications(
     if engine == "tpu" or ckpt_fh is not None:
         workers = 1  # one device queue / ordered journal writes
     done = 0
-    if workers > 1 and len(to_process) > 1:
+    if (ckpt_fh is None and not ckpt_done
+            and hasattr(se, "run_chunks")):
+        # device engine: pipelined dispatch across chunks
+        for chunk, fams in zip(to_process, se.run_chunks(to_process)):
+            families.extend(fams)
+            done += chunk[1]
+            bar.update(done)
+    elif workers > 1 and len(to_process) > 1:
         with ThreadPoolExecutor(max_workers=workers) as ex:
             futs = [ex.submit(se.run_chunk, c) for c in to_process]
             for chunk, fut in zip(to_process, futs):

@@ -50,8 +50,8 @@ def main():
             t_index = time.time() - t0
             t0 = time.time()
             fams_dev = []
-            for c in chunks:
-                fams_dev.extend(dev.run_chunk(c))
+            for part in dev.run_chunks(chunks):
+                fams_dev.extend(part)
             t_scan = time.time() - t0
             n_dev = sum(len(f) for f in fams_dev)
             log(f"[{mbp:.0f} Mbp pass {p}] device: index {t_index:.2f}s "
