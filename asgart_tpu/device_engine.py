@@ -127,20 +127,17 @@ def _scan_chunk(pos_lo_tab, pos_hi_tab, codes, sa,
     bound = chunk_len - k - step
     mask = (j * step) < bound  # pre-increment loop, automaton.rs:90-97
 
-    # N-probe skip checks the needle symbol at i (complement maps N->N,
-    # so the original text code suffices; reverse flips the position)
-    q = jnp.where(jnp.asarray(reverse),
-                  chunk_start + chunk_len - 1 - is_,
-                  chunk_start + is_)
-    qc = codes[jnp.clip(q, 0, codes.shape[0] - 1)]
-    mask = mask & (qc != N_CODE)
-
     # equal-ranges by strided slice (x affine increasing in j; tables are
     # padded by table_pad_for(k) so the slice never clamps)
     x0 = _probe_x0(chunk_start, chunk_len, first_len, k, reverse,
                    complement) + j0 * step
     lo = jax.lax.dynamic_slice(pos_lo_tab, (x0,), (b_pad * step,))[::step]
     hi = jax.lax.dynamic_slice(pos_hi_tab, (x0,), (b_pad * step,))[::step]
+    # N-probe skip (automaton.rs:100-102): the probe window at needle i
+    # equals the text window at x by doubled-text construction, so the
+    # needle symbol check is the same strided slice over the codes
+    cx = jax.lax.dynamic_slice(codes, (x0,), (b_pad * step,))[::step]
+    mask = mask & (cx != N_CODE)
     lo = jnp.where(mask, lo, 0)
     hi = jnp.where(mask, hi, 0)
 
@@ -295,11 +292,7 @@ class DeviceEngine:
         print(f"[dscan] {what}: {now - t0:.2f}s", flush=True)
         return now
 
-    def _dispatch_chunk(self, chunk, cap=None, ev_cap=None):
-        """Size + dispatch the device scan for one chunk; returns a
-        state dict (results still in flight) or None for empty chunks.
-        Dispatching every chunk before collecting any overlaps one
-        chunk's downloads with the next one's device execution."""
+    def _chunk_geometry(self, chunk):
         s = self.settings
         start, length = chunk
         k = s.probe_size
@@ -310,12 +303,37 @@ class DeviceEngine:
         if bound <= 0:
             return None
         n_probes = (bound + step - 1) // step
-
         n_shards = self.mesh.devices.size if self.mesh is not None else 1
         b_pad = _bucket(n_probes)
         if b_pad % n_shards:
             b_pad += n_shards - (b_pad % n_shards)
-        b_local = b_pad // n_shards
+        return b_pad, b_pad // n_shards, n_shards
+
+    def _prepass_total(self, chunk):
+        """Dispatch (async) the raw-total pre-pass for one chunk."""
+        geo = self._chunk_geometry(chunk)
+        if geo is None:
+            return None
+        b_pad, _, _ = geo
+        s = self.settings
+        didx = self.didx
+        return _raw_total(
+            didx.pos_lo, didx.pos_hi, didx.codes, jnp.int32(chunk[0]),
+            jnp.int32(chunk[1]), jnp.int32(didx.first_len),
+            s.probe_size, s.reverse, s.complement, b_pad)
+
+    def _dispatch_chunk(self, chunk, cap=None, ev_cap=None, total=None):
+        """Size + dispatch the device scan for one chunk; returns a
+        state dict (results still in flight) or None for empty chunks.
+        Dispatching every chunk before collecting any overlaps one
+        chunk's downloads with the next one's device execution."""
+        geo = self._chunk_geometry(chunk)
+        if geo is None:
+            return None
+        b_pad, b_local, n_shards = geo
+        s = self.settings
+        start, length = chunk
+        k = s.probe_size
 
         t0 = time.time()
         didx = self.didx
@@ -325,11 +343,9 @@ class DeviceEngine:
                 jnp.int32(didx.first_len - 1),
                 jnp.int32(s.max_cardinality))
         if cap is None:
-            total_raw = _raw_total(
-                didx.pos_lo, didx.pos_hi, didx.codes, jnp.int32(start),
-                jnp.int32(length), jnp.int32(didx.first_len),
-                k, s.reverse, s.complement, b_pad)
-            total_raw = int(float(total_raw) * 1.001) + 8
+            if total is None:
+                total = self._prepass_total(chunk)
+            total_raw = int(float(total) * 1.001) + 8
             t0 = self._lap(t0, f"raw-total pre-pass ({total_raw})")
             cap = _bucket(max(total_raw + 1, 1 << 20))
         if ev_cap is None:
@@ -406,7 +422,10 @@ class DeviceEngine:
         return self._collect_chunk(self._dispatch_chunk(chunk))
 
     def run_chunks(self, chunks):
-        """All chunks, with dispatch/collect pipelining: chunk i+1
-        executes on the device while chunk i's events download."""
-        states = [self._dispatch_chunk(c) for c in chunks]
+        """All chunks, with dispatch/collect pipelining: every pre-pass
+        dispatches before any syncs, and chunk i+1 executes on the
+        device while chunk i's events download."""
+        totals = [self._prepass_total(c) for c in chunks]
+        states = [self._dispatch_chunk(c, total=t)
+                  for c, t in zip(chunks, totals)]
         return [self._collect_chunk(st) for st in states]

@@ -266,7 +266,10 @@ class DeviceIndex:
         codes1 = jax.device_put(codes_host)  # the only bulk upload
         lap("upload", codes1)
 
-        text_codes = _build_text_codes(codes1, k, reverse, complement, n)
+        from .device_engine import table_pad_for
+
+        text_codes = _build_text_codes(
+            codes1, k, reverse, complement, n + table_pad_for(k))
         lap("text", text_codes)
         key_hi, key_lo = _pack_planes_all(text_codes, k, n)
         lap("pack", key_hi)
@@ -276,8 +279,6 @@ class DeviceIndex:
             skhi, sklo, sa)
         # pad so the engine's strided probe-slice reads never clamp
         # (padded lanes read zero ranges, discarded by the probe mask)
-        from .device_engine import table_pad_for
-
         pad = table_pad_for(k)
         pos_lo = _pad_zeros(pos_lo, pad)
         pos_hi = _pad_zeros(pos_hi, pad)
