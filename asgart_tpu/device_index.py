@@ -232,12 +232,23 @@ class DeviceIndex:
     reverse: bool
     complement: bool
 
+    @staticmethod
+    def upload_codes(strand_data: np.ndarray) -> jax.Array:
+        """Start the (async) upload of the strand's symbol codes. A
+        caller that knows the strand early — e.g. while input parsing or
+        other host-side work is still running — can overlap the
+        ~0.06 GB/s tunnel transfer and pass the handle to
+        :meth:`build` via ``codes_device``."""
+        return jax.device_put(CODE[strand_data])
+
     @classmethod
     def build(cls, strand_data: np.ndarray, k: int, reverse: bool = False,
-              complement: bool = False, rounds_per_call: int = 4,
-              tied_cap: int | None = None) -> "DeviceIndex":
+              complement: bool = False, rounds_per_call: int = 2,
+              tied_cap: int | None = None,
+              codes_device: jax.Array | None = None) -> "DeviceIndex":
         """Build from the host strand bytes (genome + '$'). Only the
-        symbol codes (1 B/bp) cross the host->device boundary."""
+        symbol codes (1 B/bp) cross the host->device boundary
+        (pre-uploadable via :meth:`upload_codes`)."""
         import os
         import time
 
@@ -262,8 +273,10 @@ class DeviceIndex:
         if n >= (1 << 31):
             raise ValueError(
                 "device index shard too large for int32; shard the index")
-        codes_host = CODE[strand_data]
-        codes1 = jax.device_put(codes_host)  # the only bulk upload
+        if codes_device is not None:
+            codes1 = codes_device
+        else:
+            codes1 = jax.device_put(CODE[strand_data])  # the bulk upload
         lap("upload", codes1)
 
         from .device_engine import table_pad_for

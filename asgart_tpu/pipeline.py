@@ -250,11 +250,13 @@ class _DeviceEngineAdapter:
     """Pipeline-facing wrapper of :class:`asgart_tpu.device_engine
     .DeviceEngine` (same ``run_chunk`` contract as SearchEngine)."""
 
-    def __init__(self, strand, settings, profile=None):
+    def __init__(self, strand, settings, profile=None,
+                 codes_device=None):
         from .device_engine import DeviceEngine
 
         self.settings = settings
-        self.dev = DeviceEngine(strand, settings, profile=profile)
+        self.dev = DeviceEngine(strand, settings, profile=profile,
+                                codes_device=codes_device)
 
     def run_chunk(self, chunk):
         start, length = chunk
