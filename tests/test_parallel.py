@@ -161,9 +161,10 @@ def test_graft_entry_and_dryrun():
     fn, args = ge.entry()
     res = jax.jit(fn)(*args)
     jax.block_until_ready(res)
-    out, n_out, n_fam, n_hits, n_dropped = res
-    assert int(n_hits) > 0
-    assert int(n_out) >= 1
+    ev_pack, m_flat, scalars = res
+    n_events, total_kept, z_trail, overflow = (
+        int(v) for v in np.asarray(scalars))
+    assert n_events > 0 and total_kept > 0 and not overflow
     ge.dryrun_multichip(8)
 
 
