@@ -268,6 +268,11 @@ def _merge_shard_events(shard_events):
     return np.concatenate(evs, axis=1), np.concatenate(ms), carry
 
 
+# (geometry key) -> (cap, ev_cap): repeat runs over the same chunk
+# geometry skip the raw-total pre-pass round trip (~0.3 s each)
+_CAP_CACHE: dict = {}
+
+
 class DeviceEngine:
     """On-device search over one prepared strand (the ``engine="tpu"``
     production path). With more than one visible device, the probe axis
@@ -326,6 +331,11 @@ class DeviceEngine:
             b_pad += n_shards - (b_pad % n_shards)
         return b_pad, b_pad // n_shards, n_shards
 
+    def _cap_key(self, chunk):
+        s = self.settings
+        return (self.didx.n, self.didx.first_len, s.probe_size,
+                s.reverse, s.complement, s.max_cardinality, chunk)
+
     def _prepass_total(self, chunk):
         """Dispatch (async) the raw-total pre-pass for one chunk."""
         geo = self._chunk_geometry(chunk)
@@ -360,11 +370,15 @@ class DeviceEngine:
                 jnp.int32(didx.first_len - 1),
                 jnp.int32(s.max_cardinality))
         if cap is None:
-            if total is None:
-                total = self._prepass_total(chunk)
-            total_raw = int(float(total) * 1.001) + 8
-            t0 = self._lap(t0, f"raw-total pre-pass ({total_raw})")
-            cap = _bucket(max(total_raw + 1, 1 << 20))
+            cached = _CAP_CACHE.get(self._cap_key(chunk))
+            if cached is not None:
+                cap, ev_cap = cached
+            else:
+                if total is None:
+                    total = self._prepass_total(chunk)
+                total_raw = int(float(total) * 1.001) + 8
+                t0 = self._lap(t0, f"raw-total pre-pass ({total_raw})")
+                cap = _bucket(max(total_raw + 1, 1 << 20))
         if ev_cap is None:
             ev_cap = _bucket(min(cap, b_local)) // 4
 
@@ -416,6 +430,7 @@ class DeviceEngine:
             log.debug("device scan retry: cap=%d ev_cap=%d", cap, ev_cap)
             st = self._dispatch_chunk(st["chunk"], cap=cap, ev_cap=ev_cap)
 
+        _CAP_CACHE[self._cap_key(st["chunk"])] = (st["cap"], st["ev_cap"])
         ev, m_host, z_trail = _merge_shard_events(parts)
         if ev is None:
             return []
@@ -444,6 +459,9 @@ class DeviceEngine:
         chunk i+1 executes on the device while chunk i's events
         download."""
         geos = [self._chunk_geometry(c) for c in chunks]
+        cached = [g is None or self._cap_key(c) in _CAP_CACHE
+                  for c, g in zip(chunks, geos)]
+        geos = [None if hit else g for g, hit in zip(geos, cached)]
         b_pads = {g[0] for g in geos if g is not None}
         if len(b_pads) == 1 and sum(g is not None for g in geos) > 1:
             b_pad = b_pads.pop()

@@ -24,6 +24,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <thread>
 #include <chrono>
 #include <cstdio>
@@ -825,7 +826,11 @@ static int bpi_codes_impl(const uint8_t* codes, int64_t n, int64_t k,
   const int shift = int(3 * k) - topb;
   const int64_t per = (n + n_threads - 1) / n_threads;
 
-  std::vector<KV> recs(n);
+  // default-init (no memset): a value-initialized vector would zero
+  // 12 B/elem on one thread — both the memset and the first-touch page
+  // faults dominate cold builds. Pages are touched in parallel below.
+  std::unique_ptr<KV[]> recs_owner(new KV[n]);
+  KV* recs = recs_owner.get();
   {
     std::vector<std::vector<int64_t>> hist(
         n_threads, std::vector<int64_t>(n_buckets, 0));
@@ -835,6 +840,12 @@ static int bpi_codes_impl(const uint8_t* codes, int64_t n, int64_t k,
       if (b0 >= b1) break;
       ts.emplace_back([&, t, b0, b1]() {
         auto& h = hist[t];
+        // parallel first-touch of this thread's stripe of the record
+        // buffer (the scatter below writes in bucket order, which would
+        // fault pages in random order from whichever thread gets there)
+        const size_t stride = 4096 / sizeof(KV);
+        for (size_t q = size_t(b0); q < size_t(b1); q += stride)
+          recs[q].key = 0;
         int64_t v = pack_at(b0);
         h[v >> shift]++;
         for (int64_t i = b0 + 1; i < b1; ++i) {
@@ -880,7 +891,7 @@ static int bpi_codes_impl(const uint8_t* codes, int64_t n, int64_t k,
       ts.emplace_back([&]() {
         int64_t d;
         while ((d = cursor.fetch_add(1)) < n_buckets) {
-          std::sort(recs.begin() + bstart[d], recs.begin() + bstart[d + 1],
+          std::sort(recs + bstart[d], recs + bstart[d + 1],
                     [](const KV& a, const KV& b) { return a.key < b.key; });
         }
       });
@@ -977,7 +988,7 @@ static int bpi_codes_impl(const uint8_t* codes, int64_t n, int64_t k,
             auto key2 = [&](int64_t p) -> int64_t {
               return p + h < n ? rank_of(p + h) : -1;
             };
-            std::stable_sort(recs.begin() + sp.b, recs.begin() + sp.e,
+            std::stable_sort(recs + sp.b, recs + sp.e,
                              [&](const KV& a, const KV& b) {
                                return key2(a.pos) < key2(b.pos);
                              });
