@@ -324,3 +324,27 @@ def test_shards_equals_sequential_trim_merge(tmp_path):
     assert sum(len(f) for f in sharded.families) >= 2
     # the merged settings carry no window trim
     assert sharded.settings.trim is None
+
+
+def test_tpu_engine_trim_fallback_matches_host(tmp_path):
+    """engine=tpu with --trim uses the windowed-SA strategy (legacy
+    device binary-search lookup); output must equal the host trim run."""
+    import numpy as np
+
+    from asgart_tpu.pipeline import search_duplications
+    from asgart_tpu.structs import RunSettings
+    from tests.util import plant_duplication, write_fasta
+
+    rng = np.random.default_rng(13)
+    text = plant_duplication(rng, 24000, 1500, 1000, 15000)
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", text)])
+    kw = dict(trim=(0, 20000), min_duplication_length=800)
+    host = search_duplications([str(fa)], RunSettings(**kw))
+    tpu = search_duplications([str(fa)], RunSettings(**kw), engine="tpu")
+
+    def dump(r):
+        return [[vars(sd) for sd in fam] for fam in r.families]
+
+    assert dump(tpu) == dump(host)
+    assert host.families, "duplication inside the window must be found"
