@@ -126,6 +126,75 @@ class GenomeIndex:
         return [int(x) for x in self.sa[lo:hi]]
 
 
+@dataclass
+class ByteIndex:
+    """Wide-probe index (k > MAX_PROBE_SIZE): a full suffix array (the
+    SA itself is k-independent — built by the parallel packed-prefix
+    sorter with 21-symbol keys + doubling) plus byte-compare equal-range,
+    which is the reference's own search strategy for arbitrary probe
+    sizes (searcher.rs:145-171 over sa_searchb64). Matches come out in
+    SA order like every other strategy."""
+
+    sa: np.ndarray       # int64 absolute positions, suffix order
+    text: np.ndarray     # bytes compared against (the window for trim)
+    k: int
+    sa_offset: int       # text[p - sa_offset] rebases sa positions
+
+    @classmethod
+    def build(cls, strand_data: np.ndarray, k: int,
+              trim: Optional[tuple[int, int]] = None,
+              n_threads: int = 0) -> "ByteIndex":
+        from . import native
+
+        if k < 1:
+            raise ValueError(f"probe_size {k} is out of range")
+        if trim is not None:
+            start, end = trim
+            sub = np.concatenate([
+                strand_data[start:end],
+                np.frombuffer(b"$", dtype=np.uint8)])
+            text, offset = sub, start
+        else:
+            text, offset = strand_data, 0
+        codes = CODE[text]
+        kmers = native.pack_kmers(codes, MAX_PROBE_SIZE, n_threads)
+        sa = native.kmer_suffix_sort(kmers, MAX_PROBE_SIZE, n_threads)
+        if offset:
+            sa += offset
+        return cls(sa=sa, text=text, k=k, sa_offset=offset)
+
+    def lookup_needle(self, needle: np.ndarray, is_: np.ndarray,
+                      n_threads: int = 0,
+                      block: int = 1 << 20) -> tuple[np.ndarray,
+                                                     np.ndarray]:
+        """Equal ranges for the probes at ``is_`` of ``needle`` (pattern
+        bytes taken by value; blocked to bound the m*k staging buffer)."""
+        from . import native
+
+        k = self.k
+        lo = np.empty(len(is_), dtype=np.int64)
+        hi = np.empty(len(is_), dtype=np.int64)
+        win = np.arange(k, dtype=np.int64)
+        for b0 in range(0, len(is_), block):
+            part = is_[b0: b0 + block]
+            pats = needle[part[:, None] + win[None, :]]
+            lo[b0: b0 + len(part)], hi[b0: b0 + len(part)] = \
+                native.batch_equal_range_bytes(
+                    self.text, self.sa, pats, k,
+                    sa_offset=self.sa_offset, n_threads=n_threads)
+        return lo, hi
+
+    def search(self, pattern: bytes) -> list[int]:
+        """Single-probe search (oracle hook), SA order."""
+        pats = np.frombuffer(pattern, dtype=np.uint8)[None, :]
+        from . import native
+
+        lo, hi = native.batch_equal_range_bytes(
+            self.text, self.sa, pats, len(pattern),
+            sa_offset=self.sa_offset, n_threads=1)
+        return [int(x) for x in self.sa[lo[0]:hi[0]]]
+
+
 # byte → complement byte over normalized ACGTN (identity elsewhere)
 _COMP = np.arange(256, dtype=np.uint8)
 for _a, _b in zip(b"ACGTN", b"TGCAN"):

@@ -134,6 +134,13 @@ def _load() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64]
 
+        lib.asgart_batch_equal_range_bytes.restype = ctypes.c_int
+        lib.asgart_batch_equal_range_bytes.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64]
+
         lib.asgart_batch_equal_range.restype = ctypes.c_int
         lib.asgart_batch_equal_range.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -425,6 +432,33 @@ def batch_equal_range(keys_sorted: np.ndarray, probes: np.ndarray,
             hi.ctypes.data_as(ctypes.c_void_p), n_threads)
     if rc != 0:
         raise RuntimeError("asgart_batch_equal_range failed")
+    return lo, hi
+
+
+def batch_equal_range_bytes(text: np.ndarray, sa: np.ndarray,
+                            patterns: np.ndarray, k: int,
+                            sa_offset: int = 0,
+                            n_threads: int = 0) -> tuple[np.ndarray,
+                                                         np.ndarray]:
+    """Byte-compare equal-range over a suffix array (the wide-probe
+    k > 21 path). ``patterns`` is [m, k] uint8; ``sa`` holds absolute
+    positions rebased into ``text`` by ``sa_offset``."""
+    lib = _load()
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    sa = _as_i64(sa)
+    patterns = np.ascontiguousarray(patterns, dtype=np.uint8)
+    m = len(patterns)
+    lo = np.empty(m, dtype=np.int64)
+    hi = np.empty(m, dtype=np.int64)
+    n_threads = n_threads or (os.cpu_count() or 1)
+    rc = lib.asgart_batch_equal_range_bytes(
+        text.ctypes.data_as(ctypes.c_void_p), len(text),
+        sa.ctypes.data_as(ctypes.c_void_p), len(sa), sa_offset,
+        patterns.ctypes.data_as(ctypes.c_void_p), k, m,
+        lo.ctypes.data_as(ctypes.c_void_p),
+        hi.ctypes.data_as(ctypes.c_void_p), n_threads)
+    if rc != 0:
+        raise RuntimeError("asgart_batch_equal_range_bytes failed")
     return lo, hi
 
 

@@ -801,8 +801,11 @@ static int bpi_codes_impl(const uint8_t* codes, int64_t n, int64_t k,
     tick = now;
   };
 
-  const int64_t mask = (k * 3 >= 63) ? ~int64_t(0)
-                                     : ((int64_t(1) << (k * 3)) - 1);
+  // 3k == 63 must keep exactly 63 bits: ~0 would let rolled history
+  // pollute the sign bit (negative keys -> OOB radix buckets)
+  const int64_t mask = (k * 3 >= 63)
+                           ? int64_t(~uint64_t(0) >> 1)
+                           : ((int64_t(1) << (k * 3)) - 1);
   auto code_at = [&](int64_t q) -> int64_t {
     return q < n ? int64_t(codes[q]) : 0;
   };
@@ -1087,7 +1090,9 @@ int asgart_build_position_index_codes_i32(
 int asgart_pack_kmers(const uint8_t* codes, int64_t n, int64_t k,
                       int64_t* out, int64_t n_threads) {
   if (n <= 0) return 0;
-  const int64_t mask = (k * 3 >= 63) ? ~int64_t(0) : ((int64_t(1) << (k * 3)) - 1);
+  const int64_t mask = (k * 3 >= 63)
+                           ? int64_t(~uint64_t(0) >> 1)
+                           : ((int64_t(1) << (k * 3)) - 1);
   auto code_at = [&](int64_t q) -> int64_t {
     return q < n ? int64_t(codes[q]) : 0;
   };
@@ -1282,6 +1287,57 @@ int asgart_build_bucket_table(const int64_t* keys, int64_t n, int64_t k,
   }
   for (auto& th : ts) th.join();
   out[nb] = n;
+  return 0;
+}
+
+// Byte-compare batched equal-range over a suffix array: the wide-probe
+// (k > 21) strategy, equivalent to the reference's sa_searchb64 +
+// equal_range_by byte comparisons (searcher.rs:145-171, including the
+// "suffix shorter than the pattern compares Less" rule,
+// searcher.rs:164-170). `sa` holds ABSOLUTE positions; `sa_offset`
+// rebases them into `text` (trim windows pass the window text and its
+// start). Patterns are a flat [m*k] byte array.
+int asgart_batch_equal_range_bytes(
+    const uint8_t* text, int64_t text_len, const int64_t* sa,
+    int64_t n_sa, int64_t sa_offset, const uint8_t* patterns, int64_t k,
+    int64_t m, int64_t* lo_out, int64_t* hi_out, int64_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  // -1: suffix < pattern, 0: equal on k (or suffix prefix-equal but
+  // shorter => -1), +1: suffix > pattern
+  auto cmp = [&](int64_t r, const uint8_t* pat) -> int {
+    const int64_t s = sa[r] - sa_offset;
+    const int64_t avail = text_len - s;
+    const int64_t lim = avail < k ? avail : k;
+    for (int64_t j = 0; j < lim; ++j) {
+      const uint8_t a = text[s + j], b = pat[j];
+      if (a != b) return a < b ? -1 : 1;
+    }
+    return avail < k ? -1 : 0;
+  };
+  const int64_t per = (m + n_threads - 1) / n_threads;
+  std::vector<std::thread> ts;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    int64_t b0 = t * per, b1 = std::min(m, (t + 1) * per);
+    if (b0 >= b1) break;
+    ts.emplace_back([&, b0, b1]() {
+      for (int64_t i = b0; i < b1; ++i) {
+        const uint8_t* pat = patterns + i * k;
+        int64_t lo = 0, hi = n_sa;
+        while (lo < hi) {  // first suffix >= pattern
+          int64_t mid = (lo + hi) >> 1;
+          if (cmp(mid, pat) < 0) lo = mid + 1; else hi = mid;
+        }
+        lo_out[i] = lo;
+        int64_t lo2 = lo, hi2 = n_sa;
+        while (lo2 < hi2) {  // first suffix > pattern
+          int64_t mid = (lo2 + hi2) >> 1;
+          if (cmp(mid, pat) <= 0) lo2 = mid + 1; else hi2 = mid;
+        }
+        hi_out[i] = lo2;
+      }
+    });
+  }
+  for (auto& th : ts) th.join();
   return 0;
 }
 

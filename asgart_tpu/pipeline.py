@@ -26,7 +26,7 @@ import numpy as np
 
 from . import native, postprocess
 from .fasta import Strand, prepare_data
-from .index import CODE, GenomeIndex, PositionIndex
+from .index import (CODE, MAX_PROBE_SIZE, ByteIndex, GenomeIndex, PositionIndex)
 from .structs import (ProtoSD, RunResult, RunSettings, SD, StrandResult)
 from .utils import complemented
 
@@ -102,8 +102,18 @@ class SearchEngine:
         t0 = time.time()
         self.pidx: Optional[PositionIndex] = None
         self.index: Optional[GenomeIndex] = None
+        self.bidx: Optional[ByteIndex] = None
         transformed = settings.reverse or settings.complement
-        if trim is None and index_cache is not None and engine != "tpu":
+        if settings.probe_size > MAX_PROBE_SIZE:
+            # wide probes: full SA + byte-compare equal-range (the
+            # reference's own strategy for arbitrary k); host engine
+            if engine == "tpu":
+                log.warning("probe_size > %d runs on the host engine",
+                            MAX_PROBE_SIZE)
+            self.bidx = ByteIndex.build(
+                strand.data, settings.probe_size, trim=trim,
+                n_threads=settings.threads_count or 0)
+        elif trim is None and index_cache is not None and engine != "tpu":
             # one cached single-text index serves every run mode
             self.pidx = PositionIndex.build_single_cached(
                 strand.data, settings.probe_size, index_cache,
@@ -152,7 +162,14 @@ class SearchEngine:
 
         k = s.probe_size
         transformed = s.reverse or s.complement
-        if self.pidx is not None:
+        if self.bidx is not None:
+            padded = np.zeros(len(needle) + k, dtype=np.uint8)
+            padded[:len(needle)] = needle
+            lo, hi = self.bidx.lookup_needle(
+                padded, is_, n_threads=s.threads_count or 0)
+            sa = self.bidx.sa
+            max_match_pos = 1 << 62
+        elif self.pidx is not None:
             needs_search = transformed and not (
                 self.pidx.reverse or self.pidx.complement)
             if needs_search:
@@ -287,9 +304,9 @@ def search_duplications(
     (crash/preemption recovery — the reference's only resumability is the
     manual trim workflow). ``profile``: dict to fill with phase timings.
     """
-    from .index import check_probe_size
-
-    check_probe_size(settings.probe_size)
+    if not (1 <= settings.probe_size <= 10000):
+        raise ValueError(
+            f"probe_size {settings.probe_size} is out of range (1..10000)")
     if shards > 1:
         if settings.trim is not None:
             raise ValueError("--shards cannot be combined with --trim")
@@ -334,7 +351,8 @@ def search_duplications(
     # [1/N] proto-duplication search
     log.info("[1] Looking for proto-duplications...")
     t0 = time.time()
-    if engine == "tpu" and trim is None:
+    if engine == "tpu" and trim is None \
+            and settings.probe_size <= MAX_PROBE_SIZE:
         # production TPU path: index built in HBM, scan + compaction on
         # device, event chaining on host (device_engine module docstring)
         se = _DeviceEngineAdapter(strand, settings, profile=prof)

@@ -212,3 +212,23 @@ def test_levenshtein_myers_speed_100kbp():
     assert d_myers >= 0
     assert native.levenshtein(a[: n // 10], b[: n // 10]) == d_dp_small
     assert t_dp / max(t_myers, 1e-9) >= 20, (t_myers, t_dp)
+
+
+def test_k21_rolling_pack_no_sign_pollution():
+    """k=21 packs exactly 63 bits: the rolling packers must mask the
+    sign bit (a ~0 mask let history leak into bit 63 — negative keys,
+    OOB radix buckets, segfault)."""
+    from asgart_tpu.index import CODE
+
+    rng = np.random.default_rng(500)
+    g = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), 6000)
+    text = np.concatenate([g, np.frombuffer(b"$", np.uint8)])
+    codes = CODE[text]
+    km = native.pack_kmers(codes, 21, 2)
+    assert (km >= 0).all()
+    sa = native.kmer_suffix_sort(km, 21, 2)
+    sa2 = native.suffix_array(text)
+    np.testing.assert_array_equal(sa, sa2)
+    # the fused builder path at k=21
+    sa3, ranges = native.build_position_index(codes, 21, 2)
+    np.testing.assert_array_equal(sa3, sa2.astype(sa3.dtype))

@@ -213,10 +213,10 @@ def test_odd_probe_size_end_to_end(tmp_path):
     assert abs(best.global_right_position - 8000) < 300
 
 
-def test_probe_size_over_21_rejected():
-    """k > 21 overflows 3-bit/symbol int64 packing (ADVICE r1 high): every
-    entry point must reject it with a clear error, and the CLI must exit
-    cleanly."""
+def test_probe_size_over_21_uses_byte_index():
+    """k > 21 overflows 3-bit/symbol int64 packing (ADVICE r1 high): the
+    packed builders reject it, while the pipeline routes wide probes to
+    the byte-compare strategy (reference parity: any -k works)."""
     import numpy as np
     import pytest
 
@@ -232,16 +232,27 @@ def test_probe_size_over_21_rejected():
             builder()
     with pytest.raises(ValueError, match="probe_size"):
         search_duplications(["/nonexistent.fa"],
-                            RunSettings(probe_size=24))
+                            RunSettings(probe_size=20000))
 
 
-def test_probe_size_over_21_cli_error(tmp_path):
+def test_wide_probe_cli_end_to_end(tmp_path):
+    import json
+
+    import numpy as np
+
     from asgart_tpu.cli.main import main
+    from tests.util import plant_duplication
 
+    rng = np.random.default_rng(3)
+    text = plant_duplication(rng, 16000, 1500, 1000, 9000)
     fa = tmp_path / "g.fa"
-    fa.write_text(">chr\n" + "ACGT" * 300 + "\n")
-    rc = main([str(fa), "-k", "24", "--out", str(tmp_path / "o.json")])
-    assert rc == 1
+    fa.write_text(">chr\n" + text.decode() + "\n")
+    out = tmp_path / "o.json"
+    rc = main([str(fa), "-k", "24", "--out", str(out)])
+    assert rc == 0
+    res = json.loads(out.read_text())
+    assert sum(len(f) for f in res["families"]) >= 1
+    assert res["settings"]["probe_size"] == 24
 
 
 def test_index_cache_roundtrip(tmp_path):
@@ -348,3 +359,72 @@ def test_tpu_engine_trim_fallback_matches_host(tmp_path):
 
     assert dump(tpu) == dump(host)
     assert host.families, "duplication inside the window must be found"
+
+
+def test_wide_probe_matches_oracle(tmp_path):
+    """k in {22, 25, 40}: byte-index pipeline vs the Python oracle
+    automaton on fuzzed genomes (direct + RC + trim)."""
+    import numpy as np
+
+    from asgart_tpu import automaton, native
+    from asgart_tpu.index import ByteIndex
+    from asgart_tpu.pipeline import probe_positions
+    from asgart_tpu.structs import RunSettings
+    from tests.util import random_dna, revcomp
+
+    for trial, k in enumerate((22, 25, 40)):
+        rng = np.random.default_rng(500 + trial)
+        reverse = trial % 2 == 1
+        settings = RunSettings(
+            probe_size=k, max_gap_size=k + 60,
+            min_duplication_length=300, max_cardinality=50,
+            reverse=reverse, complement=reverse)
+        n = 6000
+        g = bytearray(random_dna(rng, n, b"ACGT"))
+        L = 600
+        seg = bytes(g[800:800 + L])
+        if reverse:
+            seg = revcomp(seg)
+        g[4000:4000 + L] = seg
+        text = bytes(g) + b"$"
+        data = np.frombuffer(text, dtype=np.uint8)
+
+        bidx = ByteIndex.build(data, k)
+        needle = text[:-1]
+        if reverse:
+            needle = needle.translate(
+                bytes.maketrans(b"ACGTN", b"TGCAN"))[::-1]
+        arr = np.frombuffer(needle, dtype=np.uint8)
+
+        oracle = automaton.search_duplications(
+            needle, 0, lambda pat: bidx.search(pat), settings)
+
+        is_ = probe_positions(arr, k)
+        padded = np.zeros(len(arr) + k, dtype=np.uint8)
+        padded[:len(arr)] = arr
+        lo, hi = bidx.lookup_needle(padded, is_)
+        got = native.chain(
+            bidx.sa, is_, lo, hi, probe_size=k, step_size=k // 2,
+            max_gap_size=settings.max_gap_size,
+            min_duplication_length=settings.min_duplication_length,
+            max_cardinality=settings.max_cardinality,
+            needle_offset=0, needle_len=len(arr), reverse=reverse)
+        assert got == oracle
+        assert oracle, f"k={k}: planted duplication not found"
+
+
+def test_wide_probe_trim(tmp_path):
+    import numpy as np
+
+    from asgart_tpu.pipeline import search_duplications
+    from asgart_tpu.structs import RunSettings
+    from tests.util import plant_duplication, write_fasta
+
+    rng = np.random.default_rng(8)
+    text = plant_duplication(rng, 20000, 1500, 1000, 9000)
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", text)])
+    res = search_duplications(
+        [str(fa)], RunSettings(probe_size=26, trim=(0, 15000),
+                               min_duplication_length=800))
+    assert sum(len(f) for f in res.families) >= 1
