@@ -57,9 +57,6 @@ def _bucket(n: int, lo: int = 1 << 16) -> int:
 # probe-count bucket granularity: coarse enough to bound recompiles,
 # fine enough not to waste stream lanes (old pow2 buckets wasted ~30%)
 B_GRAN = 1 << 20
-# tables are padded by this much so the strided-slice probe reads below
-# never clamp (padded probe lanes read garbage that the mask discards)
-TABLE_PAD = 0  # set at index attach: B_GRAN * (k//2) + k of the LARGEST k
 
 
 def table_pad_for(k: int) -> int:
@@ -85,7 +82,7 @@ def _probe_x0(chunk_start, chunk_len, first_len, k: int, reverse: bool,
 
 @functools.partial(jax.jit, static_argnames=("k", "reverse", "complement",
                                              "b_pad"))
-def _raw_total(pos_lo_tab, pos_hi_tab, codes, chunk_start, chunk_len,
+def _raw_total(pos_lo_tab, pos_hi_tab, chunk_start, chunk_len,
                first_len, k: int, reverse: bool, complement: bool,
                b_pad: int):
     """Cheap pre-pass: the summed raw window size, to size the flat
@@ -107,14 +104,14 @@ def _raw_total(pos_lo_tab, pos_hi_tab, codes, chunk_start, chunk_len,
 
 @functools.partial(jax.jit, static_argnames=("k", "reverse",
                                              "complement", "b_pad"))
-def _raw_totals_batch(pos_lo_tab, pos_hi_tab, codes, chunk_params,
+def _raw_totals_batch(pos_lo_tab, pos_hi_tab, chunk_params,
                       first_len, k: int, reverse: bool, complement: bool,
                       b_pad: int):
     """`_raw_total` over [C, 2] (start, len) chunk params in one
     dispatch (each pre-pass round trip costs ~0.3 s on this rig)."""
 
     def one(p):
-        return _raw_total(pos_lo_tab, pos_hi_tab, codes, p[0], p[1],
+        return _raw_total(pos_lo_tab, pos_hi_tab, p[0], p[1],
                           first_len, k, reverse, complement, b_pad)
 
     return jax.lax.map(one, chunk_params)
@@ -138,7 +135,6 @@ def _scan_chunk(pos_lo_tab, pos_hi_tab, codes, sa,
     step = k // 2
     jl = jnp.arange(b_pad, dtype=I32)
     j = j0 + jl
-    is_ = (j + 1) * step
     bound = chunk_len - k - step
     mask = (j * step) < bound  # pre-increment loop, automaton.rs:90-97
 
@@ -345,7 +341,7 @@ class DeviceEngine:
         s = self.settings
         didx = self.didx
         return _raw_total(
-            didx.pos_lo, didx.pos_hi, didx.codes, jnp.int32(chunk[0]),
+            didx.pos_lo, didx.pos_hi, jnp.int32(chunk[0]),
             jnp.int32(chunk[1]), jnp.int32(didx.first_len),
             s.probe_size, s.reverse, s.complement, b_pad)
 
@@ -471,14 +467,15 @@ class DeviceEngine:
             params = jnp.asarray(
                 np.array([[c[0], c[1]] for c in live], dtype=np.int32))
             batch = _raw_totals_batch(
-                didx.pos_lo, didx.pos_hi, didx.codes, params,
+                didx.pos_lo, didx.pos_hi, params,
                 jnp.int32(didx.first_len), s.probe_size, s.reverse,
                 s.complement, b_pad)
             it = iter(np.asarray(batch))
             totals = [float(next(it)) if g is not None else None
                       for g in geos]
         else:
-            totals = [self._prepass_total(c) for c in chunks]
+            totals = [None if hit else self._prepass_total(c)
+                      for c, hit in zip(chunks, cached)]
         states = [self._dispatch_chunk(c, total=t)
                   for c, t in zip(chunks, totals)]
         return [self._collect_chunk(st) for st in states]

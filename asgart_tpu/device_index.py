@@ -47,6 +47,9 @@ INT32_MAX = np.int32(2**31 - 1)
 COMP_CODE = np.array([0, 5, 3, 2, 4, 1], dtype=np.uint8)
 
 LO_SYMS = 10  # symbols in the low plane (30 bits)
+# two int32 planes hold 20 symbols (10 each); k=21 would push 33 bits
+# into the hi plane and silently merge distinct k-mer groups
+DEVICE_MAX_K = 20
 
 
 @functools.partial(jax.jit, static_argnames=("pad",))
@@ -168,8 +171,12 @@ def _doubling_rounds(sa: jax.Array, rank: jax.Array, slots: jax.Array,
         slot = jnp.where(live, slots, 0)
         p = sa[slot]
         prim = jnp.where(live, rank[p], INT32_MAX)
-        ph = p + h
-        sec = jnp.where(live & (ph < n), rank[jnp.clip(ph, 0, n - 1)], -1)
+        # p + h can overflow int32 near the 2^31 guard; n - h is always
+        # in range (h is capped at ~n below), and the sum is only formed
+        # when it provably fits
+        in_text = p < (n - h)
+        ph = jnp.where(in_text, p, 0) + jnp.where(in_text, h, 0)
+        sec = jnp.where(live & in_text, rank[jnp.clip(ph, 0, n - 1)], -1)
         sp, ss, p_sorted = jax.lax.sort((prim, sec, p), num_keys=2)
         # scatter sorted positions back into the (ascending) slots
         dest = jnp.where(jcap < n_tied, slots, n)
@@ -189,7 +196,10 @@ def _doubling_rounds(sa: jax.Array, rank: jax.Array, slots: jax.Array,
         new_slots = jnp.full(cap, n, dtype=I32).at[
             jnp.where(still, r, cap)].set(dest, mode="drop")
         new_n = jnp.sum(still.astype(I32))
-        return (sa, rank, new_slots, new_n, h * 2), None
+        # h doubles but is capped near n (any two distinct suffixes
+        # differ within n symbols), which also keeps it in int32
+        h_next = jnp.minimum(h, jnp.int32((n - 1) // 2 + 1))
+        return (sa, rank, new_slots, new_n, h_next + h_next), None
 
     (sa, rank, slots, n_tied, _), _ = jax.lax.scan(
         one_round, (sa, rank, slots, n_tied, h0), None, length=rounds)
@@ -203,8 +213,9 @@ def _full_round(sa: jax.Array, rank: jax.Array, h: jax.Array):
     n = sa.shape[0]
     p = sa
     prim = rank[p]
-    ph = p + h
-    sec = jnp.where(ph < n, rank[jnp.clip(ph, 0, n - 1)], -1)
+    in_text = p < (n - h)
+    ph = jnp.where(in_text, p, 0) + jnp.where(in_text, h, 0)
+    sec = jnp.where(in_text, rank[jnp.clip(ph, 0, n - 1)], -1)
     sp, ss, p_sorted = jax.lax.sort((prim, sec, p), num_keys=2)
     iota = jnp.arange(n, dtype=I32)
     nb = jnp.concatenate([
@@ -268,6 +279,10 @@ class DeviceIndex:
             t0 = now
 
         check_probe_size(k)
+        if k > DEVICE_MAX_K:
+            raise ValueError(
+                f"device index supports probe_size <= {DEVICE_MAX_K} "
+                "(two int32 key planes); use the host engine")
         n1 = int(len(strand_data))
         n = 2 * n1 - 1 if (reverse or complement) else n1
         if n >= (1 << 31):
@@ -306,8 +321,9 @@ class DeviceIndex:
         # hyper-repetitive input: full-array rounds until the tied set
         # fits the subset capacity
         while n_tied_host > tied_cap and h < 2 * n:
-            sa, rank, tied_slot = _full_round(sa, rank, jnp.int32(h))
-            h *= 2
+            sa, rank, tied_slot = _full_round(
+                sa, rank, jnp.int32(min(h, n)))
+            h = min(h * 2, 2 * n)
             n_tied_host = int(jnp.sum(tied_slot.astype(I32)))
             lap(f"full round h={h//2} ({n_tied_host} tied)")
         # subset rounds, with the slot buffer sized to the live tied set
@@ -318,8 +334,9 @@ class DeviceIndex:
             slots, n_tied = _extract_tied(tied_slot, cap)
             while n_tied_host > 0 and h < 2 * n:
                 sa, rank, slots, n_tied = _doubling_rounds(
-                    sa, rank, slots, n_tied, jnp.int32(h), rounds_per_call)
-                h <<= rounds_per_call
+                    sa, rank, slots, n_tied, jnp.int32(min(h, n)),
+                    rounds_per_call)
+                h = min(h << rounds_per_call, 2 * n)
                 n_tied_host = int(n_tied)
                 lap(f"rounds to h={h} cap={cap} ({n_tied_host} tied)")
                 new_cap = max(1024, _bucket_pow2(n_tied_host))

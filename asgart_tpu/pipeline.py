@@ -137,7 +137,8 @@ class SearchEngine:
                 strand.data, settings.probe_size, trim=trim)
         log.debug("Index built in %.2fs", time.time() - t0)
         self._device = None
-        if engine == "tpu" and attach_device:
+        if engine == "tpu" and attach_device and self.bidx is None:
+            # (wide probes run fully on the host: no device attachment)
             if self.pidx is not None:
                 from .seed import DevicePositionTables
                 self._device = DevicePositionTables(self.pidx)
@@ -310,6 +311,12 @@ def search_duplications(
     if shards > 1:
         if settings.trim is not None:
             raise ValueError("--shards cannot be combined with --trim")
+        if checkpoint is not None:
+            log.warning("--checkpoint is not supported with --shards; "
+                        "windows restart from scratch on failure")
+        if index_cache is not None:
+            log.warning("--index-cache applies to whole-genome indexes "
+                        "only and is ignored with --shards")
         return _search_duplications_sharded(
             strands_files, settings, shards, engine=engine,
             profile=profile)
@@ -351,8 +358,10 @@ def search_duplications(
     # [1/N] proto-duplication search
     log.info("[1] Looking for proto-duplications...")
     t0 = time.time()
+    from .device_index import DEVICE_MAX_K
+
     if engine == "tpu" and trim is None \
-            and settings.probe_size <= MAX_PROBE_SIZE:
+            and settings.probe_size <= DEVICE_MAX_K:
         # production TPU path: index built in HBM, scan + compaction on
         # device, event chaining on host (device_engine module docstring)
         se = _DeviceEngineAdapter(strand, settings, profile=prof)

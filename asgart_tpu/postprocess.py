@@ -157,6 +157,9 @@ def reduce_overlap(families: list[list[ProtoSD]]) -> list[list[ProtoSD]]:
     out_sds, out_offsets = native.reduce_overlap_csr(sds, offsets)
     out = []
     for f, family in enumerate(families):
+        if not family:
+            out.append([])
+            continue
         proto = family[0]
         out.append([
             ProtoSD(left=int(row[0]), right=int(row[1]),

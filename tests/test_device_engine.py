@@ -153,3 +153,31 @@ def test_sharded_equals_single_device(tmp_path):
         fams_sharded.extend(sharded.run_chunk(c))
     assert fams_sharded == fams_single
     assert sum(len(f) for f in fams_single) >= 4
+
+
+def test_k21_routes_to_host_engine(tmp_path):
+    """k=21 exceeds the two-int32-plane device packing (33 bits in the
+    hi plane would merge distinct k-mer groups — found by review):
+    DeviceIndex must reject it and the pipeline must route engine=tpu
+    k=21 through the host engine with identical output."""
+    import pytest
+
+    from asgart_tpu.device_index import DeviceIndex
+
+    rng = np.random.default_rng(4)
+    text = plant_duplication(rng, 16000, 1500, 2000, 9000)
+    data = np.concatenate([np.frombuffer(text, np.uint8),
+                           np.frombuffer(b"$", np.uint8)])
+    with pytest.raises(ValueError, match="probe_size"):
+        DeviceIndex.build(data, 21)
+
+    host, tpu = run_both(tmp_path, text, dict(probe_size=21))
+    assert_results_equal(host, tpu)
+    assert host.families
+
+
+def test_empty_family_postprocess_no_crash():
+    from asgart_tpu import postprocess
+
+    out = postprocess.reduce_overlap([[]])
+    assert out == [[]]
