@@ -428,3 +428,36 @@ def test_wide_probe_trim(tmp_path):
         [str(fa)], RunSettings(probe_size=26, trim=(0, 15000),
                                min_duplication_length=800))
     assert sum(len(f) for f in res.families) >= 1
+
+
+def test_two_files_rc_like_human_vs_chimp(tmp_path):
+    """BASELINE config #5 shape: two FASTA files concatenated into one
+    strand (asgart.rs:273-311), -RC search finding a cross-file inverted
+    duplication; engines agree byte-for-byte."""
+    rng = np.random.default_rng(23)
+    a = bytearray(random_dna(rng, 20000))
+    b = bytearray(random_dna(rng, 18000))
+    b[9000:11000] = revcomp(bytes(a[5000:7000]))
+    fa_a = tmp_path / "human.fa"
+    fa_b = tmp_path / "chimp.fa"
+    write_fasta(fa_a, [("h_chr1", bytes(a))])
+    write_fasta(fa_b, [("c_chr1", bytes(b))])
+
+    kw = dict(reverse=True, complement=True, min_duplication_length=1000)
+    host = search_duplications([str(fa_a), str(fa_b)], RunSettings(**kw))
+    tpu = search_duplications([str(fa_a), str(fa_b)], RunSettings(**kw),
+                              engine="tpu")
+    sds = [sd for fam in host.families for sd in fam]
+    cross = [sd for sd in sds if sd.chr_left != sd.chr_right]
+    assert cross, "cross-file RC duplication not found"
+    best = max(cross, key=lambda sd: sd.right_length)
+    assert best.chr_left == "h_chr1" and best.chr_right == "c_chr1"
+    assert abs(best.chr_left_position - 5000) < 300
+    assert abs(best.chr_right_position - 9000) < 300
+
+    buf_h, buf_t = io.StringIO(), io.StringIO()
+    JSONExporter().save(host, buf_h)
+    JSONExporter().save(tpu, buf_t)
+    assert buf_t.getvalue() == buf_h.getvalue()
+    # two input files join the strand name with "; " like from_files
+    assert "human" in host.strand.name and "chimp" in host.strand.name
