@@ -92,6 +92,142 @@ def _d_ss(a_start, a_end, m_start, m_end):
     return jnp.where(inside, 0, d)
 
 
+class ChainState(NamedTuple):
+    l_start: jax.Array
+    l_end: jax.Array
+    r_start: jax.Array
+    r_end: jax.Array
+    gap: jax.Array
+    active: jax.Array
+    used: jax.Array
+    out: jax.Array
+    n_out: jax.Array
+    n_fam: jax.Array
+    n_dropped: jax.Array
+
+
+def _consts(cfg: ChainConfig):
+    return (cfg.max_arms, cfg.max_matches, cfg.out_cap,
+            I32(cfg.probe_size), I32(cfg.step_size),
+            I32(cfg.max_gap_size), I32(cfg.min_duplication_length))
+
+
+def _empty_state(cfg: ChainConfig) -> ChainState:
+    A, _, OUT = cfg.max_arms, cfg.max_matches, cfg.out_cap
+    z = jnp.zeros(A, dtype=I32)
+    return ChainState(z, z, z, z, z, jnp.zeros(A, bool),
+                      jnp.zeros(A, bool), jnp.zeros((OUT, 5), dtype=I32),
+                      I32(0), I32(0), I32(0))
+
+
+def _age_prune_emit(consts, st: ChainState, l_start, l_end, r_start,
+                    r_end, gap, active, used, dirty,
+                    n_dropped) -> ChainState:
+    """The per-step tail shared by matched and quiet steps: age non-dirty
+    arms, prune above 200, emit on simultaneous death
+    (automaton.rs:166-200)."""
+    A, M, OUT, ps, step, max_gap, min_dup = consts
+
+    age = used & ~dirty
+    gap = jnp.where(age, gap + step, gap)
+    active = active & ~(age & (gap >= max_gap))
+
+    n_live = jnp.sum(used).astype(I32)
+    keep_if_pruning = used & (
+        active |
+        ((l_end - l_start) >= min_dup) | ((r_end - r_start) >= min_dup))
+    do_prune = n_live > 200
+    keep = jnp.where(do_prune, keep_if_pruning, used)
+    dest = jnp.cumsum(keep.astype(I32)) - 1
+    dest = jnp.where(keep, dest, A)
+
+    def compact(x, fill):
+        return jnp.full(A, fill, x.dtype).at[dest].set(x, mode="drop")
+
+    l_start = compact(l_start, 0)
+    l_end = compact(l_end, 0)
+    r_start = compact(r_start, 0)
+    r_end = compact(r_end, 0)
+    gap = compact(gap, 0)
+    active = compact(active, False)
+    used = compact(used, False)
+
+    any_used = jnp.any(used)
+    all_dead = any_used & ~jnp.any(active & used)
+    emit = used & ((r_end - r_start) >= min_dup) & all_dead
+    any_emit = jnp.any(emit)
+    rank = jnp.cumsum(emit.astype(I32)) - 1
+    pos = jnp.where(emit, st.n_out + rank, OUT)
+    out = st.out
+    out = out.at[pos, 0].set(l_start, mode="drop")
+    out = out.at[pos, 1].set(r_start, mode="drop")
+    out = out.at[pos, 2].set(l_end - l_start, mode="drop")
+    out = out.at[pos, 3].set(r_end - r_start, mode="drop")
+    out = out.at[pos, 4].set(st.n_fam, mode="drop")
+    n_out = st.n_out + jnp.sum(emit).astype(I32)
+    n_fam = st.n_fam + any_emit.astype(I32)
+    cleared = jnp.zeros(A, bool)
+    used = jnp.where(all_dead, cleared, used)
+    active = jnp.where(all_dead, cleared, active)
+    return ChainState(l_start, l_end, r_start, r_end, gap, active, used,
+                      out, n_out, n_fam, n_dropped)
+
+
+def _quiet_step(consts, st: ChainState) -> ChainState:
+    """One zero-match valid probe: aging only (no arm is dirty)."""
+    A = consts[0]
+    return _age_prune_emit(consts, st, st.l_start, st.l_end, st.r_start,
+                           st.r_end, st.gap, st.active, st.used,
+                           jnp.zeros(A, bool), st.n_dropped)
+
+
+def _match_step(consts, st: ChainState, i, ms) -> ChainState:
+    """One probe with its match list (automaton.rs:103-200): snapshot
+    classification, greedy first-arm assignment, last-writer extension,
+    spawn, then the shared aging/prune/emit tail."""
+    A, M, OUT, ps, step, max_gap, min_dup = consts
+    m_valid = ms >= 0
+    m_end = ms + ps
+
+    l_len = st.l_end - st.l_start
+    allow = jnp.maximum(max_gap,
+                        (0.1 * l_len.astype(jnp.float32)).astype(I32))
+    d = _d_ss(st.r_start[None, :], st.r_end[None, :],
+              ms[:, None], m_end[:, None])
+    adm = (st.used & st.active)[None, :] & (d < allow[None, :]) & \
+        (m_end[:, None] > st.r_end[None, :])
+    arm_idx = jnp.arange(A, dtype=I32)[None, :]
+    first = jnp.min(jnp.where(adm, arm_idx, A), axis=1)  # [M]
+    extend = m_valid & (first < A)
+    target = jnp.where(extend, first, A)
+
+    match_idx = jnp.arange(M, dtype=I32)
+    hits = (target[:, None] == jnp.arange(A, dtype=I32)[None, :])
+    last = jnp.max(jnp.where(hits, match_idx[:, None], -1), axis=0)
+    dirty = last >= 0
+    r_end = jnp.where(dirty, m_end[jnp.maximum(last, 0)], st.r_end)
+    l_end = jnp.where(dirty, i + ps, st.l_end)
+    gap = jnp.where(dirty, 0, st.gap)
+
+    is_new = m_valid & ~extend
+    n_used = jnp.sum(st.used).astype(I32)
+    slot = n_used + jnp.cumsum(is_new.astype(I32)) - 1
+    n_dropped = st.n_dropped + jnp.sum(
+        (is_new & (slot >= A)).astype(I32))
+    slot = jnp.where(is_new & (slot < A), slot, A)  # drop on overflow
+    l_start = st.l_start.at[slot].set(i, mode="drop")
+    l_end = l_end.at[slot].set(i + ps, mode="drop")
+    r_start = st.r_start.at[slot].set(ms, mode="drop")
+    r_end = r_end.at[slot].set(m_end, mode="drop")
+    gap = gap.at[slot].set(0, mode="drop")
+    used = st.used.at[slot].set(True, mode="drop")
+    active = st.active.at[slot].set(True, mode="drop")
+    dirty = dirty.at[slot].set(False, mode="drop")
+
+    return _age_prune_emit(consts, st, l_start, l_end, r_start, r_end,
+                           gap, active, used, dirty, n_dropped)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def chain_scan(cfg: ChainConfig, probe_is: jax.Array, matches: jax.Array,
                valid: jax.Array):
@@ -108,132 +244,17 @@ def chain_scan(cfg: ChainConfig, probe_is: jax.Array, matches: jax.Array,
     overflow) — any nonzero value means families may be missing and the
     caller must retry with more ``max_arms``.
     """
-    A, M, OUT = cfg.max_arms, cfg.max_matches, cfg.out_cap
-    ps = I32(cfg.probe_size)
-    step = I32(cfg.step_size)
-    max_gap = I32(cfg.max_gap_size)
-    min_dup = I32(cfg.min_duplication_length)
+    consts = _consts(cfg)
 
-    class State(NamedTuple):
-        l_start: jax.Array
-        l_end: jax.Array
-        r_start: jax.Array
-        r_end: jax.Array
-        gap: jax.Array
-        active: jax.Array
-        used: jax.Array
-        out: jax.Array
-        n_out: jax.Array
-        n_fam: jax.Array
-        n_dropped: jax.Array
-
-    def empty_arms():
-        z = jnp.zeros(A, dtype=I32)
-        return z, z, z, z, z, jnp.zeros(A, bool), jnp.zeros(A, bool)
-
-    def step_fn(st: State, inp):
-        i, ms, ok = inp  # i scalar, ms [M], ok scalar
-        m_valid = ms >= 0
-        m_end = ms + ps
-
-        # --- classification against the snapshot -------------------------
-        l_len = st.l_end - st.l_start
-        allow = jnp.maximum(max_gap,
-                            (0.1 * l_len.astype(jnp.float32)).astype(I32))
-        # [M, A] admissibility
-        d = _d_ss(st.r_start[None, :], st.r_end[None, :],
-                  ms[:, None], m_end[:, None])
-        adm = (st.used & st.active)[None, :] & (d < allow[None, :]) & \
-            (m_end[:, None] > st.r_end[None, :])
-        arm_idx = jnp.arange(A, dtype=I32)[None, :]
-        first = jnp.min(jnp.where(adm, arm_idx, A), axis=1)  # [M]
-        extend = m_valid & (first < A)
-        target = jnp.where(extend, first, A)  # A = no target
-
-        # --- apply extensions (last match wins, match order) -------------
-        match_idx = jnp.arange(M, dtype=I32)
-        # for each arm: the largest match index targeting it
-        hits = (target[:, None] == jnp.arange(A, dtype=I32)[None, :])  # [M,A]
-        last = jnp.max(jnp.where(hits, match_idx[:, None], -1), axis=0)  # [A]
-        dirty = last >= 0
-        new_r_end = jnp.where(dirty, m_end[jnp.maximum(last, 0)], st.r_end)
-        l_end = jnp.where(dirty, i + ps, st.l_end)
-        r_end = new_r_end
-        gap = jnp.where(dirty, 0, st.gap)
-
-        # --- spawn new arms (match order, prefix-sum slots) --------------
-        is_new = m_valid & ~extend
-        n_used = jnp.sum(st.used).astype(I32)
-        slot = n_used + jnp.cumsum(is_new.astype(I32)) - 1  # [M]
-        n_dropped = st.n_dropped + jnp.sum(
-            (is_new & (slot >= A)).astype(I32))
-        slot = jnp.where(is_new & (slot < A), slot, A)  # drop on overflow
-        l_start = st.l_start.at[slot].set(i, mode="drop")
-        l_end = l_end.at[slot].set(i + ps, mode="drop")
-        r_start = st.r_start.at[slot].set(ms, mode="drop")
-        r_end = r_end.at[slot].set(m_end, mode="drop")
-        gap = gap.at[slot].set(0, mode="drop")
-        used = st.used.at[slot].set(True, mode="drop")
-        active = st.active.at[slot].set(True, mode="drop")
-        dirty = dirty.at[slot].set(False, mode="drop")
-
-        # --- age non-dirty arms ------------------------------------------
-        age = used & ~dirty
-        gap = jnp.where(age, gap + step, gap)
-        active = active & ~(age & (gap >= max_gap))
-
-        # --- prune above 200 live arms (keep order via compaction) -------
-        n_live = jnp.sum(used).astype(I32)
-        keep_if_pruning = used & (
-            active |
-            ((l_end - l_start) >= min_dup) | ((r_end - r_start) >= min_dup))
-        do_prune = n_live > 200
-        keep = jnp.where(do_prune, keep_if_pruning, used)
-        dest = jnp.cumsum(keep.astype(I32)) - 1
-        dest = jnp.where(keep, dest, A)
-
-        def compact(x, fill):
-            return jnp.full(A, fill, x.dtype).at[dest].set(x, mode="drop")
-
-        l_start = compact(l_start, 0)
-        l_end = compact(l_end, 0)
-        r_start = compact(r_start, 0)
-        r_end = compact(r_end, 0)
-        gap = compact(gap, 0)
-        active = compact(active, False)
-        used = compact(used, False)
-
-        # --- simultaneous death → emit family ----------------------------
-        any_used = jnp.any(used)
-        all_dead = any_used & ~jnp.any(active & used)
-        emit = used & ((r_end - r_start) >= min_dup) & all_dead
-        any_emit = jnp.any(emit)
-        rank = jnp.cumsum(emit.astype(I32)) - 1
-        pos = jnp.where(emit, st.n_out + rank, OUT)
-        out = st.out
-        out = out.at[pos, 0].set(l_start, mode="drop")
-        out = out.at[pos, 1].set(r_start, mode="drop")
-        out = out.at[pos, 2].set(l_end - l_start, mode="drop")
-        out = out.at[pos, 3].set(r_end - r_start, mode="drop")
-        out = out.at[pos, 4].set(st.n_fam, mode="drop")
-        n_out = st.n_out + jnp.sum(emit).astype(I32)
-        n_fam = st.n_fam + any_emit.astype(I32)
-        # reset arms after emission check
-        cleared = jnp.zeros(A, bool)
-        used = jnp.where(all_dead, cleared, used)
-        active = jnp.where(all_dead, cleared, active)
-
-        new_st = State(l_start, l_end, r_start, r_end, gap, active, used,
-                       out, n_out, n_fam, n_dropped)
+    def step_fn(st: ChainState, inp):
+        i, ms, ok = inp
+        new_st = _match_step(consts, st, i, ms)
         # invalid probes (cardinality skip) are full no-ops
         merged = jax.tree.map(
             lambda new, old: jnp.where(ok, new, old), new_st, st)
         return merged, None
 
-    ls, le, rs, re_, gp, act, used = empty_arms()
-    init = State(ls, le, rs, re_, gp, act, used,
-                 jnp.zeros((OUT, 5), dtype=I32), I32(0), I32(0), I32(0))
-    final, _ = jax.lax.scan(step_fn, init,
+    final, _ = jax.lax.scan(step_fn, _empty_state(cfg),
                             (probe_is.astype(I32), matches, valid))
     return final.out, final.n_out, final.n_fam, final.n_dropped
 
@@ -267,3 +288,140 @@ def chain_device(
             families.append([])
         families[fam].append((left, right, llen, rlen))
     return [f for f in families if f]
+
+
+# ---------------------------------------------------------------------------
+# Burst-parallel event chaining (full on-device chain)
+# ---------------------------------------------------------------------------
+#
+# The event stream (matched probes + quiet-step counts, as produced by the
+# device scan) decomposes into *bursts*: maximal runs of events separated
+# by >= ceil(max_gap/step) quiet valid probes. Such a gap provably
+# deactivates every arm (gap grows by step per quiet probe, deactivation
+# at >= max_gap), so the family-emission reset fires between bursts and
+# each burst starts from an EMPTY automaton — bursts are exactly
+# independent, making a vmap over bursts an exact parallelization with no
+# boundary stitching. Within a burst, quiet runs (z < threshold) are
+# replayed with a bounded per-step loop, preserving intermediate
+# prune/emission timing bit-for-bit.
+
+
+def burst_threshold(cfg: ChainConfig) -> int:
+    """Quiet valid probes after which every arm is provably dead."""
+    return -(-cfg.max_gap_size // cfg.step_size)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "t_split"))
+def chain_events_lane(cfg: ChainConfig, t_split: int, probe_is: jax.Array,
+                      z_before: jax.Array, matches: jax.Array,
+                      z_tail: jax.Array):
+    """One burst lane: scan over its events (i, z quiet steps before,
+    match list), then replay the trailing quiet run (z_tail, capped at
+    t_split — arms alive after it are dropped, end-of-needle semantics).
+    Padded events (i < 0) are no-ops."""
+    consts = _consts(cfg)
+
+    def quiet_run(st: ChainState, z):
+        def body(s, acc):
+            new = _quiet_step(consts, acc)
+            return jax.tree.map(
+                lambda a, b: jnp.where(s < z, a, b), new, acc)
+        return jax.lax.fori_loop(0, t_split, body, st)
+
+    def step_fn(st: ChainState, inp):
+        i, z, ms = inp
+        new_st = _match_step(consts, quiet_run(st, z), i, ms)
+        merged = jax.tree.map(
+            lambda new, old: jnp.where(i >= 0, new, old), new_st, st)
+        return merged, None
+
+    final, _ = jax.lax.scan(
+        step_fn, _empty_state(cfg),
+        (probe_is.astype(I32), z_before.astype(I32), matches))
+    final = quiet_run(final, jnp.minimum(z_tail, t_split))
+    return final.out, final.n_out, final.n_fam, final.n_dropped
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "t_split"))
+def chain_bursts(cfg: ChainConfig, t_split: int, gp: jax.Array,
+                 gz: jax.Array, gm: jax.Array, tz: jax.Array):
+    """vmap of `chain_events_lane` over burst lanes.
+
+    gp/gz [NB, LB] (probe index / quiet steps, -1/0 padded), gm
+    [NB, LB, M] match lists (-1 padded), tz [NB] trailing quiet steps.
+    Returns (out [NB, OUT, 5], n_out [NB], n_fam [NB], n_dropped [NB]).
+    """
+    return jax.vmap(
+        lambda p, z, m, t: chain_events_lane(cfg, t_split, p, z, m, t)
+    )(gp, gz, gm, tz)
+
+
+def bursts_from_events_host(cfg: ChainConfig, probe_is, z_before,
+                            m_offsets, m_flat, z_trail,
+                            max_matches: int | None = None):
+    """Host-side burst grid construction (mirrors the device builder):
+    events → (gp, gz, gm, tz) padded burst grids for `chain_bursts`."""
+    t_split = burst_threshold(cfg)
+    E = len(probe_is)
+    M = max_matches or cfg.max_matches
+    if E == 0:
+        return (np.full((1, 1), -1, np.int32), np.zeros((1, 1), np.int32),
+                np.full((1, 1, M), -1, np.int32),
+                np.asarray([min(int(z_trail), t_split)], np.int32), t_split)
+    new_burst = np.zeros(E, dtype=bool)
+    new_burst[0] = True
+    new_burst |= np.asarray(z_before) >= t_split
+    burst_id = np.cumsum(new_burst) - 1
+    NB = int(burst_id[-1]) + 1
+    pos = np.arange(E) - np.maximum.accumulate(
+        np.where(new_burst, np.arange(E), 0))
+    LB = int(pos.max()) + 1
+    gp = np.full((NB, LB), -1, dtype=np.int32)
+    gz = np.zeros((NB, LB), dtype=np.int32)
+    gm = np.full((NB, LB, M), -1, dtype=np.int32)
+    gp[burst_id, pos] = probe_is
+    # a burst's first event starts from an empty automaton: no aging
+    gz[burst_id, pos] = np.where(new_burst, 0, z_before)
+    for e in range(E):
+        ms = m_flat[m_offsets[e]:m_offsets[e + 1]]
+        gm[burst_id[e], pos[e], :len(ms)] = ms
+    # trailing quiet runs: inter-burst gaps provably kill+emit within
+    # t_split steps; the global tail is capped (leftover arms drop)
+    tz = np.full(NB, t_split, dtype=np.int32)
+    tz[NB - 1] = min(int(z_trail), t_split)
+    return gp, gz, gm, tz, t_split
+
+
+def chain_events_device(cfg: ChainConfig, probe_is, z_before, m_offsets,
+                        m_flat, z_trail):
+    """Exact full-on-device event chaining: burst decomposition + vmapped
+    lanes; retries on capacity overflow like the other engines. Returns
+    families in the native-engine format."""
+    M = int(max((m_offsets[1:] - m_offsets[:-1]).max(initial=1), 1))
+    M = max(M, 1)
+    while True:
+        gp, gz, gm, tz, t_split = bursts_from_events_host(
+            cfg, probe_is, z_before, m_offsets, m_flat, z_trail,
+            max_matches=M)
+        out, n_out, n_fam, n_dropped = chain_bursts(
+            cfg._replace(max_matches=M), t_split, jnp.asarray(gp),
+            jnp.asarray(gz), jnp.asarray(gm), jnp.asarray(tz))
+        n_out_h = np.asarray(n_out)
+        if (int(np.asarray(n_dropped).sum()) == 0
+                and int(n_out_h.max(initial=0)) <= cfg.out_cap):
+            break
+        cfg = cfg._replace(
+            out_cap=max(cfg.out_cap * 2, int(n_out_h.max(initial=0)) + 1),
+            max_arms=cfg.max_arms *
+            (2 if int(np.asarray(n_dropped).sum()) else 1))
+    out = np.asarray(out)
+    n_fam_h = np.asarray(n_fam)
+    families = []
+    for b in range(out.shape[0]):
+        rows = out[b, : int(n_out_h[b])]
+        lane_fams: list[list] = [[] for _ in range(int(n_fam_h[b]))]
+        for row in rows:
+            left, right, llen, rlen, fam = (int(x) for x in row)
+            lane_fams[fam].append((left, right, llen, rlen))
+        families.extend(f for f in lane_fams if f)
+    return families

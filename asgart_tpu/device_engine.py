@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 import time
 
 import jax
@@ -300,8 +301,6 @@ class DeviceEngine:
             profile["device_index_s"] = round(time.time() - t0, 3)
 
     def _lap(self, t0, what, *sync):
-        import os
-
         if not os.environ.get("ASGART_DEVICE_PROFILE"):
             return time.time()
         for x in sync:
@@ -434,13 +433,28 @@ class DeviceEngine:
         m_offsets = np.zeros(n_events + 1, dtype=np.int64)
         np.cumsum(ev[2], out=m_offsets[1:])
 
-        raw_families = native.chain_events(
-            ev[0], ev[1], m_offsets, m_host,
-            z_trail=z_trail,
-            probe_size=k, step_size=k // 2,
-            max_gap_size=s.max_gap_size,
-            min_duplication_length=s.min_duplication_length,
-            max_cardinality=s.max_cardinality)
+        if os.environ.get("ASGART_DEVICE_CHAIN") == "1":
+            # full on-device chaining: vmap over provably-independent
+            # bursts (chain_jax.chain_bursts). Exact, but the sequential
+            # tail is microseconds of host work, so the host event chain
+            # stays the default (docs/pallas.md-style measured tradeoff).
+            from .chain_jax import ChainConfig, chain_events_device
+
+            cfg = ChainConfig(
+                probe_size=k, step_size=k // 2,
+                max_gap_size=s.max_gap_size,
+                min_duplication_length=s.min_duplication_length,
+                max_cardinality=s.max_cardinality)
+            raw_families = chain_events_device(
+                cfg, ev[0], ev[1], m_offsets, m_host, int(z_trail))
+        else:
+            raw_families = native.chain_events(
+                ev[0], ev[1], m_offsets, m_host,
+                z_trail=z_trail,
+                probe_size=k, step_size=k // 2,
+                max_gap_size=s.max_gap_size,
+                min_duplication_length=s.min_duplication_length,
+                max_cardinality=s.max_cardinality)
         self._lap(t0, "merge+chain")
         return raw_families
 

@@ -179,3 +179,81 @@ def test_chain_scan_reports_dropped_arms():
     out, n_out, n_fam, n_dropped = chain_scan(
         cfg, probe_is, jnp.asarray(matches), valid)
     assert int(n_dropped) == 2
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_burst_chain_equals_event_chain(trial):
+    """Full-on-device burst chaining (vmap over provably-independent
+    bursts) must equal the native event-stream automaton, including
+    in-burst quiet runs, trailing drops and multi-burst splits."""
+    from asgart_tpu.chain_jax import chain_events_device
+    from tests.test_native import events_from_stream
+
+    rng = np.random.default_rng(7000 + trial)
+    k = int(rng.choice([8, 10, 14]))
+    settings = RunSettings(
+        probe_size=k,
+        max_gap_size=int(rng.integers(k + 5, 90)),
+        min_duplication_length=int(rng.integers(60, 300)),
+        max_cardinality=int(rng.integers(5, 60)))
+    n = int(rng.integers(3000, 9000))
+    g = bytearray(random_dna(rng, n, b"ACGT" if trial % 2 else b"ACG"))
+    for _ in range(int(rng.integers(1, 6))):
+        L = int(rng.integers(100, 500))
+        src = int(rng.integers(0, n - 2 * L - 10))
+        dst = int(rng.integers(src + L, n - L))
+        g[dst:dst + L] = bytes(g[src:src + L])
+    text = bytes(g) + b"$"
+
+    idx = GenomeIndex.build(np.frombuffer(text, dtype=np.uint8), k)
+    arr = np.frombuffer(text[:-1], dtype=np.uint8)
+    is_ = probe_positions(arr, k)
+    codes = np.zeros(len(arr) + k, dtype=np.uint8)
+    codes[:len(arr)] = CODE[arr]
+    pk = _pack_probe_kmers(codes, is_, k)
+    lo, hi = idx.lookup(pk)
+    kw = dict(probe_size=k, step_size=k // 2,
+              max_gap_size=settings.max_gap_size,
+              min_duplication_length=settings.min_duplication_length,
+              max_cardinality=settings.max_cardinality)
+    want = native.chain(idx.sa, is_, lo, hi, needle_offset=0,
+                        needle_len=len(arr), reverse=False, **kw)
+    pe, zb, offs, flat, z_trail = events_from_stream(
+        idx.sa, is_, lo, hi, needle_offset=0, needle_len=len(arr),
+        reverse=False, max_cardinality=settings.max_cardinality)
+    cfg = ChainConfig(max_arms=256, max_matches=64, out_cap=256, **kw)
+    got = chain_events_device(cfg, pe, zb, offs, flat, z_trail)
+    assert got == want
+
+
+def test_burst_chain_capacity_retry():
+    """Tiny per-lane out_cap / max_arms must retry to the exact result."""
+    from asgart_tpu.chain_jax import chain_events_device
+    from tests.test_native import events_from_stream
+
+    rng = np.random.default_rng(41)
+    n = 12000
+    g = bytearray(random_dna(rng, n, b"ACGT"))
+    L = 150
+    for i in range(10):
+        g[3000 + i * 400:3000 + i * 400 + L] = bytes(g[200:200 + L])
+    text = bytes(g) + b"$"
+    k = 10
+    settings = dict(probe_size=k, step_size=k // 2, max_gap_size=30,
+                    min_duplication_length=100, max_cardinality=80)
+    idx = GenomeIndex.build(np.frombuffer(text, dtype=np.uint8), k)
+    arr = np.frombuffer(text[:-1], dtype=np.uint8)
+    is_ = probe_positions(arr, k)
+    codes = np.zeros(len(arr) + k, dtype=np.uint8)
+    codes[:len(arr)] = CODE[arr]
+    pk = _pack_probe_kmers(codes, is_, k)
+    lo, hi = idx.lookup(pk)
+    want = native.chain(idx.sa, is_, lo, hi, needle_offset=0,
+                        needle_len=len(arr), reverse=False, **settings)
+    pe, zb, offs, flat, z_trail = events_from_stream(
+        idx.sa, is_, lo, hi, needle_offset=0, needle_len=len(arr),
+        reverse=False, max_cardinality=80)
+    cfg = ChainConfig(max_arms=2, max_matches=96, out_cap=1, **settings)
+    got = chain_events_device(cfg, pe, zb, offs, flat, z_trail)
+    assert got == want
+    assert sum(len(f) for f in want) > 4

@@ -181,3 +181,18 @@ def test_empty_family_postprocess_no_crash():
 
     out = postprocess.reduce_overlap([[]])
     assert out == [[]]
+
+
+def test_device_chain_mode_matches_host(tmp_path, monkeypatch):
+    """ASGART_DEVICE_CHAIN=1: the full on-device burst chain must keep
+    the pipeline byte-equal to the host engine."""
+    monkeypatch.setenv("ASGART_DEVICE_CHAIN", "1")
+    rng = np.random.default_rng(64)
+    g = bytearray(random_dna(rng, 40000, b"ACGT"))
+    g[9000:11500] = bytes(g[2000:4500])
+    g[30000:31500] = bytes(g[21000:22500])
+    # long quiet gaps between duplications -> multiple bursts
+    host, tpu = run_both(tmp_path, bytes(g),
+                         dict(min_duplication_length=900))
+    assert_results_equal(host, tpu)
+    assert sum(len(f) for f in host.families) >= 2
