@@ -322,11 +322,12 @@ def chain_events_lane(cfg: ChainConfig, t_split: int, probe_is: jax.Array,
     consts = _consts(cfg)
 
     def quiet_run(st: ChainState, z):
-        def body(s, acc):
-            new = _quiet_step(consts, acc)
-            return jax.tree.map(
-                lambda a, b: jnp.where(s < z, a, b), new, acc)
-        return jax.lax.fori_loop(0, t_split, body, st)
+        # traced trip count (z=0 for consecutive matched probes, the
+        # common case): under vmap this is a lockstep while_loop bounded
+        # by the batch maximum, not a static t_split-iteration unroll
+        return jax.lax.fori_loop(
+            0, jnp.minimum(z, t_split), lambda s, acc: _quiet_step(
+                consts, acc), st)
 
     def step_fn(st: ChainState, inp):
         i, z, ms = inp
@@ -368,6 +369,12 @@ def bursts_from_events_host(cfg: ChainConfig, probe_is, z_before,
         return (np.full((1, 1), -1, np.int32), np.zeros((1, 1), np.int32),
                 np.full((1, 1, M), -1, np.int32),
                 np.asarray([min(int(z_trail), t_split)], np.int32), t_split)
+    def _pow2(v, lo=8):
+        b = lo
+        while b < v:
+            b <<= 1
+        return b
+
     new_burst = np.zeros(E, dtype=bool)
     new_burst[0] = True
     new_burst |= np.asarray(z_before) >= t_split
@@ -376,18 +383,27 @@ def bursts_from_events_host(cfg: ChainConfig, probe_is, z_before,
     pos = np.arange(E) - np.maximum.accumulate(
         np.where(new_burst, np.arange(E), 0))
     LB = int(pos.max()) + 1
-    gp = np.full((NB, LB), -1, dtype=np.int32)
-    gz = np.zeros((NB, LB), dtype=np.int32)
-    gm = np.full((NB, LB, M), -1, dtype=np.int32)
+    # pow2-padded grid shapes hit the jit cache across chunks/retries
+    NBp, LBp = _pow2(NB), _pow2(LB)
+    if NBp * LBp * M > (1 << 28):
+        raise ValueError(
+            f"burst grid {NBp}x{LBp}x{M} too large for on-device "
+            "chaining; use the host event chain")
+    gp = np.full((NBp, LBp), -1, dtype=np.int32)
+    gz = np.zeros((NBp, LBp), dtype=np.int32)
+    gm = np.full((NBp, LBp, M), -1, dtype=np.int32)
     gp[burst_id, pos] = probe_is
     # a burst's first event starts from an empty automaton: no aging
     gz[burst_id, pos] = np.where(new_burst, 0, z_before)
-    for e in range(E):
-        ms = m_flat[m_offsets[e]:m_offsets[e + 1]]
-        gm[burst_id[e], pos[e], :len(ms)] = ms
+    lengths = np.asarray(m_offsets[1:E + 1]) - np.asarray(m_offsets[:E])
+    within = np.arange(int(lengths.sum())) - np.repeat(
+        np.asarray(m_offsets[:E]), lengths)
+    gm[np.repeat(burst_id, lengths), np.repeat(pos, lengths),
+       within] = m_flat[: int(lengths.sum())]
     # trailing quiet runs: inter-burst gaps provably kill+emit within
     # t_split steps; the global tail is capped (leftover arms drop)
-    tz = np.full(NB, t_split, dtype=np.int32)
+    tz = np.zeros(NBp, dtype=np.int32)
+    tz[:NB] = t_split
     tz[NB - 1] = min(int(z_trail), t_split)
     return gp, gz, gm, tz, t_split
 
@@ -398,7 +414,10 @@ def chain_events_device(cfg: ChainConfig, probe_is, z_before, m_offsets,
     lanes; retries on capacity overflow like the other engines. Returns
     families in the native-engine format."""
     M = int(max((m_offsets[1:] - m_offsets[:-1]).max(initial=1), 1))
-    M = max(M, 1)
+    M = 1 << max(M - 1, 0).bit_length()  # pow2 for the jit cache
+    # start with a small per-lane output buffer (few families per burst;
+    # the overflow protocol retries the rare heavy lanes)
+    cfg = cfg._replace(out_cap=min(cfg.out_cap, 64))
     while True:
         gp, gz, gm, tz, t_split = bursts_from_events_host(
             cfg, probe_is, z_before, m_offsets, m_flat, z_trail,

@@ -433,7 +433,7 @@ class DeviceEngine:
         m_offsets = np.zeros(n_events + 1, dtype=np.int64)
         np.cumsum(ev[2], out=m_offsets[1:])
 
-        if os.environ.get("ASGART_DEVICE_CHAIN") == "1":
+        if os.environ.get("ASGART_DEVICE_CHAIN"):
             # full on-device chaining: vmap over provably-independent
             # bursts (chain_jax.chain_bursts). Exact, but the sequential
             # tail is microseconds of host work, so the host event chain
@@ -445,8 +445,17 @@ class DeviceEngine:
                 max_gap_size=s.max_gap_size,
                 min_duplication_length=s.min_duplication_length,
                 max_cardinality=s.max_cardinality)
-            raw_families = chain_events_device(
-                cfg, ev[0], ev[1], m_offsets, m_host, int(z_trail))
+            try:
+                raw_families = chain_events_device(
+                    cfg, ev[0], ev[1], m_offsets, m_host, int(z_trail))
+            except ValueError as e:  # grid too large: host fallback
+                log.warning("device chain fallback: %s", e)
+                raw_families = native.chain_events(
+                    ev[0], ev[1], m_offsets, m_host, z_trail=z_trail,
+                    probe_size=k, step_size=k // 2,
+                    max_gap_size=s.max_gap_size,
+                    min_duplication_length=s.min_duplication_length,
+                    max_cardinality=s.max_cardinality)
         else:
             raw_families = native.chain_events(
                 ev[0], ev[1], m_offsets, m_host,
