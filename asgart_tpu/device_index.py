@@ -340,7 +340,7 @@ class DeviceIndex:
                 n_tied_host = int(n_tied)
                 lap(f"rounds to h={h} cap={cap} ({n_tied_host} tied)")
                 new_cap = max(1024, _bucket_pow2(n_tied_host))
-                if n_tied_host and new_cap <= cap // 4:
+                if n_tied_host and new_cap <= cap // 2:
                     cap = new_cap
                     slots = slots[:cap]
 
