@@ -33,7 +33,7 @@ import numpy as np  # noqa: E402
 
 GENOME_MBP = float(os.environ.get("BENCH_MBP", "128"))
 BASELINE_MBP = float(os.environ.get("BENCH_BASELINE_MBP", "64"))
-DEVICE_BUDGET_S = float(os.environ.get("BENCH_DEVICE_BUDGET", "900"))
+DEVICE_BUDGET_S = float(os.environ.get("BENCH_DEVICE_BUDGET", "420"))
 SEED = 1234
 
 
