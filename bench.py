@@ -33,7 +33,7 @@ import numpy as np  # noqa: E402
 
 GENOME_MBP = float(os.environ.get("BENCH_MBP", "128"))
 BASELINE_MBP = float(os.environ.get("BENCH_BASELINE_MBP", "64"))
-DEVICE_BUDGET_S = float(os.environ.get("BENCH_DEVICE_BUDGET", "420"))
+DEVICE_BUDGET_S = float(os.environ.get("BENCH_DEVICE_BUDGET", "540"))
 SEED = 1234
 
 
@@ -108,15 +108,21 @@ def run_device_pass(strand, chunks, settings, codes_device=None):
     return fams, t_index, t_scan
 
 
-def measure_device(strand, chunks, settings, n, budget_s,
-                   codes_device=None):
-    """TPU path under a watchdog: a worker thread runs compile pass +
-    measured passes; on stall the thread is abandoned (daemon) and the
-    caller falls back to the host number."""
+def start_device_worker(strand, chunks, settings, n, budget_s,
+                        codes_device=None):
+    """Launch the TPU measurement worker immediately (daemon thread).
+
+    The axon relay's per-process claim/compile can stall for many
+    minutes at random, so the worker starts BEFORE the host-side
+    baseline measurements: the stall overlaps them instead of burning
+    the watchdog budget. The worker spends most of its life blocked on
+    the tunnel, so the host numbers see little CPU contention. Collected
+    later with `collect_device(state, budget_s)`; on stall the daemon
+    thread is abandoned and the caller falls back to the host number."""
     import threading
 
-    state = {"passes": []}
-    done = threading.Event()
+    state = {"passes": [], "done": threading.Event(),
+             "budget": budget_s}
 
     def worker():
         try:
@@ -134,16 +140,26 @@ def measure_device(strand, chunks, settings, n, budget_s,
         except Exception as e:  # pragma: no cover - defensive
             state["err"] = e
         finally:
-            done.set()
+            state["done"].set()
 
-    th = threading.Thread(target=worker, daemon=True)
-    th.start()
-    done.wait(budget_s)
+    threading.Thread(target=worker, daemon=True).start()
+    return state
+
+
+def collect_device(state):
+    state["done"].wait(state["budget"])
+    if not state["passes"] and "err" not in state:
+        # the relay's claim stall sometimes releases late: one grace wait
+        log("tpu path still compiling/stalled; granting 180s grace")
+        state["done"].wait(180)
     if "err" in state:
         log(f"tpu path failed: {state['err']!r}")
     if not state["passes"]:
-        log(f"tpu path produced no complete pass within {budget_s:.0f}s")
+        log("tpu path produced no complete pass within "
+            f"{state['budget']:.0f}s+grace (+ the overlapped host phase)")
         return None
+    if len(state["passes"]) == 1 and not state["done"].is_set():
+        state["done"].wait(90)  # a warm pass is seconds away
     return state["passes"]
 
 
@@ -181,13 +197,15 @@ def main():
     # transfer with input preparation; here it overlaps the host-side
     # baseline measurements below. The cold pass still includes every
     # compile; only this wire transfer sits outside the measured window.
-    codes_dev = None
+    dev_state = None
     if os.environ.get("BENCH_SKIP_DEVICE") != "1":
         try:
             from asgart_tpu.device_index import DeviceIndex
             codes_dev = DeviceIndex.upload_codes(data)
+            dev_state = start_device_worker(
+                strand, chunks, settings, n, DEVICE_BUDGET_S, codes_dev)
         except Exception as e:  # pragma: no cover - defensive
-            log(f"device preupload unavailable: {e!r}")
+            log(f"device path unavailable: {e!r}")
 
     # --- baseline: reference-design proxy on a genome slice ---------------
     # Single-threaded SA-IS over the single text + per-probe binary search,
@@ -234,10 +252,10 @@ def main():
     log(f"reference-proxy baseline ({nb/1e6:.0f} Mbp): index {tib:.1f}s "
         f"scan {tsb:.1f}s -> {base_mbps:.2f} Mbp/s, {n_base_sds} SDs")
 
-    # --- host engine (comparison line), best of two -----------------------
+    # --- host engine (comparison line), best of three ---------------------
     host_best = None
     host_sds = 0
-    for attempt in range(2):
+    for attempt in range(3):
         fams, ti, ts = run_host(strand, chunks, settings)
         t = ti + ts
         host_sds = sum(len(f) for f in fams)
@@ -250,9 +268,8 @@ def main():
     # --- TPU production path (the headline) -------------------------------
     engine = "host"
     mbps = host_mbps
-    if os.environ.get("BENCH_SKIP_DEVICE") != "1":
-        passes = measure_device(strand, chunks, settings, n,
-                                DEVICE_BUDGET_S, codes_dev)
+    if dev_state is not None:
+        passes = collect_device(dev_state)
         if passes:
             tpu_sds = sum(len(f) for f in passes[0][3])
             if tpu_sds != host_sds:
