@@ -34,6 +34,9 @@ import numpy as np  # noqa: E402
 GENOME_MBP = float(os.environ.get("BENCH_MBP", "128"))
 BASELINE_MBP = float(os.environ.get("BENCH_BASELINE_MBP", "64"))
 DEVICE_BUDGET_S = float(os.environ.get("BENCH_DEVICE_BUDGET", "540"))
+# absolute wall ceiling: the one JSON line always prints before this
+MAX_WALL_S = float(os.environ.get("BENCH_MAX_WALL", "960"))
+T_START = time.time()
 SEED = 1234
 
 
@@ -146,12 +149,19 @@ def start_device_worker(strand, chunks, settings, n, budget_s,
     return state
 
 
+def _wall_left(margin=20.0):
+    return max(0.0, MAX_WALL_S - (time.time() - T_START) - margin)
+
+
 def collect_device(state):
-    state["done"].wait(state["budget"])
+    # wait as long as the wall ceiling allows: the relay's first-contact
+    # stall was measured up to ~12.5 min, after which passes take seconds
+    state["done"].wait(min(state["budget"], _wall_left()))
     if not state["passes"] and "err" not in state:
-        # the relay's claim stall sometimes releases late: one grace wait
-        log("tpu path still compiling/stalled; granting 180s grace")
-        state["done"].wait(180)
+        grace = min(300.0, _wall_left())
+        log(f"tpu path still compiling/stalled; granting {grace:.0f}s "
+            "grace")
+        state["done"].wait(grace)
     if "err" in state:
         log(f"tpu path failed: {state['err']!r}")
     if not state["passes"]:
@@ -159,7 +169,7 @@ def collect_device(state):
             f"{state['budget']:.0f}s+grace (+ the overlapped host phase)")
         return None
     if len(state["passes"]) == 1 and not state["done"].is_set():
-        state["done"].wait(90)  # a warm pass is seconds away
+        state["done"].wait(min(90, _wall_left()))  # warm pass imminent
     return state["passes"]
 
 
