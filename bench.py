@@ -207,13 +207,12 @@ def main():
     # transfer with input preparation; here it overlaps the host-side
     # baseline measurements below. The cold pass still includes every
     # compile; only this wire transfer sits outside the measured window.
+    codes_dev = None
     dev_state = None
     if os.environ.get("BENCH_SKIP_DEVICE") != "1":
         try:
             from asgart_tpu.device_index import DeviceIndex
-            codes_dev = DeviceIndex.upload_codes(data)
-            dev_state = start_device_worker(
-                strand, chunks, settings, n, DEVICE_BUDGET_S, codes_dev)
+            codes_dev = DeviceIndex.upload_codes(data)  # async claim+xfer
         except Exception as e:  # pragma: no cover - defensive
             log(f"device path unavailable: {e!r}")
 
@@ -261,6 +260,13 @@ def main():
     base_mbps = nb / 1e6 / base_total
     log(f"reference-proxy baseline ({nb/1e6:.0f} Mbp): index {tib:.1f}s "
         f"scan {tsb:.1f}s -> {base_mbps:.2f} Mbp/s, {n_base_sds} SDs")
+
+    # the TPU worker starts only now: its client-side tracing/compiles
+    # would contend with the single-core proxy measurement above (the
+    # early device_put still lets the relay claim + transfer overlap it)
+    if codes_dev is not None:
+        dev_state = start_device_worker(
+            strand, chunks, settings, n, DEVICE_BUDGET_S, codes_dev)
 
     # --- host engine (comparison line), best of three ---------------------
     host_best = None
