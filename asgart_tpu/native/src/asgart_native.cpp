@@ -25,6 +25,9 @@
 #include <cstdint>
 #include <cstring>
 #include <memory>
+#if defined(__linux__)
+#include <sys/mman.h>
+#endif
 #include <thread>
 #include <chrono>
 #include <cstdio>
@@ -831,9 +834,16 @@ static int bpi_codes_impl(const uint8_t* codes, int64_t n, int64_t k,
 
   // default-init (no memset): a value-initialized vector would zero
   // 12 B/elem on one thread — both the memset and the first-touch page
-  // faults dominate cold builds. Pages are touched in parallel below.
+  // faults dominate cold builds. Pages are touched in parallel below,
+  // and THP (madvise mode on this kernel) cuts fault counts 512x.
   std::unique_ptr<KV[]> recs_owner(new KV[n]);
   KV* recs = recs_owner.get();
+#if defined(__linux__) && defined(MADV_HUGEPAGE)
+  {
+    const uintptr_t a = (uintptr_t)recs & ~uintptr_t(4095);
+    madvise((void*)a, size_t(n) * sizeof(KV), MADV_HUGEPAGE);
+  }
+#endif
   {
     std::vector<std::vector<int64_t>> hist(
         n_threads, std::vector<int64_t>(n_buckets, 0));

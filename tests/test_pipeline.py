@@ -461,3 +461,29 @@ def test_two_files_rc_like_human_vs_chimp(tmp_path):
     assert buf_t.getvalue() == buf_h.getvalue()
     # two input files join the strand name with "; " like from_files
     assert "human" in host.strand.name and "chimp" in host.strand.name
+
+
+def test_checkpoint_resume_with_tpu_engine(tmp_path):
+    """--checkpoint with engine=tpu: journaled chunks restore and the
+    final result matches an uncheckpointed run."""
+    rng = np.random.default_rng(31)
+    g = bytearray(random_dna(rng, 30000))
+    g[20000:22000] = bytes(g[3000:5000])
+    g[12000:18500] = b"N" * 6500  # chunk split
+    p = tmp_path / "c.fa"
+    write_fasta(p, [("chr", bytes(g))])
+    ck = str(tmp_path / "journal.jsonl")
+    kw = dict(min_duplication_length=900)
+
+    full = search_duplications([str(p)], RunSettings(**kw), engine="tpu")
+    first = search_duplications([str(p)], RunSettings(**kw), engine="tpu",
+                                checkpoint=ck)
+    resumed = search_duplications([str(p)], RunSettings(**kw),
+                                  engine="tpu", checkpoint=ck)
+
+    def dump(r):
+        return [[vars(sd) for sd in fam] for fam in r.families]
+
+    assert dump(first) == dump(full)
+    assert dump(resumed) == dump(full)
+    assert full.families
