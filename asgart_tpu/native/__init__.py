@@ -37,6 +37,23 @@ def _tune_malloc() -> None:
 _tune_malloc()
 
 
+def _madv_hugepage(arr: np.ndarray) -> np.ndarray:
+    """Advise THP for a large buffer (madvise mode on this kernel):
+    cuts first-touch fault counts ~512x, the dominant cold-build cost
+    on this sandbox (~6 s/GB fault tax)."""
+    try:
+        MADV_HUGEPAGE = 14
+        libc = ctypes.CDLL(None, use_errno=True)
+        addr = arr.ctypes.data
+        aligned = addr & ~0xFFF
+        length = arr.nbytes + (addr - aligned)
+        libc.madvise(ctypes.c_void_p(aligned), ctypes.c_size_t(length),
+                     ctypes.c_int(MADV_HUGEPAGE))
+    except Exception:
+        pass
+    return arr
+
+
 def _build() -> None:
     base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC]
     # prefer native tuning, fall back to a portable baseline (the artifact
@@ -388,9 +405,10 @@ def build_position_index(codes: np.ndarray, k: int, n_threads: int = 0,
     if n >= (1 << 31):
         raise ValueError("fused tables require n < 2^31; use "
                          "kmer_suffix_sort + group_tables")
-    sa = np.empty(n, dtype=np.int32)  # n < 2^31 is checked above
-    ranges = np.empty((n, 2), dtype=np.int32)  # interleaved [lo, hi]
-    keys = np.empty(n, dtype=np.int64) if with_keys else None
+    sa = _madv_hugepage(np.empty(n, dtype=np.int32))
+    ranges = _madv_hugepage(np.empty((n, 2), dtype=np.int32))
+    keys = _madv_hugepage(np.empty(n, dtype=np.int64)) if with_keys \
+        else None
     n_threads = n_threads or (os.cpu_count() or 1)
     rc = lib.asgart_build_position_index_codes_i32(
         codes.ctypes.data_as(ctypes.c_void_p), n, k,
