@@ -378,11 +378,7 @@ def bursts_from_events_host(cfg: ChainConfig, probe_is, z_before,
         return (np.full((1, 1), -1, np.int32), np.zeros((1, 1), np.int32),
                 np.full((1, 1, M), -1, np.int32),
                 np.asarray([min(int(z_trail), t_split)], np.int32), t_split)
-    def _pow2(v, lo=8):
-        b = lo
-        while b < v:
-            b <<= 1
-        return b
+    from .utils import pow2_ceil as _pow2
 
     new_burst = np.zeros(E, dtype=bool)
     new_burst[0] = True
@@ -398,6 +394,11 @@ def bursts_from_events_host(cfg: ChainConfig, probe_is, z_before,
         raise ValueError(
             f"burst grid {NBp}x{LBp}x{M} too large for on-device "
             "chaining; use the host event chain")
+    if int(lengths_check := (np.asarray(m_offsets[1:E + 1]) -
+                              np.asarray(m_offsets[:E])).max(initial=0)) > M:
+        raise ValueError(
+            f"event match count {int(lengths_check)} exceeds "
+            f"max_matches={M}")
     gp = np.full((NBp, LBp), -1, dtype=np.int32)
     gz = np.zeros((NBp, LBp), dtype=np.int32)
     gm = np.full((NBp, LBp, M), -1, dtype=np.int32)
@@ -423,17 +424,22 @@ def chain_events_device(cfg: ChainConfig, probe_is, z_before, m_offsets,
     lanes; retries on capacity overflow like the other engines. Returns
     families in the native-engine format."""
     M = int(max((m_offsets[1:] - m_offsets[:-1]).max(initial=1), 1))
-    M = 1 << max(M - 1, 0).bit_length()  # pow2 for the jit cache
+    from .utils import pow2_ceil
+
+    M = pow2_ceil(M, 1)  # pow2 for the jit cache
     # start with a small per-lane output buffer (few families per burst;
     # the overflow protocol retries the rare heavy lanes)
     cfg = cfg._replace(out_cap=min(cfg.out_cap, 64))
+    # the grid depends only on t_split and M — build and upload it once,
+    # not per capacity retry (gm alone can be hundreds of MB)
+    gp, gz, gm, tz, t_split = bursts_from_events_host(
+        cfg, probe_is, z_before, m_offsets, m_flat, z_trail,
+        max_matches=M)
+    gp, gz, gm, tz = (jnp.asarray(gp), jnp.asarray(gz), jnp.asarray(gm),
+                      jnp.asarray(tz))
     while True:
-        gp, gz, gm, tz, t_split = bursts_from_events_host(
-            cfg, probe_is, z_before, m_offsets, m_flat, z_trail,
-            max_matches=M)
         out, n_out, n_fam, n_dropped = chain_bursts(
-            cfg._replace(max_matches=M), t_split, jnp.asarray(gp),
-            jnp.asarray(gz), jnp.asarray(gm), jnp.asarray(tz))
+            cfg._replace(max_matches=M), t_split, gp, gz, gm, tz)
         n_out_h = np.asarray(n_out)
         if (int(np.asarray(n_dropped).sum()) == 0
                 and int(n_out_h.max(initial=0)) <= cfg.out_cap):

@@ -448,7 +448,7 @@ class DeviceEngine:
             try:
                 raw_families = chain_events_device(
                     cfg, ev[0], ev[1], m_offsets, m_host, int(z_trail))
-            except ValueError as e:  # grid too large: host fallback
+            except Exception as e:  # grid too big / HBM: host fallback
                 log.warning("device chain fallback: %s", e)
                 raw_families = native.chain_events(
                     ev[0], ev[1], m_offsets, m_host, z_trail=z_trail,

@@ -58,10 +58,9 @@ def _pad_zeros(x: jax.Array, pad: int):
 
 
 def _bucket_pow2(n: int) -> int:
-    b = 1
-    while b < n:
-        b <<= 1
-    return b
+    from .utils import pow2_ceil
+
+    return pow2_ceil(n, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "reverse", "complement",

@@ -841,7 +841,9 @@ static int bpi_codes_impl(const uint8_t* codes, int64_t n, int64_t k,
 #if defined(__linux__) && defined(MADV_HUGEPAGE)
   {
     const uintptr_t a = (uintptr_t)recs & ~uintptr_t(4095);
-    madvise((void*)a, size_t(n) * sizeof(KV), MADV_HUGEPAGE);
+    madvise((void*)a,
+            size_t(n) * sizeof(KV) + ((uintptr_t)recs - a),
+            MADV_HUGEPAGE);
   }
 #endif
   {

@@ -89,3 +89,11 @@ def make_out_filename(filename, default: str, extension: str) -> pathlib.Path:
     name = path.name
     stem = path.stem if path.stem else name
     return path.with_name(f"{stem}.{extension}" if extension else stem)
+
+
+def pow2_ceil(n: int, lo: int = 8) -> int:
+    """Smallest power of two >= n (and >= lo)."""
+    b = lo
+    while b < n:
+        b <<= 1
+    return b

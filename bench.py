@@ -120,7 +120,7 @@ def start_device_worker(strand, chunks, settings, n, budget_s,
     baseline measurements: the stall overlaps them instead of burning
     the watchdog budget. The worker spends most of its life blocked on
     the tunnel, so the host numbers see little CPU contention. Collected
-    later with `collect_device(state, budget_s)`; on stall the daemon
+    later with `collect_device(state)`; on stall the daemon
     thread is abandoned and the caller falls back to the host number."""
     import threading
 
@@ -214,7 +214,8 @@ def main():
             from asgart_tpu.device_index import DeviceIndex
             codes_dev = DeviceIndex.upload_codes(data)  # async claim+xfer
         except Exception as e:  # pragma: no cover - defensive
-            log(f"device path unavailable: {e!r}")
+            log(f"device preupload unavailable ({e!r}); the worker will "
+                "upload in-pass")
 
     # --- baseline: reference-design proxy on a genome slice ---------------
     # Single-threaded SA-IS over the single text + per-probe binary search,
@@ -264,7 +265,7 @@ def main():
     # the TPU worker starts only now: its client-side tracing/compiles
     # would contend with the single-core proxy measurement above (the
     # early device_put still lets the relay claim + transfer overlap it)
-    if codes_dev is not None:
+    if os.environ.get("BENCH_SKIP_DEVICE") != "1":
         dev_state = start_device_worker(
             strand, chunks, settings, n, DEVICE_BUDGET_S, codes_dev)
 
