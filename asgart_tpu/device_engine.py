@@ -152,7 +152,22 @@ def _scan_chunk(pos_lo_tab, pos_hi_tab, codes, sa,
     mask = mask & (cx != N_CODE)
     lo = jnp.where(mask, lo, 0)
     hi = jnp.where(mask, hi, 0)
+    return _core_from_ranges(
+        lo, hi, mask, sa, chunk_start, chunk_len, max_match_pos,
+        max_cardinality, j0, k=k, reverse=reverse, b_pad=b_pad,
+        cap=cap, ev_cap=ev_cap)
 
+
+def _core_from_ranges(lo, hi, mask, sa, chunk_start, chunk_len,
+                      max_match_pos, max_cardinality, j0,
+                      k: int, reverse: bool, b_pad: int, cap: int,
+                      ev_cap: int):
+    """Scan tail shared by the table engine and the windowed (trim)
+    engine: CSR match expansion + exact filters + event compaction from
+    already-masked per-probe equal ranges (`lo`/`hi` zeroed outside
+    `mask`)."""
+    step = k // 2
+    jl = jnp.arange(b_pad, dtype=I32)
     counts_raw = hi - lo
     ck = jnp.cumsum(counts_raw)
     starts = ck - counts_raw
@@ -208,6 +223,86 @@ def _scan_chunk(pos_lo_tab, pos_hi_tab, codes, sa,
     overflow = ((total_raw > cap) | (n_events > ev_cap)).astype(I32)
     scalars = jnp.stack([n_events, total_kept, z_trail, overflow])
     return ev_pack, m_flat, scalars
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "reverse", "b_pad", "cap", "ev_cap"))
+def _scan_core(lo, hi, mask, sa, chunk_start, chunk_len, max_match_pos,
+               max_cardinality, j0,
+               k: int, reverse: bool, b_pad: int, cap: int, ev_cap: int):
+    """Standalone-jitted scan tail for engines that compute per-probe
+    equal ranges in a separate stage (the windowed trim engine)."""
+    return _core_from_ranges(
+        lo, hi, mask, sa, chunk_start, chunk_len, max_match_pos,
+        max_cardinality, j0, k=k, reverse=reverse, b_pad=b_pad,
+        cap=cap, ev_cap=ev_cap)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "reverse", "complement",
+                                             "b_pad"))
+def _window_ranges(key_hi, key_lo, run_lo, codes,
+                   chunk_start, chunk_len, first_len, j0,
+                   k: int, reverse: bool, complement: bool, b_pad: int):
+    """Per-probe equal ranges against a windowed index by merge join.
+
+    Probe k-mers are packed from the doubled genome codes by strided
+    slices (the same affine probe→text map as the table engine), then
+    co-sorted with the window's W sorted keys: with the window/probe tag
+    as the last sort key, a probe entry's sorted position directly yields
+    its `hi` bound (count of window keys sorting before it), and `lo`
+    follows from the slot-indexed run starts. One O((W+B) log) sort
+    replaces per-probe binary search — sorts stream at ~190M rows/s on
+    this rig while random HBM gathers are latency-bound.
+
+    Returns (lo [b_pad], hi [b_pad], mask [b_pad], total f32 scalar);
+    lo/hi are zeroed outside the mask, total is the exact summed match
+    window size (sizes the flat CSR capacity with no estimation slack).
+    """
+    from .device_index import LO_SYMS
+
+    step = k // 2
+    W = key_hi.shape[0]
+    jl = jnp.arange(b_pad, dtype=I32)
+    j = j0 + jl
+    bound = chunk_len - k - step
+    mask = (j * step) < bound  # pre-increment loop, automaton.rs:90-97
+
+    x0 = _probe_x0(chunk_start, chunk_len, first_len, k, reverse,
+                   complement) + j0 * step
+    cs = jax.lax.dynamic_slice(
+        codes, (x0,), (b_pad * step + k,)).astype(I32)
+    n_hi = max(k - LO_SYMS, 0)
+    phi = jnp.zeros(b_pad, dtype=I32)
+    plo = jnp.zeros(b_pad, dtype=I32)
+    for t in range(n_hi):
+        phi = (phi << 3) | cs[t::step][:b_pad]
+    for t in range(n_hi, k):
+        plo = (plo << 3) | cs[t::step][:b_pad]
+    # N-probe skip (automaton.rs:100-102): first needle symbol check
+    mask = mask & (cs[0::step][:b_pad] != N_CODE)
+
+    # merge join: tag sorts probe entries after equal window keys, so a
+    # probe's sorted position r has exactly hi window entries before it
+    tot = W + b_pad
+    ckhi = jnp.concatenate([key_hi, phi])
+    cklo = jnp.concatenate([key_lo, plo])
+    tag = jnp.concatenate([jnp.zeros(W, I32), jnp.ones(b_pad, I32)])
+    ids = jnp.concatenate([jnp.zeros(W, I32), jl])
+    _, _, stag, sid = jax.lax.sort((ckhi, cklo, tag, ids), num_keys=3)
+    hi_all = jnp.arange(tot, dtype=I32) + 1 - jnp.cumsum(stag)
+    # back to probe-lane order (sort again: cheaper than a full-size
+    # scatter on this rig)
+    lane_key = jnp.where(stag == 1, sid, tot)
+    _, hi_sorted = jax.lax.sort((lane_key, hi_all), num_keys=1)
+    hi_lane = hi_sorted[:b_pad]
+    prev = jnp.clip(hi_lane - 1, 0, W - 1)
+    key_eq = (key_hi[prev] == phi) & (key_lo[prev] == plo) & (hi_lane > 0)
+    lo_lane = jnp.where(key_eq, run_lo[prev], hi_lane)
+
+    lo_lane = jnp.where(mask, lo_lane, 0)
+    hi_lane = jnp.where(mask, hi_lane, 0)
+    total = jnp.sum((hi_lane - lo_lane).astype(jnp.float32))
+    return lo_lane, hi_lane, mask, total
 
 
 def _sharded_scan(mesh, k: int, reverse: bool, complement: bool,
@@ -502,3 +597,108 @@ class DeviceEngine:
         states = [self._dispatch_chunk(c, total=t)
                   for c, t in zip(chunks, totals)]
         return [self._collect_chunk(st) for st in states]
+
+
+class DeviceWindowEngine(DeviceEngine):
+    """Windowed (``--trim``) variant of the TPU engine: the index covers
+    only the trim window while the whole genome is probed against it
+    (reference trim semantics, asgart.rs:142-148) — the memory-bounded
+    scale-out unit, fully on-device.
+
+    Two-stage dispatch per chunk: `_window_ranges` (merge-join equal
+    ranges + the exact raw total) sizes the flat capacity, then the
+    shared `_scan_core` compacts events; (lo, hi, mask) stay device-
+    resident between the stages and across overflow retries.
+    """
+
+    def __init__(self, strand, settings, trim, profile: dict | None = None,
+                 codes_device=None):
+        from .device_index import DeviceWindowIndex
+
+        self.strand = strand
+        self.settings = settings
+        self.trim = (int(trim[0]), int(trim[1]))
+        t0 = time.time()
+        self.widx = DeviceWindowIndex.build(
+            strand.data, settings.probe_size, trim=self.trim,
+            reverse=settings.reverse, complement=settings.complement,
+            codes_device=codes_device)
+        # probe-axis mesh sharding for windows comes via the composed
+        # (windows x probes) mesh engine, not per-window meshes
+        self.mesh = None
+        self._stage1: dict = {}
+        if profile is not None:
+            profile["device_index_s"] = round(time.time() - t0, 3)
+
+    def _cap_key(self, chunk):
+        s = self.settings
+        return ("win", self.widx.first_len, self.trim, s.probe_size,
+                s.reverse, s.complement, s.max_cardinality, chunk)
+
+    def _stage1_for(self, chunk):
+        """Dispatch (or reuse) the merge-join ranges for one chunk."""
+        st1 = self._stage1.get(chunk)
+        if st1 is None:
+            geo = self._chunk_geometry(chunk)
+            if geo is None:
+                return None
+            b_pad, _, _ = geo
+            s = self.settings
+            w = self.widx
+            st1 = _window_ranges(
+                w.key_hi, w.key_lo, w.run_lo, w.codes,
+                jnp.int32(chunk[0]), jnp.int32(chunk[1]),
+                jnp.int32(w.first_len), jnp.int32(0),
+                k=s.probe_size, reverse=s.reverse,
+                complement=s.complement, b_pad=b_pad)
+            self._stage1[chunk] = st1
+        return st1
+
+    def _prepass_total(self, chunk):
+        st1 = self._stage1_for(chunk)
+        return None if st1 is None else st1[3]
+
+    def _dispatch_chunk(self, chunk, cap=None, ev_cap=None, total=None):
+        geo = self._chunk_geometry(chunk)
+        if geo is None:
+            return None
+        b_pad, b_local, _ = geo
+        s = self.settings
+        st1 = self._stage1_for(chunk)
+        lo, hi, mask, tot = st1
+        t0 = time.time()
+        if cap is None:
+            cached = _CAP_CACHE.get(self._cap_key(chunk))
+            if cached is not None:
+                cap, ev_cap = cached
+            else:
+                # the merge-join total is exact, no estimation slack
+                total_raw = int(float(tot if total is None else total))
+                t0 = self._lap(t0, f"ranges+total ({total_raw})")
+                cap = _bucket(max(total_raw + 1, 1 << 20))
+        if ev_cap is None:
+            ev_cap = _bucket(min(cap, b_local)) // 4
+        ev_pack, m_flat, scalars = _scan_core(
+            lo, hi, mask, self.widx.sa,
+            jnp.int32(chunk[0]), jnp.int32(chunk[1]),
+            jnp.int32((1 << 31) - 1), jnp.int32(s.max_cardinality),
+            jnp.int32(0), k=s.probe_size, reverse=s.reverse,
+            b_pad=b_pad, cap=cap, ev_cap=ev_cap)
+        self._lap(t0, f"window scan dispatch (cap={cap})")
+        return {"chunk": chunk, "cap": cap, "ev_cap": ev_cap,
+                "shards": [(ev_pack, m_flat, scalars)]}
+
+    def run_chunk(self, chunk):
+        out = self._collect_chunk(self._dispatch_chunk(chunk))
+        self._stage1.pop(chunk, None)
+        return out
+
+    def run_chunks(self, chunks):
+        # dispatch every stage-1 first (async), then size + dispatch the
+        # cores, then collect: chunk i+1 executes while chunk i downloads
+        for c in chunks:
+            self._stage1_for(c)
+        states = [self._dispatch_chunk(c) for c in chunks]
+        out = [self._collect_chunk(st) for st in states]
+        self._stage1.clear()
+        return out

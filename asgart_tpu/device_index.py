@@ -227,6 +227,46 @@ def _full_round(sa: jax.Array, rank: jax.Array, h: jax.Array):
     return p_sorted, rank, tied_slot
 
 
+def _resolve_ties(sa, rank, tied_slot, n: int, k: int,
+                  rounds_per_call: int, tied_cap: int | None,
+                  lap=lambda *a: None):
+    """Host-driven doubling loop until every suffix rank is distinct
+    (shared by the whole-genome and windowed builds): full-array rounds
+    while the tied set exceeds the subset capacity, then subset rounds
+    with a shrinking slot buffer."""
+    if tied_cap is None:
+        tied_cap = max(1024, n // 8)
+    n_tied_host = int(jnp.sum(tied_slot.astype(I32)))
+    h = k
+    lap(f"tied count ({n_tied_host})")
+    # hyper-repetitive input: full-array rounds until the tied set
+    # fits the subset capacity
+    while n_tied_host > tied_cap and h < 2 * n:
+        sa, rank, tied_slot = _full_round(
+            sa, rank, jnp.int32(min(h, n)))
+        h = min(h * 2, 2 * n)
+        n_tied_host = int(jnp.sum(tied_slot.astype(I32)))
+        lap(f"full round h={h//2} ({n_tied_host} tied)")
+    # subset rounds, with the slot buffer sized to the live tied set
+    # (scatter cost is per-lane whether live or dropped) and shrunk
+    # as ties resolve
+    if n_tied_host > 0:
+        cap = max(1024, _bucket_pow2(n_tied_host))
+        slots, n_tied = _extract_tied(tied_slot, cap)
+        while n_tied_host > 0 and h < 2 * n:
+            sa, rank, slots, n_tied = _doubling_rounds(
+                sa, rank, slots, n_tied, jnp.int32(min(h, n)),
+                rounds_per_call)
+            h = min(h << rounds_per_call, 2 * n)
+            n_tied_host = int(n_tied)
+            lap(f"rounds to h={h} cap={cap} ({n_tied_host} tied)")
+            new_cap = max(1024, _bucket_pow2(n_tied_host))
+            if n_tied_host and new_cap <= cap // 2:
+                cap = new_cap
+                slots = slots[:cap]
+    return sa
+
+
 @dataclass
 class DeviceIndex:
     """Device-resident doubled-text position index (the on-device analog
@@ -312,36 +352,8 @@ class DeviceIndex:
         lap("groups+tables", rank, pos_hi)
         del key_hi, key_lo, skhi, sklo
 
-        if tied_cap is None:
-            tied_cap = max(1024, n // 8)
-        n_tied_host = int(jnp.sum(tied_slot.astype(I32)))
-        h = k
-        lap(f"tied count ({n_tied_host})")
-        # hyper-repetitive input: full-array rounds until the tied set
-        # fits the subset capacity
-        while n_tied_host > tied_cap and h < 2 * n:
-            sa, rank, tied_slot = _full_round(
-                sa, rank, jnp.int32(min(h, n)))
-            h = min(h * 2, 2 * n)
-            n_tied_host = int(jnp.sum(tied_slot.astype(I32)))
-            lap(f"full round h={h//2} ({n_tied_host} tied)")
-        # subset rounds, with the slot buffer sized to the live tied set
-        # (scatter cost is per-lane whether live or dropped) and shrunk
-        # as ties resolve
-        if n_tied_host > 0:
-            cap = max(1024, _bucket_pow2(n_tied_host))
-            slots, n_tied = _extract_tied(tied_slot, cap)
-            while n_tied_host > 0 and h < 2 * n:
-                sa, rank, slots, n_tied = _doubling_rounds(
-                    sa, rank, slots, n_tied, jnp.int32(min(h, n)),
-                    rounds_per_call)
-                h = min(h << rounds_per_call, 2 * n)
-                n_tied_host = int(n_tied)
-                lap(f"rounds to h={h} cap={cap} ({n_tied_host} tied)")
-                new_cap = max(1024, _bucket_pow2(n_tied_host))
-                if n_tied_host and new_cap <= cap // 2:
-                    cap = new_cap
-                    slots = slots[:cap]
+        sa = _resolve_ties(sa, rank, tied_slot, n, k, rounds_per_call,
+                           tied_cap, lap)
 
         return cls(sa=sa, pos_lo=pos_lo, pos_hi=pos_hi, codes=text_codes,
                    k=k, n=n, first_len=n1, reverse=reverse,
@@ -353,3 +365,131 @@ class DeviceIndex:
         return (np.asarray(self.sa),
                 np.stack([np.asarray(self.pos_lo[: self.n]),
                           np.asarray(self.pos_hi[: self.n])], axis=1))
+
+
+@functools.partial(jax.jit, static_argnames=("w_text", "k"))
+def _window_codes(codes1: jax.Array, win_start, w_text: int, k: int):
+    """Symbol codes of the window text ``strand[ws:we] + '$'`` with k
+    zero padding (the '$' rank and the padding are both 0, reproducing
+    the host GenomeIndex's window-truncated packing)."""
+    out = jnp.zeros(w_text + 1 + k, dtype=jnp.uint8)
+    return out.at[:w_text].set(
+        jax.lax.dynamic_slice(codes1, (win_start,), (w_text,)))
+
+
+@jax.jit
+def _slot_run_lo(skhi: jax.Array, sklo: jax.Array):
+    """Slot-indexed equal-key run starts over the sorted keys (the
+    lo-bound companion for merge-join lookups)."""
+    n = skhi.shape[0]
+    iota = jnp.arange(n, dtype=I32)
+    neq = jnp.concatenate([
+        jnp.ones(1, bool),
+        (skhi[1:] != skhi[:-1]) | (sklo[1:] != sklo[:-1])])
+    return jax.lax.cummax(jnp.where(neq, iota, 0))
+
+
+@dataclass
+class DeviceWindowIndex:
+    """Device-resident *windowed* index for ``--trim`` runs (reference
+    trim semantics, asgart.rs:142-148: SA over the window only, the whole
+    genome probed against it — the memory-bounded scale-out unit).
+
+    Unlike :class:`DeviceIndex`, probe k-mers are not positions of the
+    indexed text, so lookups are by value: the engine co-sorts probe keys
+    with the window's sorted keys (a merge join — one ``lax.sort`` per
+    probe batch instead of per-probe binary search, which would be
+    latency-bound on random HBM gathers). Held device-side:
+
+      * ``key_hi``/``key_lo`` [W]: sorted two-plane k-mer keys of every
+        window position (aligned with ``sa`` — doubling permutes only
+        within equal-key runs);
+      * ``run_lo`` [W]: slot-indexed equal-run starts (lo bound lookup);
+      * ``sa`` [W]: suffix order, positions already global;
+      * ``codes``: the needle-addressable (doubled) genome codes used to
+        pack probe keys by strided slices, shared layout with the
+        whole-genome engine.
+    """
+
+    key_hi: jax.Array
+    key_lo: jax.Array
+    run_lo: jax.Array
+    sa: jax.Array        # [W] int32 global positions, suffix order
+    codes: jax.Array     # [n + pad] uint8 doubled text codes
+    k: int
+    n: int               # doubled text length (probe-addressable)
+    first_len: int       # genome + '$' length
+    W: int               # window text length incl. its own '$'
+    win_start: int
+    win_end: int
+    reverse: bool
+    complement: bool
+
+    @classmethod
+    def build(cls, strand_data: np.ndarray, k: int,
+              trim: tuple[int, int], reverse: bool = False,
+              complement: bool = False, rounds_per_call: int = 2,
+              tied_cap: int | None = None,
+              codes_device: jax.Array | None = None
+              ) -> "DeviceWindowIndex":
+        import os
+        import time
+
+        prof = os.environ.get("ASGART_DEVICE_PROFILE")
+        t0 = time.time()
+
+        def lap(what, *sync):
+            nonlocal t0
+            if not prof:
+                return
+            for x in sync:
+                np.asarray(x.ravel()[:1])
+            now = time.time()
+            print(f"[widx] {what}: {now - t0:.2f}s", flush=True)
+            t0 = now
+
+        check_probe_size(k)
+        if k > DEVICE_MAX_K:
+            raise ValueError(
+                f"device index supports probe_size <= {DEVICE_MAX_K} "
+                "(two int32 key planes); use the host engine")
+        ws, we = int(trim[0]), int(trim[1])
+        n1 = int(len(strand_data))
+        if not (0 <= ws < we <= n1 - 1):
+            raise ValueError(f"bad trim window {trim}")
+        n = 2 * n1 - 1 if (reverse or complement) else n1
+        if n >= (1 << 31):
+            raise ValueError(
+                "genome too large for int32 probe addressing; "
+                "use more trim windows per host")
+        if codes_device is not None:
+            codes1 = codes_device
+        else:
+            codes1 = jax.device_put(CODE[strand_data])
+        lap("upload", codes1)
+
+        from .device_engine import table_pad_for
+
+        # probe-side: the needle-addressable doubled text (same layout
+        # as the whole-genome engine; probes pack by strided slices)
+        text_codes = _build_text_codes(
+            codes1, k, reverse, complement, n + table_pad_for(k))
+        # index-side: window text + '$'
+        w_text = we - ws
+        W = w_text + 1
+        win_codes = _window_codes(codes1, jnp.int32(ws), w_text, k)
+        key_hi, key_lo = _pack_planes_all(win_codes, k, W)
+        lap("pack", key_hi)
+        skhi, sklo, sa = _initial_sort(key_hi, key_lo)
+        rank, _, _, tied_slot = _groups_and_tables(skhi, sklo, sa)
+        run_lo = _slot_run_lo(skhi, sklo)
+        lap("sort+groups", sa, run_lo)
+        del key_hi, key_lo
+
+        sa = _resolve_ties(sa, rank, tied_slot, W, k, rounds_per_call,
+                           tied_cap, lap)
+        sa = sa + jnp.int32(ws)  # globalize window positions
+        return cls(key_hi=skhi, key_lo=sklo, run_lo=run_lo, sa=sa,
+                   codes=text_codes, k=k, n=n, first_len=n1, W=W,
+                   win_start=ws, win_end=we, reverse=reverse,
+                   complement=complement)

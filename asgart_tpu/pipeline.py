@@ -142,9 +142,13 @@ class SearchEngine:
             if self.pidx is not None:
                 from .seed import DevicePositionTables
                 self._device = DevicePositionTables(self.pidx)
-            else:
+            elif settings.probe_size * 3 <= 60:
                 from .seed import DeviceSeedIndex
                 self._device = DeviceSeedIndex(self.index)
+            else:
+                # k=21 exceeds the two-plane device packing: host lookup
+                log.warning("probe_size %d trim lookup runs on the host",
+                            settings.probe_size)
 
     def run_chunk(self, chunk: tuple[int, int]) -> list[list[ProtoSD]]:
         """Search one chunk; returns families in global coordinates with
@@ -269,12 +273,17 @@ class _DeviceEngineAdapter:
     .DeviceEngine` (same ``run_chunk`` contract as SearchEngine)."""
 
     def __init__(self, strand, settings, profile=None,
-                 codes_device=None):
-        from .device_engine import DeviceEngine
+                 codes_device=None, trim=None):
+        from .device_engine import DeviceEngine, DeviceWindowEngine
 
         self.settings = settings
-        self.dev = DeviceEngine(strand, settings, profile=profile,
-                                codes_device=codes_device)
+        if trim is not None:
+            self.dev = DeviceWindowEngine(strand, settings, trim,
+                                          profile=profile,
+                                          codes_device=codes_device)
+        else:
+            self.dev = DeviceEngine(strand, settings, profile=profile,
+                                    codes_device=codes_device)
 
     def run_chunk(self, chunk):
         start, length = chunk
@@ -360,14 +369,14 @@ def search_duplications(
     t0 = time.time()
     from .device_index import DEVICE_MAX_K
 
-    if engine == "tpu" and trim is None \
-            and settings.probe_size <= DEVICE_MAX_K:
-        # production TPU path: index built in HBM, scan + compaction on
+    if engine == "tpu" and settings.probe_size <= DEVICE_MAX_K:
+        # production TPU path: index built in HBM (whole genome, or the
+        # trim window with merge-join probe lookup), scan + compaction on
         # device, event chaining on host (device_engine module docstring)
-        se = _DeviceEngineAdapter(strand, settings, profile=prof)
+        se = _DeviceEngineAdapter(strand, settings, profile=prof,
+                                  trim=trim)
     else:
-        # trim windows keep the windowed-SA strategy (host build + the
-        # legacy device binary-search lookup for engine="tpu")
+        # wide probes (k > 20) keep the host strategies
         se = SearchEngine(strand, settings, trim, engine=engine,
                           index_cache=index_cache)
     prof["index_s"] = round(time.time() - t0, 3)

@@ -1,0 +1,194 @@
+"""Windowed (``--trim``) TPU engine vs the host trim path: full-pipeline
+output equality on the CPU backend (reference trim semantics,
+asgart.rs:142-148: SA over the window only, whole genome probed)."""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+from asgart_tpu.pipeline import search_duplications
+from asgart_tpu.structs import RunSettings
+from tests.util import plant_duplication, random_dna, revcomp, write_fasta
+
+
+def run_both(tmp_path, text_body: bytes, settings_kw: dict):
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", text_body)])
+    host = search_duplications([str(fa)], RunSettings(**settings_kw),
+                               engine="host")
+    tpu = search_duplications([str(fa)], RunSettings(**settings_kw),
+                              engine="tpu")
+    return host, tpu
+
+
+def assert_results_equal(host, tpu):
+    h = [[vars(sd) for sd in fam] for fam in host.families]
+    t = [[vars(sd) for sd in fam] for fam in tpu.families]
+    assert json.dumps(t, sort_keys=True) == json.dumps(h, sort_keys=True)
+
+
+def test_window_engine_direct(tmp_path):
+    """Copies into / out of / across the window boundary; only pairs
+    whose right arm lies in the window are found (trim semantics)."""
+    rng = np.random.default_rng(10)
+    g = bytearray(random_dna(rng, 40000, b"ACGT"))
+    g[12000:14000] = bytes(g[2000:4000])     # right arm inside window
+    g[30000:32000] = bytes(g[5000:7000])     # right arm outside window
+    g[19000:21000] = bytes(g[8000:10000])    # right arm straddles edge
+    host, tpu = run_both(tmp_path, bytes(g),
+                         dict(trim=(10000, 20000),
+                              min_duplication_length=800))
+    assert_results_equal(host, tpu)
+    assert host.families, "expected in-window duplications"
+
+
+def test_window_engine_rc(tmp_path):
+    rng = np.random.default_rng(11)
+    g = bytearray(random_dna(rng, 30000, b"ACGT"))
+    g[15000:17000] = revcomp(bytes(g[3000:5000]))
+    host, tpu = run_both(
+        tmp_path, bytes(g),
+        dict(trim=(12000, 26000), reverse=True, complement=True,
+             min_duplication_length=800))
+    assert_results_equal(host, tpu)
+    assert host.families
+
+
+def test_window_engine_multi_chunk(tmp_path):
+    """N-run chunk splits with a trim window: probes stay chunk-local,
+    the window index serves every chunk."""
+    rng = np.random.default_rng(12)
+    g = bytearray(random_dna(rng, 40000, b"ACGT"))
+    g[6000:7500] = bytes(g[1000:2500])
+    g[16000:22000] = b"N" * 6000
+    g[30000:31500] = bytes(g[25000:26500])
+    host, tpu = run_both(tmp_path, bytes(g),
+                         dict(trim=(0, 35000),
+                              min_duplication_length=700))
+    assert_results_equal(host, tpu)
+    assert sum(len(f) for f in host.families) >= 2
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_window_engine_fuzz(tmp_path, trial):
+    rng = np.random.default_rng(200 + trial)
+    k = int(rng.choice([10, 14, 20]))
+    reverse = bool(rng.integers(0, 2))
+    n = int(rng.integers(9000, 18000))
+    ws = int(rng.integers(0, n // 3))
+    we = int(rng.integers(ws + 2000, n))
+    kw = dict(
+        probe_size=k,
+        max_gap_size=int(rng.integers(k + 5, 120)),
+        min_duplication_length=int(rng.integers(150, 500)),
+        max_cardinality=int(rng.integers(10, 120)),
+        reverse=reverse, complement=reverse,
+        trim=(ws, we))
+    g = bytearray(random_dna(rng, n, b"ACGT" if trial % 2 else b"ACG"))
+    for _ in range(int(rng.integers(1, 4))):
+        L = int(rng.integers(300, 900))
+        src = int(rng.integers(0, n // 2 - L))
+        dst = int(rng.integers(n // 2, n - L))
+        seg = bytes(g[src:src + L])
+        if reverse:
+            seg = revcomp(seg)
+        g[dst:dst + L] = seg
+    host, tpu = run_both(tmp_path, bytes(g), kw)
+    assert_results_equal(host, tpu)
+
+
+def test_window_engine_repeat_heavy(tmp_path):
+    """Cardinality skips must agree when many matches land in the
+    window."""
+    rng = np.random.default_rng(13)
+    n = 24000
+    g = bytearray(random_dna(rng, n, b"ACGT"))
+    alu = random_dna(rng, 250, b"ACGT")
+    for i in range(30):
+        p = 200 + i * 700
+        g[p:p + 250] = alu
+    g[n - 2500:n - 500] = bytes(g[400:2400])
+    host, tpu = run_both(
+        tmp_path, bytes(g),
+        dict(trim=(0, 22000), max_cardinality=15,
+             min_duplication_length=500))
+    assert_results_equal(host, tpu)
+
+
+def test_window_engine_tiny_window(tmp_path):
+    """A window smaller than min_duplication_length still runs (and
+    finds nothing or short right arms, identically to the host)."""
+    rng = np.random.default_rng(14)
+    text = plant_duplication(rng, 16000, 1500, 2000, 9000)
+    host, tpu = run_both(tmp_path, text,
+                         dict(trim=(100, 700)))
+    assert_results_equal(host, tpu)
+
+
+def test_shards_tpu_engine_byte_equal(tmp_path):
+    """--shards with engine=tpu: byte-equal JSON vs engine=host."""
+    import io
+
+    from asgart_tpu.exporters import JSONExporter
+
+    rng = np.random.default_rng(15)
+    g = bytearray(random_dna(rng, 36000, b"ACGT"))
+    g[20000:22500] = bytes(g[2000:4500])     # straddles the 18000 line
+    g[30000:31500] = bytes(g[8000:9500])
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", bytes(g))])
+    settings = RunSettings(min_duplication_length=800)
+    host = search_duplications([str(fa)], settings, engine="host",
+                               shards=2)
+    tpu = search_duplications(
+        [str(fa)], dataclasses.replace(settings), engine="tpu", shards=2)
+    bh, bt = io.StringIO(), io.StringIO()
+    JSONExporter().save(host, bh)
+    JSONExporter().save(tpu, bt)
+    assert bt.getvalue() == bh.getvalue()
+    assert host.families
+
+
+def test_window_index_matches_host_index():
+    """DeviceWindowIndex suffix order + by-value ranges vs the host
+    GenomeIndex on a fuzzed repeat-dense genome."""
+    import jax.numpy as jnp
+
+    from asgart_tpu.device_engine import _bucket, _window_ranges
+    from asgart_tpu.device_index import DeviceWindowIndex
+    from asgart_tpu.index import CODE, GenomeIndex
+    from asgart_tpu.pipeline import (_pack_probe_kmers, probe_positions,
+                                     transform_needle)
+
+    rng = np.random.default_rng(16)
+    n, k = 6000, 12
+    g = bytearray(random_dna(rng, n, b"ACG"))
+    g[3000:3800] = bytes(g[500:1300])
+    data = np.concatenate([np.frombuffer(bytes(g), np.uint8),
+                           np.frombuffer(b"$", np.uint8)])
+    for (ws, we) in [(0, n), (1000, 4000), (2500, 2600)]:
+        gidx = GenomeIndex.build(data, k, trim=(ws, we))
+        widx = DeviceWindowIndex.build(data, k, trim=(ws, we))
+        np.testing.assert_array_equal(
+            np.asarray(widx.sa[:widx.W]), gidx.sa)
+
+        needle = transform_needle(data[:-1], False, False)
+        is_ = probe_positions(needle, k)
+        codes = np.zeros(len(needle) + k, dtype=np.uint8)
+        codes[:len(needle)] = CODE[needle]
+        pk = _pack_probe_kmers(codes, is_, k)
+        lo_h, hi_h = gidx.lookup(pk)
+
+        b_pad = _bucket(len(is_), lo=1 << 8)
+        lo_d, hi_d, mask, total = _window_ranges(
+            widx.key_hi, widx.key_lo, widx.run_lo, widx.codes,
+            jnp.int32(0), jnp.int32(len(needle)),
+            jnp.int32(widx.first_len), jnp.int32(0),
+            k=k, reverse=False, complement=False, b_pad=b_pad)
+        lo_d = np.asarray(lo_d)[:len(is_)]
+        hi_d = np.asarray(hi_d)[:len(is_)]
+        np.testing.assert_array_equal(lo_d, lo_h)
+        np.testing.assert_array_equal(hi_d, hi_h)
+        assert int(float(total)) == int(np.sum(hi_h - lo_h))
