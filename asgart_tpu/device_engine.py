@@ -702,3 +702,208 @@ class DeviceWindowEngine(DeviceEngine):
         out = [self._collect_chunk(st) for st in states]
         self._stage1.clear()
         return out
+
+
+def _mesh_window_ranges(mesh, k: int, reverse: bool, complement: bool,
+                        b_local: int):
+    """Stage-1 SPMD over the 2-D (windows x probes) mesh: every cell
+    computes merge-join equal ranges of its probe slice against its
+    window's keys. Window arrays arrive sharded over the "windows" axis
+    (each device holds 1/S of the whole-genome index — the ICI-sharded
+    index layout); genome codes are replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    def stepf(key_hi, key_lo, run_lo, codes, chunk_start, chunk_len,
+              first_len):
+        p = jax.lax.axis_index("probes").astype(I32)
+        j0 = p * b_local
+        lo, hi, mask, total = _window_ranges(
+            key_hi[0], key_lo[0], run_lo[0], codes,
+            chunk_start, chunk_len, first_len, j0,
+            k=k, reverse=reverse, complement=complement, b_pad=b_local)
+        return (lo[None, None], hi[None, None], mask[None, None],
+                total[None, None])
+
+    mapped = jax.shard_map(
+        stepf, mesh=mesh,
+        in_specs=(P("windows"), P("windows"), P("windows"),
+                  P(), P(), P(), P()),
+        out_specs=(P("windows", "probes"),) * 4,
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+def _mesh_window_core(mesh, k: int, reverse: bool, b_local: int,
+                      cap: int, ev_cap: int):
+    """Stage-2 SPMD: the shared scan tail per (window, probe-slice)
+    cell, consuming the stage-1 ranges (still device-resident and
+    sharded) and each window's suffix order."""
+    from jax.sharding import PartitionSpec as P
+
+    def stepf(lo, hi, mask, sa, chunk_start, chunk_len, max_cardinality):
+        p = jax.lax.axis_index("probes").astype(I32)
+        j0 = p * b_local
+        ev_pack, m_flat, scalars = _scan_core(
+            lo[0, 0], hi[0, 0], mask[0, 0], sa[0],
+            chunk_start, chunk_len, jnp.int32((1 << 31) - 1),
+            max_cardinality, j0, k=k, reverse=reverse, b_pad=b_local,
+            cap=cap, ev_cap=ev_cap)
+        return ev_pack[None, None], m_flat[None, None], scalars[None, None]
+
+    mapped = jax.shard_map(
+        stepf, mesh=mesh,
+        in_specs=(P("windows", "probes"), P("windows", "probes"),
+                  P("windows", "probes"), P("windows"), P(), P(), P()),
+        out_specs=(P("windows", "probes"),) * 3,
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+class MeshWindowEngine:
+    """Composed two-axis SPMD engine: the genome index lives SHARDED
+    across the mesh — window w's sorted keys + suffix order occupy only
+    the devices of mesh row w (no device holds more than 1/S of the
+    index) — while each row's devices split the probe stream.
+
+    This subsumes the reference's manual scale-out (`--trim` windows +
+    `asgart-slice` merge, asgart.rs:142-148 + structs.rs:114-141) as a
+    single-dispatch mesh program: output is byte-equal to the sequential
+    trim+merge workflow. Events merge per window with the exact aging
+    carry (probe axis), and windows are independent runs (families never
+    span windows, per reference trim semantics).
+    """
+
+    def __init__(self, strand, settings, windows, mesh,
+                 profile: dict | None = None):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .device_index import CODE as DCODE, build_window_arrays, \
+            _build_text_codes
+
+        self.strand = strand
+        self.settings = settings
+        self.windows = [(int(a), int(b)) for a, b in windows]
+        self.mesh = mesh
+        S = mesh.shape["windows"]
+        if S != len(self.windows):
+            raise ValueError("mesh windows axis != window count")
+        t0 = time.time()
+        k = settings.probe_size
+        n1 = int(len(strand.data))
+        n = 2 * n1 - 1 if (settings.reverse or settings.complement) else n1
+        if n >= (1 << 31):
+            raise ValueError("genome too large for int32 probe addressing")
+        self.first_len = n1
+
+        codes1 = jax.device_put(DCODE[strand.data])
+        rep = NamedSharding(mesh, P())
+        self.codes = jax.device_put(
+            _build_text_codes(codes1, k, settings.reverse,
+                              settings.complement, n + table_pad_for(k)),
+            rep)
+        # per-window index arrays, padded to a common width with
+        # INT32_MAX sentinel keys (sort after every real key and can
+        # never equal a probe key: real keys use < 2^30 per plane)
+        parts = [build_window_arrays(codes1, k, ws, we)
+                 for (ws, we) in self.windows]
+        w_max = max(p[4] for p in parts)
+        big = jnp.int32(2**31 - 1)
+
+        def padded(i, fill):
+            return jnp.stack([
+                jnp.concatenate([p[i], jnp.full(w_max - p[4], fill,
+                                                jnp.int32)])
+                for p in parts])
+
+        sh = NamedSharding(mesh, P("windows"))
+        self.key_hi = jax.device_put(padded(0, big), sh)
+        self.key_lo = jax.device_put(padded(1, big), sh)
+        self.run_lo = jax.device_put(padded(2, jnp.int32(0)), sh)
+        self.sa = jax.device_put(padded(3, jnp.int32(0)), sh)
+        self.W = [p[4] for p in parts]
+        if profile is not None:
+            profile["device_index_s"] = round(time.time() - t0, 3)
+
+    def _geometry(self, chunk):
+        s = self.settings
+        start, length = chunk
+        k = s.probe_size
+        if length < s.min_duplication_length:
+            return None
+        step = k // 2
+        bound = length - k - step
+        if bound <= 0:
+            return None
+        n_probes = (bound + step - 1) // step
+        P_ax = self.mesh.shape["probes"]
+        b_pad = _bucket(n_probes)
+        if b_pad % P_ax:
+            b_pad += P_ax - (b_pad % P_ax)
+        return b_pad, b_pad // P_ax, P_ax
+
+    def run_windows(self, chunks):
+        """Scan every chunk for every window; returns
+        ``raw[w][c]`` = the native-format families of window w on
+        chunk c (needle-relative lefts, global rights)."""
+        s = self.settings
+        k = s.probe_size
+        S = self.mesh.shape["windows"]
+        out = [[[] for _ in chunks] for _ in range(S)]
+        states = []
+        for ci, chunk in enumerate(chunks):
+            geo = self._geometry(chunk)
+            if geo is None:
+                states.append(None)
+                continue
+            b_pad, b_local, P_ax = geo
+            ranges_fn = _mesh_window_ranges(
+                self.mesh, k, s.reverse, s.complement, b_local)
+            st1 = ranges_fn(self.key_hi, self.key_lo, self.run_lo,
+                            self.codes, jnp.int32(chunk[0]),
+                            jnp.int32(chunk[1]),
+                            jnp.int32(self.first_len))
+            states.append((chunk, b_local, P_ax, st1))
+
+        for ci, st in enumerate(states):
+            if st is None:
+                continue
+            chunk, b_local, P_ax, (lo, hi, mask, totals) = st
+            tot_host = np.asarray(totals)
+            cap = _bucket(max(int(tot_host.max()) + 1, 1 << 20))
+            ev_cap = _bucket(min(cap, b_local)) // 4
+            while True:
+                core_fn = _mesh_window_core(
+                    self.mesh, k, s.reverse, b_local, cap, ev_cap)
+                ev, mf, sc = core_fn(
+                    lo, hi, mask, self.sa, jnp.int32(chunk[0]),
+                    jnp.int32(chunk[1]), jnp.int32(s.max_cardinality))
+                sc_host = np.asarray(sc)  # [S, P, 4]
+                if not sc_host[:, :, 3].any():
+                    break
+                max_ev = int(sc_host[:, :, 0].max())
+                if max_ev > ev_cap:
+                    ev_cap = _bucket(max_ev + 1)
+                else:
+                    cap *= 2
+                log.debug("mesh scan retry: cap=%d ev_cap=%d", cap, ev_cap)
+
+            for w in range(S):
+                parts = []
+                for p in range(P_ax):
+                    n_events, total_kept, z_trail, _ = (
+                        int(v) for v in sc_host[w, p])
+                    parts.append((np.asarray(ev[w, p][:, :n_events]),
+                                  np.asarray(mf[w, p][:total_kept]),
+                                  z_trail))
+                evm, m_host, z_trail = _merge_shard_events(parts)
+                if evm is None:
+                    continue
+                m_offsets = np.zeros(evm.shape[1] + 1, dtype=np.int64)
+                np.cumsum(evm[2], out=m_offsets[1:])
+                out[w][ci] = native.chain_events(
+                    evm[0], evm[1], m_offsets, m_host, z_trail=z_trail,
+                    probe_size=k, step_size=k // 2,
+                    max_gap_size=s.max_gap_size,
+                    min_duplication_length=s.min_duplication_length,
+                    max_cardinality=s.max_cardinality)
+        return out

@@ -389,6 +389,31 @@ def _slot_run_lo(skhi: jax.Array, sklo: jax.Array):
     return jax.lax.cummax(jnp.where(neq, iota, 0))
 
 
+def build_window_arrays(codes1: jax.Array, k: int, ws: int, we: int,
+                        rounds_per_call: int = 2,
+                        tied_cap: int | None = None,
+                        lap=lambda *a: None):
+    """Index-side arrays for one trim window ``strand[ws:we] + '$'``:
+    (key_hi, key_lo, run_lo, sa_global, W) — sorted two-plane keys,
+    slot-indexed run starts, and the window suffix order with positions
+    already globalized. Shared by :class:`DeviceWindowIndex` and the
+    composed (windows x probes) mesh engine."""
+    w_text = we - ws
+    W = w_text + 1
+    win_codes = _window_codes(codes1, jnp.int32(ws), w_text, k)
+    key_hi, key_lo = _pack_planes_all(win_codes, k, W)
+    lap("pack", key_hi)
+    skhi, sklo, sa = _initial_sort(key_hi, key_lo)
+    rank, _, _, tied_slot = _groups_and_tables(skhi, sklo, sa)
+    run_lo = _slot_run_lo(skhi, sklo)
+    lap("sort+groups", sa, run_lo)
+    del key_hi, key_lo
+
+    sa = _resolve_ties(sa, rank, tied_slot, W, k, rounds_per_call,
+                       tied_cap, lap)
+    return skhi, sklo, run_lo, sa + jnp.int32(ws), W
+
+
 @dataclass
 class DeviceWindowIndex:
     """Device-resident *windowed* index for ``--trim`` runs (reference
@@ -474,21 +499,9 @@ class DeviceWindowIndex:
         # as the whole-genome engine; probes pack by strided slices)
         text_codes = _build_text_codes(
             codes1, k, reverse, complement, n + table_pad_for(k))
-        # index-side: window text + '$'
-        w_text = we - ws
-        W = w_text + 1
-        win_codes = _window_codes(codes1, jnp.int32(ws), w_text, k)
-        key_hi, key_lo = _pack_planes_all(win_codes, k, W)
-        lap("pack", key_hi)
-        skhi, sklo, sa = _initial_sort(key_hi, key_lo)
-        rank, _, _, tied_slot = _groups_and_tables(skhi, sklo, sa)
-        run_lo = _slot_run_lo(skhi, sklo)
-        lap("sort+groups", sa, run_lo)
-        del key_hi, key_lo
-
-        sa = _resolve_ties(sa, rank, tied_slot, W, k, rounds_per_call,
-                           tied_cap, lap)
-        sa = sa + jnp.int32(ws)  # globalize window positions
+        skhi, sklo, run_lo, sa, W = build_window_arrays(
+            codes1, k, ws, we, rounds_per_call=rounds_per_call,
+            tied_cap=tied_cap, lap=lap)
         return cls(key_hi=skhi, key_lo=sklo, run_lo=run_lo, sa=sa,
                    codes=text_codes, k=k, n=n, first_len=n1, W=W,
                    win_start=ws, win_end=we, reverse=reverse,

@@ -241,13 +241,51 @@ def _search_duplications_sharded(
 
     prof = profile if profile is not None else {}
     t0 = time.time()
-    _, _, strand = prepare_data(strands_files, settings.skip_masked, None)
+    _, to_process, strand = prepare_data(
+        strands_files, settings.skip_masked, None)
     total_len = int(len(strand.data)) - 1  # drop '$'
     per = (total_len + shards - 1) // shards
     windows = [(w * per, min(total_len, (w + 1) * per))
                for w in range(shards)]
     windows = [w for w in windows if w[0] < w[1]]
     prof["prepare_s"] = round(time.time() - t0, 3)
+
+    from .device_index import DEVICE_MAX_K
+
+    if engine == "tpu" and settings.probe_size <= DEVICE_MAX_K:
+        # composed (windows x probes) mesh: the index sharded across the
+        # devices' HBM, every window scanned in one SPMD dispatch per
+        # chunk — byte-equal to the sequential trim+merge workflow
+        import jax
+
+        n_dev = len(jax.devices())
+        if n_dev > 1 and n_dev >= len(windows) \
+                and n_dev % len(windows) == 0:
+            from jax.sharding import Mesh
+
+            from .device_engine import MeshWindowEngine
+
+            S = len(windows)
+            mesh = Mesh(np.array(jax.devices()).reshape(S, n_dev // S),
+                        ("windows", "probes"))
+            t0 = time.time()
+            eng = MeshWindowEngine(strand, settings, windows, mesh,
+                                   profile=prof)
+            raw_by_window = eng.run_windows(to_process)
+            prof["scan_s"] = round(time.time() - t0, 3)
+            merged = None
+            for raws in raw_by_window:
+                fams: list[list[ProtoSD]] = []
+                for chunk, raw in zip(to_process, raws):
+                    fams.extend(raw_families_to_protosds(
+                        raw, settings, chunk[0], chunk[1]))
+                r = _finalize_result(fams, strand, settings)
+                if merged is None:
+                    merged = r
+                else:
+                    merged.families.extend(r.families)
+            merged.settings = settings
+            return merged
 
     def run_window(w):
         import dataclasses
@@ -435,6 +473,20 @@ def search_duplications(
     prof["scan_s"] = round(time.time() - t0, 3)
 
     t0 = time.time()
+    result = _finalize_result(families, strand, settings)
+    prof["post_s"] = round(time.time() - t0, 3)
+    prof["total_s"] = round(time.time() - total, 3)
+
+    log.info("%s processed in %.2fs",
+             ", ".join(strands_files), time.time() - total)
+    return result
+
+
+def _finalize_result(families: list[list[ProtoSD]], strand: Strand,
+                     settings: RunSettings) -> RunResult:
+    """Post-processing Step chain + chromosome projection (the pipeline
+    tail, asgart.rs:81-112,776-821) — shared by the single-run path and
+    the per-window finalization of sharded runs."""
     strand_bytes = strand.data.tobytes()
     log.info("[2] Filtering uncertain duplications...")
     families = postprocess.filter_ns(families, strand_bytes)
@@ -447,11 +499,6 @@ def search_duplications(
         families = postprocess.compute_score(families, strand_bytes)
     log.info("[%d] Sorting...", 6 if settings.compute_score else 5)
     families = postprocess.sort_families(families)
-    prof["post_s"] = round(time.time() - t0, 3)
-    prof["total_s"] = round(time.time() - total, 3)
-
-    log.info("%s processed in %.2fs",
-             ", ".join(strands_files), time.time() - total)
 
     strand_result = StrandResult(
         name=strand.file_names,
