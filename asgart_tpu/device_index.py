@@ -150,26 +150,43 @@ def _extract_tied(tied_slot: jax.Array, cap: int):
     return sorted_keys[:cap], jnp.sum(tied_slot.astype(I32))
 
 
+@jax.jit
+def _slot_payload(sa: jax.Array, rank: jax.Array, slots: jax.Array,
+                  n_tied: jax.Array):
+    """One-time (position, rank) gather for a fresh tied-slot list; the
+    doubling rounds then carry both in slot space, saving two full-array
+    latency-bound gathers per round."""
+    cap = slots.shape[0]
+    live = jnp.arange(cap, dtype=I32) < n_tied
+    p = sa[jnp.where(live, slots, 0)]
+    prim = jnp.where(live, rank[p], INT32_MAX)
+    return jnp.where(live, p, 0), prim
+
+
 @functools.partial(jax.jit, static_argnames=("rounds",))
 def _doubling_rounds(sa: jax.Array, rank: jax.Array, slots: jax.Array,
+                     ps: jax.Array, prims: jax.Array,
                      n_tied: jax.Array, h0: jax.Array, rounds: int):
     """`rounds` Manber-Myers refinement rounds on the tied subset.
 
     Tied slots hold positions whose suffixes agree on their first h
     symbols; each round sorts every tied group by rank[p+h] and refines
     ranks. The slot list stays ascending, so the j-th sorted element
-    lands in the j-th tied slot of its group.
+    lands in the j-th tied slot of its group. The tied positions and
+    their current ranks ride along in slot space (``ps``/``prims``,
+    maintained by the round itself), so the only full-array gather per
+    round is rank[p+h]; sa/rank scatters remain for the benefit of other
+    groups' rank[p+h] reads and the final suffix order.
     """
     n = sa.shape[0]
     cap = slots.shape[0]
     jcap = jnp.arange(cap, dtype=I32)
 
     def one_round(carry, _):
-        sa, rank, slots, n_tied, h = carry
+        sa, rank, slots, ps, prims, n_tied, h = carry
         live = jcap < n_tied
-        slot = jnp.where(live, slots, 0)
-        p = sa[slot]
-        prim = jnp.where(live, rank[p], INT32_MAX)
+        p = jnp.where(live, ps, 0)
+        prim = jnp.where(live, prims, INT32_MAX)
         # p + h can overflow int32 near the 2^31 guard; n - h is always
         # in range (h is capped at ~n below), and the sum is only formed
         # when it provably fits
@@ -191,18 +208,27 @@ def _doubling_rounds(sa: jax.Array, rank: jax.Array, slots: jax.Array,
         nxt_same = jnp.concatenate([rs[1:] == rs[:-1], jnp.zeros(1, bool)])
         prv_same = jnp.concatenate([jnp.zeros(1, bool), rs[1:] == rs[:-1]])
         still = (nxt_same | prv_same) & (jcap < n_tied)
-        r = jnp.cumsum(still.astype(I32)) - 1
-        new_slots = jnp.full(cap, n, dtype=I32).at[
-            jnp.where(still, r, cap)].set(dest, mode="drop")
+        # compact the still-tied entries to the front with ONE stable
+        # partition sort (dest is ascending, so slot order is preserved);
+        # three cap-sized random scatters were ~10x slower here
         new_n = jnp.sum(still.astype(I32))
+        _, new_slots, new_ps, new_prims = jax.lax.sort(
+            ((~still).astype(jnp.int8), dest, p_sorted, rs),
+            num_keys=1, is_stable=True)
+        dead = jcap >= new_n
+        new_slots = jnp.where(dead, n, new_slots)
+        new_ps = jnp.where(dead, 0, new_ps)
+        new_prims = jnp.where(dead, INT32_MAX, new_prims)
         # h doubles but is capped near n (any two distinct suffixes
         # differ within n symbols), which also keeps it in int32
         h_next = jnp.minimum(h, jnp.int32((n - 1) // 2 + 1))
-        return (sa, rank, new_slots, new_n, h_next + h_next), None
+        return (sa, rank, new_slots, new_ps, new_prims, new_n,
+                h_next + h_next), None
 
-    (sa, rank, slots, n_tied, _), _ = jax.lax.scan(
-        one_round, (sa, rank, slots, n_tied, h0), None, length=rounds)
-    return sa, rank, slots, n_tied
+    (sa, rank, slots, ps, prims, n_tied, _), _ = jax.lax.scan(
+        one_round, (sa, rank, slots, ps, prims, n_tied, h0), None,
+        length=rounds)
+    return sa, rank, slots, ps, prims, n_tied
 
 
 @jax.jit
@@ -249,21 +275,28 @@ def _resolve_ties(sa, rank, tied_slot, n: int, k: int,
         lap(f"full round h={h//2} ({n_tied_host} tied)")
     # subset rounds, with the slot buffer sized to the live tied set
     # (scatter cost is per-lane whether live or dropped) and shrunk
-    # as ties resolve
+    # as ties resolve; positions/ranks ride along in slot space
     if n_tied_host > 0:
         cap = max(1024, _bucket_pow2(n_tied_host))
         slots, n_tied = _extract_tied(tied_slot, cap)
+        ps, prims = _slot_payload(sa, rank, slots, n_tied)
         while n_tied_host > 0 and h < 2 * n:
-            sa, rank, slots, n_tied = _doubling_rounds(
-                sa, rank, slots, n_tied, jnp.int32(min(h, n)),
-                rounds_per_call)
-            h = min(h << rounds_per_call, 2 * n)
+            # small tied sets are dispatch-latency-bound: batch more
+            # rounds per device call once the buffer is compact
+            rounds = rounds_per_call if cap > (1 << 20) else max(
+                rounds_per_call, 4)
+            sa, rank, slots, ps, prims, n_tied = _doubling_rounds(
+                sa, rank, slots, ps, prims, n_tied, jnp.int32(min(h, n)),
+                rounds)
+            h = min(h << rounds, 2 * n)
             n_tied_host = int(n_tied)
             lap(f"rounds to h={h} cap={cap} ({n_tied_host} tied)")
             new_cap = max(1024, _bucket_pow2(n_tied_host))
             if n_tied_host and new_cap <= cap // 2:
                 cap = new_cap
                 slots = slots[:cap]
+                ps = ps[:cap]
+                prims = prims[:cap]
     return sa
 
 
