@@ -110,11 +110,39 @@ def _initial_sort(key_hi: jax.Array, key_lo: jax.Array):
 
 
 @jax.jit
-def _groups_and_tables(skhi: jax.Array, sklo: jax.Array, sa: jax.Array):
+def _flagged_sort(key_hi: jax.Array, key_lo: jax.Array,
+                  direct_bound: jax.Array):
+    """Initial sort with the appended-half flag packed into the low
+    plane's spare bit (keys use 30 of 31 value bits): within every
+    k-mer group, first-half ("direct") positions sort before
+    appended-half ones, so a group's direct entries form a contiguous
+    prefix — the matchable window under the engine's
+    ``m < first_len - 1`` restriction."""
+    n = key_hi.shape[0]
+    iota = jnp.arange(n, dtype=I32)
+    flagged = (key_lo << 1) | (iota >= direct_bound).astype(I32)
+    skhi, sklo, sa = jax.lax.sort((key_hi, flagged, iota), num_keys=2)
+    return skhi, sklo, sa
+
+
+@functools.partial(jax.jit, static_argnames=("flagged",))
+def _groups_and_tables(skhi: jax.Array, sklo: jax.Array, sa: jax.Array,
+                       direct_bound: jax.Array, flagged: bool = False):
     """Equal-key run boundaries over the sorted keys.
 
     Returns (rank [n] pos→run-start slot, pos_lo [n], pos_hi [n],
     tied_slot [n] bool).
+
+    In ``flagged`` mode (doubled text, `sklo` carries the appended flag
+    in bit 0), the per-position window [pos_lo, pos_hi) spans only the
+    DIRECT entries of the position's k-mer group: pos_lo is the group
+    (true-key) run start, pos_hi the direct/appended split point. The
+    tied set is restricted to direct entries — appended-half suffix
+    order is never observable (matches are filtered to the first half),
+    and resolving direct ties never reads an appended rank: two tied
+    direct suffixes agree on h symbols only while h <= their distance
+    to the unique '$', so every rank[p+h] gather lands in the first
+    half.
 
     The position-indexed outputs are produced by ONE payload sort keyed
     on `sa` (an inverse permutation): full-size random scatters run at
@@ -123,19 +151,37 @@ def _groups_and_tables(skhi: jax.Array, sklo: jax.Array, sa: jax.Array):
     """
     n = skhi.shape[0]
     iota = jnp.arange(n, dtype=I32)
-    neq = jnp.concatenate([
+    neq_full = jnp.concatenate([
         jnp.ones(1, bool),
         (skhi[1:] != skhi[:-1]) | (sklo[1:] != sklo[:-1])])
-    run_lo = jax.lax.cummax(jnp.where(neq, iota, 0))
-    # run end: first boundary at or after i+1 (reverse min-scan)
-    nxt = jnp.concatenate([neq[1:], jnp.ones(1, bool)])
-    run_hi = jax.lax.cummin(jnp.where(nxt, iota + 1, n), reverse=True)
+    run_lo_full = jax.lax.cummax(jnp.where(neq_full, iota, 0))
+    nxt = jnp.concatenate([neq_full[1:], jnp.ones(1, bool)])
+    if flagged:
+        tk = sklo >> 1  # true (unflagged) low plane
+        neq_true = jnp.concatenate([
+            jnp.ones(1, bool),
+            (skhi[1:] != skhi[:-1]) | (tk[1:] != tk[:-1])])
+        run_lo = jax.lax.cummax(jnp.where(neq_true, iota, 0))
+        direct = sa < direct_bound
+        # every probe table read in doubled mode lands at an APPENDED
+        # position (_probe_x0 maps all transforms past first_len), whose
+        # window end is its own full-key run START (the direct/appended
+        # split); direct positions get (lo, lo) — empty, never probed.
+        # This also drops the reverse cummin run-end scan entirely.
+        run_hi = jnp.where(direct, run_lo, run_lo_full)
+        # tied (direct, full-key run len > 1): slot is not both a run
+        # start and a run end — elementwise, no scan needed
+        tied_slot = direct & ~(neq_full & nxt)
+    else:
+        run_lo = run_lo_full
+        # run end: first boundary at or after i+1 (reverse min-scan)
+        run_hi = jax.lax.cummin(jnp.where(nxt, iota + 1, n), reverse=True)
+        tied_slot = (run_hi - run_lo) > 1
     _, lo_by_pos, hi_by_pos = jax.lax.sort(
         (sa, run_lo, run_hi), num_keys=1)
     # NB: tables stay as two 1-D arrays — a [n, 2] device array tiles as
     # (8, 128) on TPU, padding the minor dim 2 up to 128 (64x memory)
     rank = lo_by_pos
-    tied_slot = (run_hi - run_lo) > 1
     return rank, lo_by_pos, hi_by_pos, tied_slot
 
 
@@ -232,36 +278,44 @@ def _doubling_rounds(sa: jax.Array, rank: jax.Array, slots: jax.Array,
 
 
 @jax.jit
-def _full_round(sa: jax.Array, rank: jax.Array, h: jax.Array):
+def _full_round(sa: jax.Array, rank: jax.Array, h: jax.Array,
+                direct_bound: jax.Array):
     """Fallback full-array doubling round for hyper-repetitive inputs
-    whose tied set exceeds the subset capacity."""
+    whose tied set exceeds the subset capacity. The appended-half flag
+    rides as a sort key after the group rank, preserving each group's
+    direct-entries-first layout; the tied set stays direct-only
+    (``direct_bound = n`` makes both a no-op for unflagged builds)."""
     n = sa.shape[0]
     p = sa
     prim = rank[p]
+    flagk = (p >= direct_bound).astype(I32)
     in_text = p < (n - h)
     ph = jnp.where(in_text, p, 0) + jnp.where(in_text, h, 0)
     sec = jnp.where(in_text, rank[jnp.clip(ph, 0, n - 1)], -1)
-    sp, ss, p_sorted = jax.lax.sort((prim, sec, p), num_keys=2)
+    sp, sf, ss, p_sorted = jax.lax.sort((prim, flagk, sec, p), num_keys=3)
     iota = jnp.arange(n, dtype=I32)
     nb = jnp.concatenate([
-        jnp.ones(1, bool), (sp[1:] != sp[:-1]) | (ss[1:] != ss[:-1])])
+        jnp.ones(1, bool),
+        (sp[1:] != sp[:-1]) | (sf[1:] != sf[:-1]) | (ss[1:] != ss[:-1])])
     rs = jax.lax.cummax(jnp.where(nb, iota, 0))
     _, rank = jax.lax.sort((p_sorted, rs), num_keys=1)  # inverse perm
     nxt_same = jnp.concatenate([rs[1:] == rs[:-1], jnp.zeros(1, bool)])
     prv_same = jnp.concatenate([jnp.zeros(1, bool), rs[1:] == rs[:-1]])
-    tied_slot = nxt_same | prv_same
+    tied_slot = (nxt_same | prv_same) & (p_sorted < direct_bound)
     return p_sorted, rank, tied_slot
 
 
 def _resolve_ties(sa, rank, tied_slot, n: int, k: int,
                   rounds_per_call: int, tied_cap: int | None,
-                  lap=lambda *a: None):
-    """Host-driven doubling loop until every suffix rank is distinct
-    (shared by the whole-genome and windowed builds): full-array rounds
-    while the tied set exceeds the subset capacity, then subset rounds
-    with a shrinking slot buffer."""
+                  lap=lambda *a: None, direct_bound: int | None = None):
+    """Host-driven doubling loop until every (direct) suffix rank is
+    distinct (shared by the whole-genome and windowed builds):
+    full-array rounds while the tied set exceeds the subset capacity,
+    then subset rounds with a shrinking slot buffer."""
     if tied_cap is None:
         tied_cap = max(1024, n // 8)
+    if direct_bound is None:
+        direct_bound = n
     n_tied_host = int(jnp.sum(tied_slot.astype(I32)))
     h = k
     lap(f"tied count ({n_tied_host})")
@@ -269,7 +323,7 @@ def _resolve_ties(sa, rank, tied_slot, n: int, k: int,
     # fits the subset capacity
     while n_tied_host > tied_cap and h < 2 * n:
         sa, rank, tied_slot = _full_round(
-            sa, rank, jnp.int32(min(h, n)))
+            sa, rank, jnp.int32(min(h, n)), jnp.int32(direct_bound))
         h = min(h * 2, 2 * n)
         n_tied_host = int(jnp.sum(tied_slot.astype(I32)))
         lap(f"full round h={h//2} ({n_tied_host} tied)")
@@ -282,9 +336,14 @@ def _resolve_ties(sa, rank, tied_slot, n: int, k: int,
         ps, prims = _slot_payload(sa, rank, slots, n_tied)
         while n_tied_host > 0 and h < 2 * n:
             # small tied sets are dispatch-latency-bound: batch more
-            # rounds per device call once the buffer is compact
-            rounds = rounds_per_call if cap > (1 << 20) else max(
-                rounds_per_call, 4)
+            # rounds per device call once the buffer is compact (each
+            # host sync is a relay round trip)
+            if cap <= (1 << 17):
+                rounds = max(rounds_per_call, 8)
+            elif cap <= (1 << 20):
+                rounds = max(rounds_per_call, 4)
+            else:
+                rounds = rounds_per_call
             sa, rank, slots, ps, prims, n_tied = _doubling_rounds(
                 sa, rank, slots, ps, prims, n_tied, jnp.int32(min(h, n)),
                 rounds)
@@ -373,10 +432,17 @@ class DeviceIndex:
         lap("text", text_codes)
         key_hi, key_lo = _pack_planes_all(text_codes, k, n)
         lap("pack", key_hi)
-        skhi, sklo, sa = _initial_sort(key_hi, key_lo)
+        doubled = n != n1
+        if doubled:
+            # appended-half flag in the low plane's spare bit: windows
+            # cover only matchable (first-half) entries and ties resolve
+            # only among them (see _groups_and_tables)
+            skhi, sklo, sa = _flagged_sort(key_hi, key_lo, jnp.int32(n1))
+        else:
+            skhi, sklo, sa = _initial_sort(key_hi, key_lo)
         lap("sort", sa)
         rank, pos_lo, pos_hi, tied_slot = _groups_and_tables(
-            skhi, sklo, sa)
+            skhi, sklo, sa, jnp.int32(n1), flagged=doubled)
         # pad so the engine's strided probe-slice reads never clamp
         # (padded lanes read zero ranges, discarded by the probe mask)
         pad = table_pad_for(k)
@@ -386,7 +452,7 @@ class DeviceIndex:
         del key_hi, key_lo, skhi, sklo
 
         sa = _resolve_ties(sa, rank, tied_slot, n, k, rounds_per_call,
-                           tied_cap, lap)
+                           tied_cap, lap, direct_bound=n1)
 
         return cls(sa=sa, pos_lo=pos_lo, pos_hi=pos_hi, codes=text_codes,
                    k=k, n=n, first_len=n1, reverse=reverse,
@@ -437,7 +503,8 @@ def build_window_arrays(codes1: jax.Array, k: int, ws: int, we: int,
     key_hi, key_lo = _pack_planes_all(win_codes, k, W)
     lap("pack", key_hi)
     skhi, sklo, sa = _initial_sort(key_hi, key_lo)
-    rank, _, _, tied_slot = _groups_and_tables(skhi, sklo, sa)
+    rank, _, _, tied_slot = _groups_and_tables(skhi, sklo, sa,
+                                               jnp.int32(W))
     run_lo = _slot_run_lo(skhi, sklo)
     lap("sort+groups", sa, run_lo)
     del key_hi, key_lo

@@ -15,6 +15,30 @@ def assert_index_equal(didx: DeviceIndex, pidx: PositionIndex):
     assert didx.first_len == pidx.first_len
 
 
+def assert_index_equal_direct(didx: DeviceIndex, pidx: PositionIndex):
+    """Doubled-text mode: the device window [lo, hi) spans only the
+    first-half ("direct") entries of the position's k-mer group — the
+    matchable set under the engine's ``m < first_len - 1`` filter. At
+    every appended position (the only positions probes read in doubled
+    mode, see _probe_x0) it must equal the host window filtered to
+    direct entries, element-wise in SA order; direct positions carry
+    empty windows by construction."""
+    sa_d, ranges_d = didx.to_host_arrays()
+    sa_h, ranges_h = pidx.sa, pidx.ranges
+    first = pidx.first_len
+    assert didx.first_len == first
+    for p in range(didx.n):
+        lo_d, hi_d = ranges_d[p]
+        if p < first:
+            assert lo_d == hi_d, f"direct position {p} window not empty"
+            continue
+        lo_h, hi_h = ranges_h[p]
+        wh = sa_h[lo_h:hi_h]
+        np.testing.assert_array_equal(
+            sa_d[lo_d:hi_d], wh[wh < first].astype(np.int32),
+            err_msg=f"direct window mismatch at position {p}")
+
+
 @pytest.mark.parametrize("seed,alpha", [(0, b"ACGT"), (1, b"ACG"),
                                         (2, b"ACGTN"), (3, b"AC")])
 def test_device_index_random(seed, alpha):
@@ -38,7 +62,25 @@ def test_device_index_doubled(reverse, complement):
                              complement=complement)
     pidx = PositionIndex.build(data, 14, reverse=reverse,
                                complement=complement)
-    assert_index_equal(didx, pidx)
+    assert_index_equal_direct(didx, pidx)
+
+
+def test_device_index_doubled_deep_ties():
+    """Identical copies in a doubled text: direct-only tie resolution
+    must still reproduce the host's direct-entry SA order through many
+    doubling rounds (and through the full-round fallback)."""
+    rng = np.random.default_rng(21)
+    g = bytearray(random_dna(rng, 6000, b"ACGT"))
+    g[2500:3700] = bytes(g[200:1400])      # identical direct copy
+    g[4500:5700] = revcomp(bytes(g[200:1400]))  # identical RC copy
+    data = np.frombuffer(bytes(g) + b"$", dtype=np.uint8)
+    pidx = PositionIndex.build(data, 12, reverse=True, complement=True)
+    didx = DeviceIndex.build(data, 12, reverse=True, complement=True)
+    assert_index_equal_direct(didx, pidx)
+    # tiny tied_cap forces the flagged full-round fallback path
+    didx2 = DeviceIndex.build(data, 12, reverse=True, complement=True,
+                              tied_cap=64)
+    assert_index_equal_direct(didx2, pidx)
 
 
 def test_device_index_long_identical_duplications():
