@@ -61,10 +61,19 @@ B_GRAN = 1 << 20
 
 
 def table_pad_for(k: int) -> int:
-    """Table padding so the strided probe-slice reads of `_scan_chunk`
-    never clamp for lanes holding real probes (bucket slack is at most
-    B_GRAN + shard-divisibility roundup)."""
-    return (B_GRAN + 1024) * (k // 2) + k
+    """Table padding so the probe-window reads of `_scan_chunk` /
+    `_window_ranges` never clamp for lanes holding real probes (bucket
+    slack is at most B_GRAN + shard-divisibility roundup; the window
+    reshape reads up to 3 extra step-rows past the last lane)."""
+    return (B_GRAN + 1024) * (k // 2) + 4 * (k // 2) + k
+
+
+def _stride0(tab, x0, b: int, step: int):
+    """``tab[x0 : x0 + b*step : step]`` via reshape + column read: a
+    direct stride-`step` slice lowers to a latency-bound gather on this
+    rig (measured 162 ms vs 42 ms for 6.55M lanes from a 256M table)."""
+    return jax.lax.dynamic_slice(
+        tab, (x0,), (b * step,)).reshape(b, step)[:, 0]
 
 
 def _probe_x0(chunk_start, chunk_len, first_len, k: int, reverse: bool,
@@ -91,10 +100,8 @@ def _raw_total(pos_lo_tab, pos_hi_tab, chunk_start, chunk_len,
     step = k // 2
     x0 = _probe_x0(chunk_start, chunk_len, first_len, k, reverse,
                    complement)
-    lo = jax.lax.dynamic_slice(pos_lo_tab, (x0,),
-                               (b_pad * step,))[::step]
-    hi = jax.lax.dynamic_slice(pos_hi_tab, (x0,),
-                               (b_pad * step,))[::step]
+    lo = _stride0(pos_lo_tab, x0, b_pad, step)
+    hi = _stride0(pos_hi_tab, x0, b_pad, step)
     j = jnp.arange(b_pad, dtype=I32)
     bound = chunk_len - k - step
     mask = (j * step) < bound
@@ -143,12 +150,12 @@ def _scan_chunk(pos_lo_tab, pos_hi_tab, codes, sa,
     # padded by table_pad_for(k) so the slice never clamps)
     x0 = _probe_x0(chunk_start, chunk_len, first_len, k, reverse,
                    complement) + j0 * step
-    lo = jax.lax.dynamic_slice(pos_lo_tab, (x0,), (b_pad * step,))[::step]
-    hi = jax.lax.dynamic_slice(pos_hi_tab, (x0,), (b_pad * step,))[::step]
+    lo = _stride0(pos_lo_tab, x0, b_pad, step)
+    hi = _stride0(pos_hi_tab, x0, b_pad, step)
     # N-probe skip (automaton.rs:100-102): the probe window at needle i
     # equals the text window at x by doubled-text construction, so the
-    # needle symbol check is the same strided slice over the codes
-    cx = jax.lax.dynamic_slice(codes, (x0,), (b_pad * step,))[::step]
+    # needle symbol check is the same strided read over the codes
+    cx = _stride0(codes, x0, b_pad, step)
     mask = mask & (cx != N_CODE)
     lo = jnp.where(mask, lo, 0)
     hi = jnp.where(mask, hi, 0)
@@ -169,21 +176,36 @@ def _core_from_ranges(lo, hi, mask, sa, chunk_start, chunk_len,
     step = k // 2
     jl = jnp.arange(b_pad, dtype=I32)
     counts_raw = hi - lo
-    ck = jnp.cumsum(counts_raw)
-    starts = ck - counts_raw
-    total_raw = ck[b_pad - 1] if b_pad > 0 else jnp.int32(0)
+    total_raw = jnp.sum(jnp.where(mask, counts_raw, 0))
 
-    # flat CSR expansion; probe id via boundary scatter + cumsum, the
-    # segment start position via cummax (no per-slot gathers needed)
+    # compact the matched probes first (one sort): the CSR boundary
+    # scatter below then runs from cap source lanes instead of b_pad —
+    # scatters are per-source-lane latency-bound on this rig, and with
+    # direct-only windows almost every probe lane is matchless
+    has = mask & (counts_raw > 0)
+    q_cap = min(cap, b_pad)  # matched probes can never exceed either
+    qkey = jnp.where(has, jl, b_pad)
+    sk_q, qlo, qc = jax.lax.sort((qkey, lo, counts_raw), num_keys=1)
+    sk_q, qlo, qc = sk_q[:q_cap], qlo[:q_cap], qc[:q_cap]
+    n_matched = jnp.sum(has.astype(I32))
+    qlive = jnp.arange(q_cap, dtype=I32) < n_matched
+    qc = jnp.where(qlive, qc, 0)
+    qck = jnp.cumsum(qc)
+    qstarts = qck - qc
+
+    # flat CSR expansion; compacted-probe id via boundary scatter +
+    # cumsum, the segment start position via cummax (no per-slot gathers)
     seg = jnp.zeros(cap + 1, I32).at[
-        jnp.minimum(starts, cap)].add(1, mode="drop")
-    probe_id = jnp.clip(jnp.cumsum(seg[:cap]) - 1, 0, b_pad - 1)
+        jnp.where(qlive, jnp.minimum(qstarts, cap), cap)].add(
+        1, mode="drop")
+    qid = jnp.clip(jnp.cumsum(seg[:cap]) - 1, 0, q_cap - 1)
     flat_pos = jnp.arange(cap, dtype=I32)
     seg_start = jax.lax.cummax(
         jnp.where(seg[:cap] > 0, flat_pos, 0))
     within = flat_pos - seg_start
     flat_valid = flat_pos < jnp.minimum(total_raw, cap)
-    m = sa[jnp.clip(lo[probe_id] + within, 0, sa.shape[0] - 1)]
+    m = sa[jnp.clip(qlo[qid] + within, 0, sa.shape[0] - 1)]
+    probe_id = jnp.clip(sk_q[qid], 0, b_pad - 1)  # original probe lane
 
     i_of = (j0 + probe_id + 1) * step  # = is_[probe_id], no gather
     if reverse:
@@ -269,17 +291,26 @@ def _window_ranges(key_hi, key_lo, run_lo, codes,
 
     x0 = _probe_x0(chunk_start, chunk_len, first_len, k, reverse,
                    complement) + j0 * step
-    cs = jax.lax.dynamic_slice(
-        codes, (x0,), (b_pad * step + k,)).astype(I32)
+    # probe symbol t of lane i = codes[x0 + i*step + t]: one reshape to
+    # [b_pad + 2, step] and per-t column reads (direct stride-`step`
+    # slices lower to latency-bound gathers, see _stride0; k <= 2*step)
+    cs2 = jax.lax.dynamic_slice(
+        codes, (x0,), ((b_pad + 3) * step,)).astype(I32).reshape(
+        b_pad + 3, step)
+
+    def sym(t):
+        return jax.lax.dynamic_slice_in_dim(
+            cs2, t // step, b_pad, axis=0)[:, t % step]
+
     n_hi = max(k - LO_SYMS, 0)
     phi = jnp.zeros(b_pad, dtype=I32)
     plo = jnp.zeros(b_pad, dtype=I32)
     for t in range(n_hi):
-        phi = (phi << 3) | cs[t::step][:b_pad]
+        phi = (phi << 3) | sym(t)
     for t in range(n_hi, k):
-        plo = (plo << 3) | cs[t::step][:b_pad]
+        plo = (plo << 3) | sym(t)
     # N-probe skip (automaton.rs:100-102): first needle symbol check
-    mask = mask & (cs[0::step][:b_pad] != N_CODE)
+    mask = mask & (sym(0) != N_CODE)
 
     # merge join: tag sorts probe entries after equal window keys, so a
     # probe's sorted position r has exactly hi window entries before it
