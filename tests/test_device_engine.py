@@ -78,6 +78,44 @@ def test_device_engine_repeat_heavy_cardinality(tmp_path):
     assert_results_equal(host, tpu)
 
 
+def test_device_engine_overflow_retry(tmp_path):
+    """Forced cap/ev_cap overflow: dispatching with tiny capacities must
+    retry-with-doubling in _collect_chunk and still match the host
+    engine exactly (drives the compacted-probe CSR path through its
+    overflow regime, which the 1M default floor never reaches at test
+    sizes)."""
+    from asgart_tpu.device_engine import DeviceEngine
+    from asgart_tpu.fasta import prepare_data
+    from asgart_tpu.pipeline import SearchEngine, raw_families_to_protosds
+
+    rng = np.random.default_rng(9)
+    n = 20000
+    g = bytearray(random_dna(rng, n, b"ACGT"))
+    g[12000:14500] = bytes(g[1000:3500])   # direct dup
+    alu = random_dna(rng, 200, b"ACGT")
+    for i in range(25):                    # repeat scatter -> many matches
+        g[4000 + i * 230: 4000 + i * 230 + 200] = alu
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", bytes(g))])
+    settings = RunSettings(min_duplication_length=500, max_cardinality=60)
+    _, chunks, strand = prepare_data([str(fa)], settings.skip_masked, None)
+
+    host_se = SearchEngine(strand, settings, None, engine="host")
+    host_fams = [f for c in chunks for f in host_se.run_chunk(c)]
+
+    dev = DeviceEngine(strand, settings, mesh=False)
+    tpu_fams = []
+    for c in chunks:
+        st = dev._dispatch_chunk(c, cap=256, ev_cap=8)
+        assert st is not None
+        tpu_fams.extend(raw_families_to_protosds(
+            dev._collect_chunk(st), settings, c[0], c[1]))
+    assert len(tpu_fams) >= 1
+    h = [[vars(sd) for sd in fam] for fam in host_fams]
+    t = [[vars(sd) for sd in fam] for fam in tpu_fams]
+    assert json.dumps(t, sort_keys=True) == json.dumps(h, sort_keys=True)
+
+
 @pytest.mark.parametrize("trial", range(5))
 def test_device_engine_fuzz(tmp_path, trial):
     rng = np.random.default_rng(100 + trial)
