@@ -160,19 +160,31 @@ def _scan_chunk(pos_lo_tab, pos_hi_tab, codes, sa,
     lo = jnp.where(mask, lo, 0)
     hi = jnp.where(mask, hi, 0)
     return _core_from_ranges(
-        lo, hi, mask, sa, chunk_start, chunk_len, max_match_pos,
+        lo, hi, mask, sa, jnp.int32(0), chunk_start,
+        chunk_start + chunk_len, max_match_pos,
         max_cardinality, j0, k=k, reverse=reverse, b_pad=b_pad,
         cap=cap, ev_cap=ev_cap)
 
 
-def _core_from_ranges(lo, hi, mask, sa, chunk_start, chunk_len,
+def _core_from_ranges(lo, hi, mask, sa, self_base, dir_base, rev_t0,
                       max_match_pos, max_cardinality, j0,
                       k: int, reverse: bool, b_pad: int, cap: int,
                       ev_cap: int):
     """Scan tail shared by the table engine and the windowed (trim)
     engine: CSR match expansion + exact filters + event compaction from
     already-masked per-probe equal ranges (`lo`/`hi` zeroed outside
-    `mask`)."""
+    `mask`).
+
+    The exact filters compare match position `m` (in the SA's coordinate
+    frame) against the needle-relative probe position `i`:
+    self-hit `m == i + self_base` (reference quirk: automaton.rs:106
+    compares the absolute SA value with the needle index, so
+    `self_base = 0` when `m` is absolute), direction
+    `m > i + dir_base` (direct) / `m >= rev_t0 - i` (reversed). Engines
+    whose `m` is window-relative (BigWindowEngine) pass host-clamped
+    rebased constants; clamping into [-(chunk_len+2), W+2]-style ranges
+    preserves every comparison outcome while keeping int32 arithmetic
+    overflow-free."""
     step = k // 2
     jl = jnp.arange(b_pad, dtype=I32)
     counts_raw = hi - lo
@@ -209,10 +221,11 @@ def _core_from_ranges(lo, hi, mask, sa, chunk_start, chunk_len,
 
     i_of = (j0 + probe_id + 1) * step  # = is_[probe_id], no gather
     if reverse:
-        dir_ok = m >= chunk_start + chunk_len - i_of
+        dir_ok = m >= rev_t0 - i_of
     else:
-        dir_ok = m > i_of + chunk_start
-    keep = flat_valid & (m != i_of) & (m < max_match_pos) & dir_ok
+        dir_ok = m > i_of + dir_base
+    keep = (flat_valid & (m != i_of + self_base)
+            & (m < max_match_pos) & dir_ok)
 
     kept = jnp.zeros(b_pad, I32).at[probe_id].add(
         keep.astype(I32), mode="drop")
@@ -255,7 +268,22 @@ def _scan_core(lo, hi, mask, sa, chunk_start, chunk_len, max_match_pos,
     """Standalone-jitted scan tail for engines that compute per-probe
     equal ranges in a separate stage (the windowed trim engine)."""
     return _core_from_ranges(
-        lo, hi, mask, sa, chunk_start, chunk_len, max_match_pos,
+        lo, hi, mask, sa, jnp.int32(0), chunk_start,
+        chunk_start + chunk_len, max_match_pos,
+        max_cardinality, j0, k=k, reverse=reverse, b_pad=b_pad,
+        cap=cap, ev_cap=ev_cap)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "reverse", "b_pad", "cap", "ev_cap"))
+def _scan_core_based(lo, hi, mask, sa, self_base, dir_base, rev_t0,
+                     max_match_pos, max_cardinality, j0,
+                     k: int, reverse: bool, b_pad: int, cap: int,
+                     ev_cap: int):
+    """Scan tail with explicit (host-clamped) rebased filter constants —
+    the window-relative big-genome engine's stage 2."""
+    return _core_from_ranges(
+        lo, hi, mask, sa, self_base, dir_base, rev_t0, max_match_pos,
         max_cardinality, j0, k=k, reverse=reverse, b_pad=b_pad,
         cap=cap, ev_cap=ev_cap)
 
@@ -280,6 +308,17 @@ def _window_ranges(key_hi, key_lo, run_lo, codes,
     lo/hi are zeroed outside the mask, total is the exact summed match
     window size (sizes the flat CSR capacity with no estimation slack).
     """
+    x0 = _probe_x0(chunk_start, chunk_len, first_len, k, reverse,
+                   complement) + j0 * (k // 2)
+    return _merge_join_core(key_hi, key_lo, run_lo, codes, x0, j0,
+                            chunk_len, k=k, b_pad=b_pad)
+
+
+def _merge_join_core(key_hi, key_lo, run_lo, codes, x0, j0, chunk_len,
+                     k: int, b_pad: int):
+    """Merge-join equal ranges shared by the resident windowed engine
+    (probe codes read from the doubled text at `x0`) and the big-genome
+    engine (probe codes read needle-locally)."""
     from .device_index import LO_SYMS
 
     step = k // 2
@@ -289,11 +328,9 @@ def _window_ranges(key_hi, key_lo, run_lo, codes,
     bound = chunk_len - k - step
     mask = (j * step) < bound  # pre-increment loop, automaton.rs:90-97
 
-    x0 = _probe_x0(chunk_start, chunk_len, first_len, k, reverse,
-                   complement) + j0 * step
     # probe symbol t of lane i = codes[x0 + i*step + t]: one reshape to
-    # [b_pad + 2, step] and per-t column reads (direct stride-`step`
-    # slices lower to latency-bound gathers, see _stride0; k <= 2*step)
+    # [b_pad + 3, step] and per-t column reads (direct stride-`step`
+    # slices lower to latency-bound gathers, see _stride0; k <= 2*step+1)
     cs2 = jax.lax.dynamic_slice(
         codes, (x0,), ((b_pad + 3) * step,)).astype(I32).reshape(
         b_pad + 3, step)
@@ -334,6 +371,20 @@ def _window_ranges(key_hi, key_lo, run_lo, codes,
     hi_lane = jnp.where(mask, hi_lane, 0)
     total = jnp.sum((hi_lane - lo_lane).astype(jnp.float32))
     return lo_lane, hi_lane, mask, total
+
+
+@functools.partial(jax.jit, static_argnames=("k", "b_pad"))
+def _needle_ranges(key_hi, key_lo, run_lo, needle_codes, chunk_len, j0,
+                   k: int, b_pad: int):
+    """Per-probe equal ranges against a window index from NEEDLE-LOCAL
+    codes (the big-genome path: the host transforms the chunk and
+    uploads its codes, so no doubled-text residency or int32 global
+    addressing is needed). Probe lane j reads
+    ``needle[(j+1)*step .. +k]``."""
+    step = k // 2
+    return _merge_join_core(key_hi, key_lo, run_lo, needle_codes,
+                            (j0 + 1) * step, j0, chunk_len,
+                            k=k, b_pad=b_pad)
 
 
 def _sharded_scan(mesh, k: int, reverse: bool, complement: bool,
@@ -400,6 +451,8 @@ class DeviceEngine:
     """On-device search over one prepared strand (the ``engine="tpu"``
     production path). With more than one visible device, the probe axis
     is sharded over a mesh (index replicated in every HBM)."""
+
+    _m_offset = 0  # added to downloaded match positions (int64, host)
 
     def __init__(self, strand, settings, profile: dict | None = None,
                  mesh=None, codes_device=None):
@@ -555,6 +608,9 @@ class DeviceEngine:
         ev, m_host, z_trail = _merge_shard_events(parts)
         if ev is None:
             return []
+        if self._m_offset:
+            # window-relative matches -> global (big-genome path)
+            m_host = m_host.astype(np.int64) + self._m_offset
         n_events = ev.shape[1]
         m_offsets = np.zeros(n_events + 1, dtype=np.int64)
         np.cumsum(ev[2], out=m_offsets[1:])
@@ -727,6 +783,163 @@ class DeviceWindowEngine(DeviceEngine):
     def run_chunks(self, chunks):
         # dispatch every stage-1 first (async), then size + dispatch the
         # cores, then collect: chunk i+1 executes while chunk i downloads
+        for c in chunks:
+            self._stage1_for(c)
+        states = [self._dispatch_chunk(c) for c in chunks]
+        out = [self._collect_chunk(st) for st in states]
+        self._stage1.clear()
+        return out
+
+
+class BigWindowEngine(DeviceEngine):
+    """Windowed (``--trim``) device engine for genomes whose DOUBLED
+    text exceeds int32 addressing (> ~1 Gbp genomes with -R/-C/-RC —
+    e.g. the whole human genome), where the resident
+    :class:`DeviceWindowEngine` cannot hold doubled-text codes on
+    device.
+
+    Differences from the resident engine, all coordinate-local so every
+    device array stays int32-indexable:
+
+      * the window index is built from host-sliced window codes and its
+        suffix order stays WINDOW-RELATIVE (rebased to global on the
+        host, int64, after event download — ``_m_offset``);
+      * each chunk's needle is transformed on the host
+        (``transform_needle``) and its codes uploaded per chunk (the
+        1 B/bp wire cost is paid per run either way — here it is spread
+        over chunks instead of one resident doubled-codes upload);
+      * the exact filters run with host-clamped rebased constants
+        (see `_core_from_ranges`): clamping into
+        ``[-(chunk_len+2), W+2]`` ranges preserves every comparison
+        outcome while keeping device arithmetic int32-safe, given
+        ``W <= 2^30`` (pick enough shards) and ``chunk_len < 2^30``
+        (every N-free run in real genomes is far below 1 Gbp).
+
+    Output is exactly the host trim engine's (reference semantics,
+    asgart.rs:142-148): pinned by tests/test_device_window.py's forced
+    big-mode equality tests at small scale.
+    """
+
+    def __init__(self, strand, settings, trim, profile: dict | None = None,
+                 codes_device=None):
+        from .index import CODE
+        from .device_index import (DEVICE_MAX_K, window_arrays_from_codes)
+
+        check = settings.probe_size
+        if check > DEVICE_MAX_K:
+            raise ValueError(
+                f"device index supports probe_size <= {DEVICE_MAX_K} "
+                "(two int32 key planes); use the host engine")
+        self.strand = strand
+        self.settings = settings
+        self.trim = (int(trim[0]), int(trim[1]))
+        ws, we = self.trim
+        n1 = int(len(strand.data))
+        if not (0 <= ws < we <= n1 - 1):
+            raise ValueError(f"bad trim window {self.trim}")
+        w_text = we - ws
+        W = w_text + 1
+        if W > (1 << 30):
+            raise ValueError(
+                "trim window exceeds 2^30 positions; use more shards")
+        t0 = time.time()
+        k = settings.probe_size
+        win_codes = np.zeros(W + k, dtype=np.uint8)
+        win_codes[:w_text] = CODE[strand.data[ws:we]]
+        self.key_hi, self.key_lo, self.run_lo, self.sa = \
+            window_arrays_from_codes(jax.device_put(win_codes), k, W)
+        self.W = W
+        self.first_len = n1
+        self._m_offset = ws
+        self.mesh = None
+        self._stage1: dict = {}
+        if profile is not None:
+            profile["device_index_s"] = round(time.time() - t0, 3)
+
+    def _cap_key(self, chunk):
+        s = self.settings
+        return ("big", self.first_len, self.trim, s.probe_size,
+                s.reverse, s.complement, s.max_cardinality, chunk)
+
+    def _stage1_for(self, chunk):
+        st1 = self._stage1.get(chunk)
+        if st1 is None:
+            geo = self._chunk_geometry(chunk)
+            if geo is None:
+                return None
+            b_pad, _, _ = geo
+            s = self.settings
+            start, length = chunk
+            if length >= (1 << 30):
+                raise ValueError(
+                    "chunk exceeds 2^30 positions (unbroken N-free run "
+                    "> 1 Gbp); big-window filters require chunk_len "
+                    "< 2^30")
+            from .index import CODE
+            from .pipeline import transform_needle
+
+            needle = transform_needle(
+                self.strand.data[start:start + length],
+                s.reverse, s.complement)
+            k = s.probe_size
+            step = k // 2
+            codes_host = np.zeros((b_pad + 4) * step + k, dtype=np.uint8)
+            codes_host[:length] = CODE[needle]
+            needle_codes = jax.device_put(codes_host)
+            st1 = _needle_ranges(
+                self.key_hi, self.key_lo, self.run_lo, needle_codes,
+                jnp.int32(length), jnp.int32(0),
+                k=k, b_pad=b_pad)
+            self._stage1[chunk] = st1
+        return st1
+
+    def _prepass_total(self, chunk):
+        st1 = self._stage1_for(chunk)
+        return None if st1 is None else st1[3]
+
+    def _dispatch_chunk(self, chunk, cap=None, ev_cap=None, total=None):
+        geo = self._chunk_geometry(chunk)
+        if geo is None:
+            return None
+        b_pad, b_local, _ = geo
+        s = self.settings
+        st1 = self._stage1_for(chunk)
+        lo, hi, mask, tot = st1
+        start, length = chunk
+        t0 = time.time()
+        if cap is None:
+            cached = _CAP_CACHE.get(self._cap_key(chunk))
+            if cached is not None:
+                cap, ev_cap = cached
+            else:
+                total_raw = int(float(tot if total is None else total))
+                t0 = self._lap(t0, f"ranges+total ({total_raw})")
+                cap = _bucket(max(total_raw + 1, 1 << 20))
+        if ev_cap is None:
+            ev_cap = _bucket(min(cap, b_local)) // 4
+        # host-clamped rebased filter constants (outcome-preserving)
+        ws = self.trim[0]
+        W = self.W
+        lo_c, hi_c = -(length + 2), W + 2
+        base_self = int(np.clip(-ws, lo_c, hi_c))
+        base_dir = int(np.clip(start - ws, lo_c, hi_c))
+        rev_t0 = int(np.clip(start + length - ws, -2, W + length + 2))
+        ev_pack, m_flat, scalars = _scan_core_based(
+            lo, hi, mask, self.sa,
+            jnp.int32(base_self), jnp.int32(base_dir), jnp.int32(rev_t0),
+            jnp.int32(W + 1), jnp.int32(s.max_cardinality),
+            jnp.int32(0), k=s.probe_size, reverse=s.reverse,
+            b_pad=b_pad, cap=cap, ev_cap=ev_cap)
+        self._lap(t0, f"big window scan dispatch (cap={cap})")
+        return {"chunk": chunk, "cap": cap, "ev_cap": ev_cap,
+                "shards": [(ev_pack, m_flat, scalars)]}
+
+    def run_chunk(self, chunk):
+        out = self._collect_chunk(self._dispatch_chunk(chunk))
+        self._stage1.pop(chunk, None)
+        return out
+
+    def run_chunks(self, chunks):
         for c in chunks:
             self._stage1_for(c)
         states = [self._dispatch_chunk(c) for c in chunks]

@@ -488,6 +488,28 @@ def _slot_run_lo(skhi: jax.Array, sklo: jax.Array):
     return jax.lax.cummax(jnp.where(neq, iota, 0))
 
 
+def window_arrays_from_codes(win_codes: jax.Array, k: int, W: int,
+                             rounds_per_call: int = 2,
+                             tied_cap: int | None = None,
+                             lap=lambda *a: None):
+    """Index-side arrays for one window text of length ``W`` (incl. its
+    '$') from already-device-resident window codes: (key_hi, key_lo,
+    run_lo, sa_rel) — sorted two-plane keys, slot-indexed run starts,
+    and the WINDOW-RELATIVE suffix order."""
+    key_hi, key_lo = _pack_planes_all(win_codes, k, W)
+    lap("pack", key_hi)
+    skhi, sklo, sa = _initial_sort(key_hi, key_lo)
+    rank, _, _, tied_slot = _groups_and_tables(skhi, sklo, sa,
+                                               jnp.int32(W))
+    run_lo = _slot_run_lo(skhi, sklo)
+    lap("sort+groups", sa, run_lo)
+    del key_hi, key_lo
+
+    sa = _resolve_ties(sa, rank, tied_slot, W, k, rounds_per_call,
+                       tied_cap, lap)
+    return skhi, sklo, run_lo, sa
+
+
 def build_window_arrays(codes1: jax.Array, k: int, ws: int, we: int,
                         rounds_per_call: int = 2,
                         tied_cap: int | None = None,
@@ -500,17 +522,9 @@ def build_window_arrays(codes1: jax.Array, k: int, ws: int, we: int,
     w_text = we - ws
     W = w_text + 1
     win_codes = _window_codes(codes1, jnp.int32(ws), w_text, k)
-    key_hi, key_lo = _pack_planes_all(win_codes, k, W)
-    lap("pack", key_hi)
-    skhi, sklo, sa = _initial_sort(key_hi, key_lo)
-    rank, _, _, tied_slot = _groups_and_tables(skhi, sklo, sa,
-                                               jnp.int32(W))
-    run_lo = _slot_run_lo(skhi, sklo)
-    lap("sort+groups", sa, run_lo)
-    del key_hi, key_lo
-
-    sa = _resolve_ties(sa, rank, tied_slot, W, k, rounds_per_call,
-                       tied_cap, lap)
+    skhi, sklo, run_lo, sa = window_arrays_from_codes(
+        win_codes, k, W, rounds_per_call=rounds_per_call,
+        tied_cap=tied_cap, lap=lap)
     return skhi, sklo, run_lo, sa + jnp.int32(ws), W
 
 

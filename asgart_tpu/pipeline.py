@@ -312,13 +312,26 @@ class _DeviceEngineAdapter:
 
     def __init__(self, strand, settings, profile=None,
                  codes_device=None, trim=None):
-        from .device_engine import DeviceEngine, DeviceWindowEngine
+        from .device_engine import (BigWindowEngine, DeviceEngine,
+                                    DeviceWindowEngine)
 
         self.settings = settings
         if trim is not None:
-            self.dev = DeviceWindowEngine(strand, settings, trim,
-                                          profile=profile,
-                                          codes_device=codes_device)
+            n1 = int(len(strand.data))
+            doubled = (2 * n1 - 1
+                       if (settings.reverse or settings.complement)
+                       else n1)
+            if (doubled >= (1 << 31)
+                    or os.environ.get("ASGART_BIG_WINDOW") == "1"):
+                # genome beyond int32 doubled-text addressing (e.g.
+                # whole human genome -RC): window-relative engine with
+                # per-chunk needle uploads
+                self.dev = BigWindowEngine(strand, settings, trim,
+                                           profile=profile)
+            else:
+                self.dev = DeviceWindowEngine(strand, settings, trim,
+                                              profile=profile,
+                                              codes_device=codes_device)
         else:
             self.dev = DeviceEngine(strand, settings, profile=profile,
                                     codes_device=codes_device)

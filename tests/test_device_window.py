@@ -192,3 +192,121 @@ def test_window_index_matches_host_index():
         np.testing.assert_array_equal(lo_d, lo_h)
         np.testing.assert_array_equal(hi_d, hi_h)
         assert int(float(total)) == int(np.sum(hi_h - lo_h))
+
+
+# ---- big-genome window mode (window-relative engine, forced at small
+# scale via ASGART_BIG_WINDOW; the real trigger is doubled text >= 2^31,
+# untestable in-image) --------------------------------------------------
+
+def test_big_window_engine_selected(tmp_path, monkeypatch):
+    monkeypatch.setenv("ASGART_BIG_WINDOW", "1")
+    from asgart_tpu.device_engine import BigWindowEngine
+    from asgart_tpu.fasta import prepare_data
+    from asgart_tpu.pipeline import _DeviceEngineAdapter
+
+    rng = np.random.default_rng(40)
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", random_dna(rng, 5000, b"ACGT"))])
+    _, _, strand = prepare_data([str(fa)], False, None)
+    ad = _DeviceEngineAdapter(strand, RunSettings(), trim=(0, 4000))
+    assert isinstance(ad.dev, BigWindowEngine)
+
+
+def test_big_window_direct(tmp_path, monkeypatch):
+    monkeypatch.setenv("ASGART_BIG_WINDOW", "1")
+    rng = np.random.default_rng(41)
+    g = bytearray(random_dna(rng, 40000, b"ACGT"))
+    g[12000:14000] = bytes(g[2000:4000])
+    g[30000:32000] = bytes(g[5000:7000])
+    g[19000:21000] = bytes(g[8000:10000])
+    host, tpu = run_both(tmp_path, bytes(g),
+                         dict(trim=(10000, 20000),
+                              min_duplication_length=800))
+    assert_results_equal(host, tpu)
+    assert host.families
+
+
+def test_big_window_rc(tmp_path, monkeypatch):
+    monkeypatch.setenv("ASGART_BIG_WINDOW", "1")
+    rng = np.random.default_rng(42)
+    g = bytearray(random_dna(rng, 30000, b"ACGT"))
+    g[15000:17000] = revcomp(bytes(g[3000:5000]))
+    host, tpu = run_both(
+        tmp_path, bytes(g),
+        dict(trim=(12000, 26000), reverse=True, complement=True,
+             min_duplication_length=800))
+    assert_results_equal(host, tpu)
+    assert host.families
+
+
+def test_big_window_multi_chunk_and_repeats(tmp_path, monkeypatch):
+    monkeypatch.setenv("ASGART_BIG_WINDOW", "1")
+    rng = np.random.default_rng(43)
+    g = bytearray(random_dna(rng, 40000, b"ACGT"))
+    alu = random_dna(rng, 250, b"ACGT")
+    for i in range(12):
+        g[10000 + i * 400: 10000 + i * 400 + 250] = alu
+    g[6000:7500] = bytes(g[1000:2500])
+    g[16000:22000] = b"N" * 6000
+    g[30000:31500] = bytes(g[25000:26500])
+    host, tpu = run_both(tmp_path, bytes(g),
+                         dict(trim=(0, 35000), max_cardinality=15,
+                              min_duplication_length=700))
+    assert_results_equal(host, tpu)
+    assert sum(len(f) for f in host.families) >= 2
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_big_window_fuzz(tmp_path, trial, monkeypatch):
+    monkeypatch.setenv("ASGART_BIG_WINDOW", "1")
+    rng = np.random.default_rng(900 + trial)
+    k = int(rng.choice([10, 14, 20]))
+    reverse = bool(rng.integers(0, 2))
+    n = int(rng.integers(9000, 18000))
+    ws = int(rng.integers(0, n // 3))
+    we = int(rng.integers(ws + 2000, n))
+    kw = dict(
+        probe_size=k,
+        max_gap_size=int(rng.integers(k + 5, 120)),
+        min_duplication_length=int(rng.integers(150, 500)),
+        max_cardinality=int(rng.integers(10, 120)),
+        reverse=reverse, complement=reverse,
+        trim=(ws, we))
+    g = bytearray(random_dna(rng, n, b"ACGT" if trial % 2 else b"ACG"))
+    for _ in range(int(rng.integers(1, 4))):
+        L = int(rng.integers(300, 900))
+        src = int(rng.integers(0, n // 2 - L))
+        dst = int(rng.integers(n // 2, n - L))
+        seg = bytes(g[src:src + L])
+        if reverse:
+            seg = revcomp(seg)
+        g[dst:dst + L] = seg
+    host, tpu = run_both(tmp_path, bytes(g), kw)
+    assert_results_equal(host, tpu)
+
+
+def test_big_window_shards_byte_equal(tmp_path, monkeypatch):
+    """--shards engine=tpu in forced big mode (the whole-human-genome
+    shape: every window a BigWindowEngine): byte-equal JSON vs host."""
+    import io
+
+    from asgart_tpu.exporters import JSONExporter
+
+    monkeypatch.setenv("ASGART_BIG_WINDOW", "1")
+    rng = np.random.default_rng(44)
+    g = bytearray(random_dna(rng, 36000, b"ACGT"))
+    g[20000:22500] = revcomp(bytes(g[2000:4500]))
+    g[30000:31500] = bytes(g[8000:9500])
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", bytes(g))])
+    settings = RunSettings(min_duplication_length=800, reverse=True,
+                           complement=True)
+    host = search_duplications([str(fa)], settings, engine="host",
+                               shards=3)
+    tpu = search_duplications(
+        [str(fa)], dataclasses.replace(settings), engine="tpu", shards=3)
+    bh, bt = io.StringIO(), io.StringIO()
+    JSONExporter().save(host, bh)
+    JSONExporter().save(tpu, bt)
+    assert bt.getvalue() == bh.getvalue()
+    assert host.families
