@@ -68,12 +68,27 @@ def table_pad_for(k: int) -> int:
     return (B_GRAN + 1024) * (k // 2) + 4 * (k // 2) + k
 
 
-def _stride0(tab, x0, b: int, step: int):
-    """``tab[x0 : x0 + b*step : step]`` via reshape + column read: a
-    direct stride-`step` slice lowers to a latency-bound gather on this
-    rig (measured 162 ms vs 42 ms for 6.55M lanes from a 256M table)."""
-    return jax.lax.dynamic_slice(
-        tab, (x0,), (b * step,)).reshape(b, step)[:, 0]
+def table_len_for(n: int, k: int) -> int:
+    """Total padded table length for an n-position text: at least
+    ``table_pad_for`` slack, rounded up so the decimated layout is
+    exact (divisible by step)."""
+    step = k // 2
+    base = n + table_pad_for(k)
+    return ((base + step - 1) // step) * step
+
+
+def _dec_read(tab, x0, b: int, step: int):
+    """``tab[x0 : x0 + b*step : step]`` against a DECIMATED table
+    (row r = every step-th entry, row stride C = L/step): one contiguous
+    ``dynamic_slice`` — no gather, no 12.8x-padded reshape. (History: a
+    direct strided slice lowered to a latency-bound gather, 162 ms for
+    6.55M lanes; the reshape-column trick got 42 ms but materialized the
+    [b, step] view T(8,128)-padded — 6.5 GB per table at 256 Mbp chunks,
+    the r2 OOM; the decimated layout is both fastest and flat.)"""
+    C = tab.shape[0] // step
+    r = x0 % step
+    q0 = x0 // step
+    return jax.lax.dynamic_slice(tab, (r * C + q0,), (b,))
 
 
 def _probe_x0(chunk_start, chunk_len, first_len, k: int, reverse: bool,
@@ -100,12 +115,13 @@ def _raw_total(pos_lo_tab, pos_hi_tab, chunk_start, chunk_len,
     step = k // 2
     x0 = _probe_x0(chunk_start, chunk_len, first_len, k, reverse,
                    complement)
-    lo = _stride0(pos_lo_tab, x0, b_pad, step)
-    hi = _stride0(pos_hi_tab, x0, b_pad, step)
+    lo_raw = _dec_read(pos_lo_tab, x0, b_pad, step)
+    hi = _dec_read(pos_hi_tab, x0, b_pad, step)
+    lo = lo_raw & jnp.int32(0x7FFFFFFF)  # strip the N-probe flag bit
     j = jnp.arange(b_pad, dtype=I32)
     bound = chunk_len - k - step
     mask = (j * step) < bound
-    # N-probe mask is not needed for an upper bound
+    # the N-probe mask (sign bit) is not needed for an upper bound
     total = jnp.sum(jnp.where(mask, hi - lo, 0).astype(jnp.float32))
     return total
 
@@ -127,16 +143,16 @@ def _raw_totals_batch(pos_lo_tab, pos_hi_tab, chunk_params,
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "reverse", "complement", "b_pad", "cap", "ev_cap"))
-def _scan_chunk(pos_lo_tab, pos_hi_tab, codes, sa,
+def _scan_chunk(pos_lo_tab, pos_hi_tab, sa,
                 chunk_start, chunk_len, first_len, max_match_pos,
                 max_cardinality, j0,
                 k: int, reverse: bool, complement: bool,
                 b_pad: int, cap: int, ev_cap: int):
     """Fused device scan for one probe slice [j0, j0 + b_pad):
-    probe stream -> table equal-ranges (strided slices) -> flat CSR
-    match gather -> exact filters -> per-probe cardinality -> event
-    compaction (sort-based: full-size drop-scatters are latency-bound
-    on this rig, a payload sort is ~3x cheaper).
+    probe stream -> table equal-ranges (contiguous decimated-row reads)
+    -> flat CSR match gather -> exact filters -> per-probe cardinality
+    -> event compaction (sort-based: full-size drop-scatters are
+    latency-bound on this rig, a payload sort is ~3x cheaper).
 
     Returns (ev_pack [3, ev_cap], m_flat [cap], scalars [4]).
     """
@@ -146,17 +162,19 @@ def _scan_chunk(pos_lo_tab, pos_hi_tab, codes, sa,
     bound = chunk_len - k - step
     mask = (j * step) < bound  # pre-increment loop, automaton.rs:90-97
 
-    # equal-ranges by strided slice (x affine increasing in j; tables are
-    # padded by table_pad_for(k) so the slice never clamps)
+    # equal-ranges: x is affine increasing in j for every transform, so
+    # the probes' table entries form ONE contiguous run of a decimated
+    # row (tables are padded via table_len_for so reads never clamp)
     x0 = _probe_x0(chunk_start, chunk_len, first_len, k, reverse,
                    complement) + j0 * step
-    lo = _stride0(pos_lo_tab, x0, b_pad, step)
-    hi = _stride0(pos_hi_tab, x0, b_pad, step)
-    # N-probe skip (automaton.rs:100-102): the probe window at needle i
-    # equals the text window at x by doubled-text construction, so the
-    # needle symbol check is the same strided read over the codes
-    cx = _stride0(codes, x0, b_pad, step)
-    mask = mask & (cx != N_CODE)
+    lo_raw = _dec_read(pos_lo_tab, x0, b_pad, step)
+    hi = _dec_read(pos_hi_tab, x0, b_pad, step)
+    # N-probe skip (automaton.rs:100-102): the probe's first needle
+    # symbol equals the text symbol at x by doubled-text construction;
+    # the build packs `codes[x] == N` into pos_lo's sign bit, so the
+    # check costs no extra read
+    mask = mask & (lo_raw >= 0)
+    lo = lo_raw & jnp.int32(0x7FFFFFFF)
     lo = jnp.where(mask, lo, 0)
     hi = jnp.where(mask, hi, 0)
     return _core_from_ranges(
@@ -314,11 +332,15 @@ def _window_ranges(key_hi, key_lo, run_lo, codes,
                             chunk_len, k=k, b_pad=b_pad)
 
 
-def _merge_join_core(key_hi, key_lo, run_lo, codes, x0, j0, chunk_len,
+def _merge_join_core(key_hi, key_lo, run_lo, codes_dec, x0, j0, chunk_len,
                      k: int, b_pad: int):
     """Merge-join equal ranges shared by the resident windowed engine
     (probe codes read from the doubled text at `x0`) and the big-genome
-    engine (probe codes read needle-locally)."""
+    engine (probe codes read needle-locally). ``codes_dec`` is in
+    DECIMATED layout (see `_dec_read`): probe symbol t of lane i lives
+    at text position (x0 + t) + i*step, so each of the k symbol reads is
+    one contiguous row slice — the former [b_pad + 3, step] reshape view
+    materialized T(8,128)-padded (12.8x, multi-GB at 128 Mbp chunks)."""
     from .device_index import LO_SYMS
 
     step = k // 2
@@ -328,16 +350,8 @@ def _merge_join_core(key_hi, key_lo, run_lo, codes, x0, j0, chunk_len,
     bound = chunk_len - k - step
     mask = (j * step) < bound  # pre-increment loop, automaton.rs:90-97
 
-    # probe symbol t of lane i = codes[x0 + i*step + t]: one reshape to
-    # [b_pad + 3, step] and per-t column reads (direct stride-`step`
-    # slices lower to latency-bound gathers, see _stride0; k <= 2*step+1)
-    cs2 = jax.lax.dynamic_slice(
-        codes, (x0,), ((b_pad + 3) * step,)).astype(I32).reshape(
-        b_pad + 3, step)
-
     def sym(t):
-        return jax.lax.dynamic_slice_in_dim(
-            cs2, t // step, b_pad, axis=0)[:, t % step]
+        return _dec_read(codes_dec, x0 + t, b_pad, step).astype(I32)
 
     n_hi = max(k - LO_SYMS, 0)
     phi = jnp.zeros(b_pad, dtype=I32)
@@ -349,14 +363,18 @@ def _merge_join_core(key_hi, key_lo, run_lo, codes, x0, j0, chunk_len,
     # N-probe skip (automaton.rs:100-102): first needle symbol check
     mask = mask & (sym(0) != N_CODE)
 
-    # merge join: tag sorts probe entries after equal window keys, so a
-    # probe's sorted position r has exactly hi window entries before it
+    # merge join: the probe/window tag rides in the id operand's low bit
+    # (3 sort operands, not 4 — the co-sort is the peak HBM user of the
+    # windowed path): probe entries sort after equal window keys, so a
+    # probe's sorted position has exactly hi window entries before it
     tot = W + b_pad
     ckhi = jnp.concatenate([key_hi, phi])
     cklo = jnp.concatenate([key_lo, plo])
-    tag = jnp.concatenate([jnp.zeros(W, I32), jnp.ones(b_pad, I32)])
-    ids = jnp.concatenate([jnp.zeros(W, I32), jl])
-    _, _, stag, sid = jax.lax.sort((ckhi, cklo, tag, ids), num_keys=3)
+    ids_tagged = jnp.concatenate(
+        [jnp.zeros(W, I32), (jl << 1) | jnp.int32(1)])
+    _, _, sidt = jax.lax.sort((ckhi, cklo, ids_tagged), num_keys=3)
+    stag = sidt & 1
+    sid = sidt >> 1
     hi_all = jnp.arange(tot, dtype=I32) + 1 - jnp.cumsum(stag)
     # back to probe-lane order (sort again: cheaper than a full-size
     # scatter on this rig)
@@ -399,12 +417,12 @@ def _sharded_scan(mesh, k: int, reverse: bool, complement: bool,
     """
     from jax.sharding import PartitionSpec as P
 
-    def stepf(pos_lo_tab, pos_hi_tab, codes, sa, chunk_start, chunk_len,
+    def stepf(pos_lo_tab, pos_hi_tab, sa, chunk_start, chunk_len,
               first_len, max_match_pos, max_cardinality):
         d = jax.lax.axis_index(axis).astype(I32)
         j0 = d * b_local
         ev_pack, m_flat, scalars = _scan_chunk(
-            pos_lo_tab, pos_hi_tab, codes, sa, chunk_start, chunk_len,
+            pos_lo_tab, pos_hi_tab, sa, chunk_start, chunk_len,
             first_len, max_match_pos, max_cardinality, j0,
             k=k, reverse=reverse, complement=complement,
             b_pad=b_local, cap=cap, ev_cap=ev_cap)
@@ -412,7 +430,7 @@ def _sharded_scan(mesh, k: int, reverse: bool, complement: bool,
 
     mapped = jax.shard_map(
         stepf, mesh=mesh,
-        in_specs=(P(),) * 9,
+        in_specs=(P(),) * 8,
         out_specs=(P(axis), P(axis), P(axis)),
         check_vma=False)
     return jax.jit(mapped)
@@ -475,7 +493,8 @@ class DeviceEngine:
             self.didx.sa = jax.device_put(self.didx.sa, rep)
             self.didx.pos_lo = jax.device_put(self.didx.pos_lo, rep)
             self.didx.pos_hi = jax.device_put(self.didx.pos_hi, rep)
-            self.didx.codes = jax.device_put(self.didx.codes, rep)
+            # codes are not read by the scan (the N flag rides in
+            # pos_lo's sign bit) — no replication needed
         if profile is not None:
             profile["device_index_s"] = round(time.time() - t0, 3)
 
@@ -538,7 +557,7 @@ class DeviceEngine:
 
         t0 = time.time()
         didx = self.didx
-        args = (didx.pos_lo, didx.pos_hi, didx.codes, didx.sa,
+        args = (didx.pos_lo, didx.pos_hi, didx.sa,
                 jnp.int32(start), jnp.int32(length),
                 jnp.int32(didx.first_len),
                 jnp.int32(didx.first_len - 1),
@@ -883,9 +902,13 @@ class BigWindowEngine(DeviceEngine):
                 s.reverse, s.complement)
             k = s.probe_size
             step = k // 2
-            codes_host = np.zeros((b_pad + 4) * step + k, dtype=np.uint8)
+            # host-side decimation (the merge join reads decimated rows)
+            C3 = b_pad + 7
+            codes_host = np.zeros(C3 * step, dtype=np.uint8)
             codes_host[:length] = CODE[needle]
-            needle_codes = jax.device_put(codes_host)
+            needle_codes = jax.device_put(
+                np.ascontiguousarray(
+                    codes_host.reshape(C3, step).T).reshape(-1))
             st1 = _needle_ranges(
                 self.key_hi, self.key_lo, self.run_lo, needle_codes,
                 jnp.int32(length), jnp.int32(0),
@@ -1022,7 +1045,7 @@ class MeshWindowEngine:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from .device_index import CODE as DCODE, build_window_arrays, \
-            _build_text_codes
+            _build_text_codes, _decimate_codes
 
         self.strand = strand
         self.settings = settings
@@ -1041,9 +1064,12 @@ class MeshWindowEngine:
 
         codes1 = jax.device_put(DCODE[strand.data])
         rep = NamedSharding(mesh, P())
+        L2 = table_len_for(n, k)
         self.codes = jax.device_put(
-            _build_text_codes(codes1, k, settings.reverse,
-                              settings.complement, n + table_pad_for(k)),
+            _decimate_codes(
+                _build_text_codes(codes1, k, settings.reverse,
+                                  settings.complement, L2 - k),
+                k // 2, L2),
             rep)
         # per-window index arrays, padded to a common width with
         # INT32_MAX sentinel keys (sort after every real key and can

@@ -51,10 +51,51 @@ LO_SYMS = 10  # symbols in the low plane (30 bits)
 # into the hi plane and silently merge distinct k-mer groups
 DEVICE_MAX_K = 20
 
+# Build high-water mark per (doubled-)text row, with the HBM-diet
+# donation/early-free structure: the flagged initial sort and the table
+# inversion are 3-operand full sorts (12 B in + 12 B out) and XLA's TPU
+# sort needs ~45% of in+out again as scratch (measured: 384M-row
+# 3-operand sorts run, 448M OOM a 15.75 GB HBM — scripts/sort_probe.py),
+# plus codes/padding — ~42 B/row end to end.
+BUILD_PEAK_BYTES_PER_ROW = 42
 
-@functools.partial(jax.jit, static_argnames=("pad",))
-def _pad_zeros(x: jax.Array, pad: int):
-    return jnp.concatenate([x, jnp.zeros(pad, x.dtype)])
+
+def hbm_budget_bytes() -> int:
+    """Per-device HBM the index build may plan for (``ASGART_HBM_BYTES``
+    overrides; default 15 GB = one v5e HBM minus runtime reserve)."""
+    import os
+
+    env = os.environ.get("ASGART_HBM_BYTES")
+    return int(float(env)) if env else 15_000_000_000
+
+
+def device_index_fits(n1: int, reverse: bool, complement: bool) -> bool:
+    """Whether a whole-genome :class:`DeviceIndex` build for a strand of
+    ``n1`` bytes (genome + '$') fits one HBM. int32 addressing is the
+    other hard cap (checked again, with an error, inside :meth:`build`).
+    """
+    n = 2 * n1 - 1 if (reverse or complement) else n1
+    return n < (1 << 31) and n * BUILD_PEAK_BYTES_PER_ROW \
+        <= hbm_budget_bytes()
+
+
+# Windowed (merge-join) strategy high-water mark per WINDOW row: the
+# resident index arrays (sorted keys + run_lo + sa, 16 B) + decimated
+# doubled codes (~2 B) + the 3-operand co-sort's in+out over W + b_pad
+# rows (24 B + 24 B) minus what the scheduler overlaps — measured safe
+# at 44 B/row.
+WINDOW_PEAK_BYTES_PER_ROW = 44
+
+
+def device_window_whole_fits(n1: int) -> bool:
+    """Whether the whole-genome-as-ONE-window merge-join strategy fits
+    one HBM: a W = n1 row window index (initial sort is n1 rows, not the
+    table engine's 2*n1 - 1) probed by the whole genome per chunk. The
+    2^30 window cap mirrors :class:`~asgart_tpu.device_engine
+    .BigWindowEngine`'s bound and keeps doubled probe addressing int32.
+    """
+    return n1 < (1 << 30) and n1 * WINDOW_PEAK_BYTES_PER_ROW \
+        <= hbm_budget_bytes()
 
 
 def _bucket_pow2(n: int) -> int:
@@ -101,7 +142,14 @@ def _pack_planes_all(codes_padded: jax.Array, k: int, n: int):
     return hi, lo
 
 
-@jax.jit
+# NB (HBM diet): the build-path jits donate their large dead inputs
+# (key planes into the sorts, sorted keys into the bounds pass, run
+# bounds into the inversions, sa/rank/slot buffers through the doubling
+# rounds). Donation both lets XLA alias same-shaped outputs onto them
+# and frees them at execution instead of at Python frame exit — the
+# difference between ~24 B/row and ~14 GB peaks at 512M rows (256 Mbp
+# -RC, i.e. human chr1/chr2 scale on one 16 GB v5e HBM).
+@functools.partial(jax.jit, donate_argnums=(0, 1))
 def _initial_sort(key_hi: jax.Array, key_lo: jax.Array):
     n = key_hi.shape[0]
     skhi, sklo, sa = jax.lax.sort(
@@ -109,7 +157,7 @@ def _initial_sort(key_hi: jax.Array, key_lo: jax.Array):
     return skhi, sklo, sa
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0, 1))
 def _flagged_sort(key_hi: jax.Array, key_lo: jax.Array,
                   direct_bound: jax.Array):
     """Initial sort with the appended-half flag packed into the low
@@ -125,29 +173,30 @@ def _flagged_sort(key_hi: jax.Array, key_lo: jax.Array,
     return skhi, sklo, sa
 
 
-@functools.partial(jax.jit, static_argnames=("flagged",))
-def _groups_and_tables(skhi: jax.Array, sklo: jax.Array, sa: jax.Array,
-                       direct_bound: jax.Array, flagged: bool = False):
+def _group_bounds_impl(skhi: jax.Array, sklo: jax.Array, sa: jax.Array,
+                       direct_bound: jax.Array, flagged: bool = False,
+                       flag_n_k: int = 0):
     """Equal-key run boundaries over the sorted keys.
 
-    Returns (rank [n] pos→run-start slot, pos_lo [n], pos_hi [n],
-    tied_slot [n] bool).
+    Returns slot-indexed (run_lo [n], run_hi [n], tied_slot [n] bool).
+
+    With ``flag_n_k = k > 0`` (the table-engine build), each slot whose
+    position STARTS with 'N' gets the sign bit set in run_lo: the first
+    symbol's 3-bit rank sits in the sorted keys' top bits, so the
+    engine's N-probe check (automaton.rs:100-102) is computed here
+    elementwise and carried into position space by the inversion sort —
+    no codes read anywhere on the scan path.
 
     In ``flagged`` mode (doubled text, `sklo` carries the appended flag
-    in bit 0), the per-position window [pos_lo, pos_hi) spans only the
-    DIRECT entries of the position's k-mer group: pos_lo is the group
-    (true-key) run start, pos_hi the direct/appended split point. The
+    in bit 0), the per-slot window [run_lo, run_hi) spans only the
+    DIRECT entries of the slot's k-mer group: run_lo is the group
+    (true-key) run start, run_hi the direct/appended split point. The
     tied set is restricted to direct entries — appended-half suffix
     order is never observable (matches are filtered to the first half),
     and resolving direct ties never reads an appended rank: two tied
     direct suffixes agree on h symbols only while h <= their distance
     to the unique '$', so every rank[p+h] gather lands in the first
     half.
-
-    The position-indexed outputs are produced by ONE payload sort keyed
-    on `sa` (an inverse permutation): full-size random scatters run at
-    ~25-50M elem/s on this rig (latency-bound HBM) while `lax.sort`
-    moves 128M rows in ~1s, so sorting beats scattering ~4x here.
     """
     n = skhi.shape[0]
     iota = jnp.arange(n, dtype=I32)
@@ -177,42 +226,136 @@ def _groups_and_tables(skhi: jax.Array, sklo: jax.Array, sa: jax.Array,
         # run end: first boundary at or after i+1 (reverse min-scan)
         run_hi = jax.lax.cummin(jnp.where(nxt, iota + 1, n), reverse=True)
         tied_slot = (run_hi - run_lo) > 1
-    _, lo_by_pos, hi_by_pos = jax.lax.sort(
-        (sa, run_lo, run_hi), num_keys=1)
-    # NB: tables stay as two 1-D arrays — a [n, 2] device array tiles as
-    # (8, 128) on TPU, padding the minor dim 2 up to 128 (64x memory)
-    rank = lo_by_pos
-    return rank, lo_by_pos, hi_by_pos, tied_slot
+    if flag_n_k:
+        k = flag_n_k
+        if k > LO_SYMS:
+            first_sym = (skhi >> (3 * (k - LO_SYMS - 1))) & 7
+        else:
+            true_lo = (sklo >> 1) if flagged else sklo
+            first_sym = (true_lo >> (3 * (k - 1))) & 7
+        run_lo = run_lo | jnp.where(first_sym == N_RANK, I32_SIGN, 0)
+    return run_lo, run_hi, tied_slot
+
+
+# build path: the sorted keys are dead after this pass — donate them
+_group_bounds = jax.jit(_group_bounds_impl,
+                        static_argnames=("flagged", "flag_n_k"),
+                        donate_argnums=(0, 1))
+# window path: skhi/sklo stay resident (merge-join lookups) — keep them
+_group_bounds_keep = jax.jit(_group_bounds_impl,
+                             static_argnames=("flagged", "flag_n_k"))
+
+
+N_RANK = 4  # 3-bit symbol rank of 'N' (CODE table)
+I32_SIGN = np.int32(-2**31)
+
+
+def _dec_of(p, step: int, C: int):
+    """The decimation permutation: plain position p → decimated index
+    (p % step)*C + p//step (a bijection on [0, step*C))."""
+    return (p % step) * C + p // step
+
+
+@functools.partial(jax.jit, static_argnames=("step", "L"))
+def _invert_tables_dec(sa: jax.Array, run_lo: jax.Array,
+                       run_hi: jax.Array, step: int, L: int):
+    # (run_lo/run_hi are [n] while every output is [L] — donation could
+    # not alias, so the caller's `del` frees them at the same point)
+    """Slot-indexed run bounds → DECIMATED position-indexed tables, by
+    ONE payload sort keyed on the decimation permutation of `sa`:
+    full-size random scatters run at ~25-50M elem/s on this rig
+    (latency-bound HBM) while `lax.sort` moves 128M rows in ~1s, and an
+    explicit [C, step] transpose materializes T(8,128)-padded (12.8x)
+    — keying the inversion sort by dec(sa) gets the decimated layout
+    for free. The tail rows [n, L) extend the permutation over the
+    padded domain so the sorted payloads land POSITIONALLY (zero pad
+    values, same semantics as the old zero padding).
+
+    Probe reads then are contiguous row slices (`device_engine
+    ._dec_read`), and the N-probe flag folded into run_lo's sign bit by
+    `_group_bounds_impl` rides along into position space.
+
+    NB: tables stay as 1-D arrays — a [n, 2] device array tiles as
+    (8, 128) on TPU, padding the minor dim 2 up to 128 (64x memory)."""
+    n = sa.shape[0]
+    C = L // step
+    tail = jnp.arange(n, L, dtype=I32)
+    dec = jnp.concatenate([_dec_of(sa, step, C), _dec_of(tail, step, C)])
+    zeros = jnp.zeros(L - n, I32)
+    lo_ext = jnp.concatenate([run_lo, zeros])
+    hi_ext = jnp.concatenate([run_hi, zeros])
+    _, pos_lo, pos_hi = jax.lax.sort((dec, lo_ext, hi_ext), num_keys=1)
+    return pos_lo, pos_hi
+
+
+@jax.jit
+def _rank_from_tables(pos_lo: jax.Array):
+    """The doubling loop's mutable rank seed: pos_lo stripped of the
+    N-flag sign bit (dec-indexed, like the tables — the doubling
+    machinery remaps its cap-sized rank gathers/scatters through
+    `_dec_of`)."""
+    return pos_lo & jnp.int32(0x7FFFFFFF)
+
+
+@functools.partial(jax.jit, static_argnames=("step", "L"))
+def _decimate_codes(codes: jax.Array, step: int, L: int):
+    """uint8 codes [>= L] → decimated layout [L], via a payload sort
+    keyed by the decimation permutation (5 B/row in+out — an explicit
+    transpose would materialize 12.8x padded, and both strided slices
+    and gathers are latency-bound here)."""
+    C = L // step
+    dec = _dec_of(jnp.arange(L, dtype=I32), step, C)
+    _, out = jax.lax.sort((dec, codes[:L]), num_keys=1)
+    return out
+
+
+@jax.jit
+def _invert_perm(sa: jax.Array, vals: jax.Array):
+    """Position-indexed view of slot-indexed `vals` (windowed builds,
+    where the slot arrays stay resident)."""
+    _, out = jax.lax.sort((sa, vals), num_keys=1)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
 def _extract_tied(tied_slot: jax.Array, cap: int):
     """Compact the tied slot indices (ascending) into [cap]; returns
     (slots [cap] padded with n, count). Sort-based for the same
-    scatter-vs-sort reason as `_groups_and_tables`."""
+    scatter-vs-sort reason as `_invert_lo`."""
     n = tied_slot.shape[0]
     key = jnp.where(tied_slot, jnp.arange(n, dtype=I32), n)
     (sorted_keys,) = jax.lax.sort((key,), num_keys=1)
     return sorted_keys[:cap], jnp.sum(tied_slot.astype(I32))
 
 
-@jax.jit
+def _rank_ix(p, rank: jax.Array, dec_step: int):
+    """Index into `rank` for plain position(s) p: identity for a
+    plain-indexed rank (windowed builds), the decimation permutation
+    when rank shares the tables' decimated layout (dec_step = step)."""
+    if not dec_step:
+        return p
+    return _dec_of(p, dec_step, rank.shape[0] // dec_step)
+
+
+@functools.partial(jax.jit, static_argnames=("dec_step",))
 def _slot_payload(sa: jax.Array, rank: jax.Array, slots: jax.Array,
-                  n_tied: jax.Array):
+                  n_tied: jax.Array, dec_step: int = 0):
     """One-time (position, rank) gather for a fresh tied-slot list; the
     doubling rounds then carry both in slot space, saving two full-array
     latency-bound gathers per round."""
     cap = slots.shape[0]
     live = jnp.arange(cap, dtype=I32) < n_tied
     p = sa[jnp.where(live, slots, 0)]
-    prim = jnp.where(live, rank[p], INT32_MAX)
+    prim = jnp.where(live, rank[_rank_ix(p, rank, dec_step)], INT32_MAX)
     return jnp.where(live, p, 0), prim
 
 
-@functools.partial(jax.jit, static_argnames=("rounds",))
+@functools.partial(jax.jit, static_argnames=("rounds", "dec_step"),
+                   donate_argnums=(0, 1, 2, 3, 4))
 def _doubling_rounds(sa: jax.Array, rank: jax.Array, slots: jax.Array,
                      ps: jax.Array, prims: jax.Array,
-                     n_tied: jax.Array, h0: jax.Array, rounds: int):
+                     n_tied: jax.Array, h0: jax.Array, rounds: int,
+                     dec_step: int = 0):
     """`rounds` Manber-Myers refinement rounds on the tied subset.
 
     Tied slots hold positions whose suffixes agree on their first h
@@ -238,7 +381,9 @@ def _doubling_rounds(sa: jax.Array, rank: jax.Array, slots: jax.Array,
         # when it provably fits
         in_text = p < (n - h)
         ph = jnp.where(in_text, p, 0) + jnp.where(in_text, h, 0)
-        sec = jnp.where(live & in_text, rank[jnp.clip(ph, 0, n - 1)], -1)
+        sec = jnp.where(live & in_text,
+                        rank[_rank_ix(jnp.clip(ph, 0, n - 1), rank,
+                                      dec_step)], -1)
         sp, ss, p_sorted = jax.lax.sort((prim, sec, p), num_keys=2)
         # scatter sorted positions back into the (ascending) slots
         dest = jnp.where(jcap < n_tied, slots, n)
@@ -248,8 +393,9 @@ def _doubling_rounds(sa: jax.Array, rank: jax.Array, slots: jax.Array,
             jnp.ones(1, bool),
             (sp[1:] != sp[:-1]) | (ss[1:] != ss[:-1])])
         rs = jax.lax.cummax(jnp.where(nb, dest, -1))
-        rank = rank.at[jnp.where(jcap < n_tied, p_sorted, n)].set(
-            rs, mode="drop")
+        rank = rank.at[jnp.where(
+            jcap < n_tied, _rank_ix(p_sorted, rank, dec_step),
+            rank.shape[0])].set(rs, mode="drop")
         # still tied: sub-run length > 1
         nxt_same = jnp.concatenate([rs[1:] == rs[:-1], jnp.zeros(1, bool)])
         prv_same = jnp.concatenate([jnp.zeros(1, bool), rs[1:] == rs[:-1]])
@@ -277,28 +423,42 @@ def _doubling_rounds(sa: jax.Array, rank: jax.Array, slots: jax.Array,
     return sa, rank, slots, ps, prims, n_tied
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("dec_step",),
+                   donate_argnums=(0, 1))
 def _full_round(sa: jax.Array, rank: jax.Array, h: jax.Array,
-                direct_bound: jax.Array):
+                direct_bound: jax.Array, dec_step: int = 0):
     """Fallback full-array doubling round for hyper-repetitive inputs
     whose tied set exceeds the subset capacity. The appended-half flag
     rides as a sort key after the group rank, preserving each group's
     direct-entries-first layout; the tied set stays direct-only
-    (``direct_bound = n`` makes both a no-op for unflagged builds)."""
+    (``direct_bound = n`` makes both a no-op for unflagged builds).
+    With a dec-indexed rank, the inverse-permutation sort is keyed by
+    the decimation permutation and extended over the tail rows so the
+    refined ranks land positionally."""
     n = sa.shape[0]
     p = sa
-    prim = rank[p]
+    prim = rank[_rank_ix(p, rank, dec_step)]
     flagk = (p >= direct_bound).astype(I32)
     in_text = p < (n - h)
     ph = jnp.where(in_text, p, 0) + jnp.where(in_text, h, 0)
-    sec = jnp.where(in_text, rank[jnp.clip(ph, 0, n - 1)], -1)
+    sec = jnp.where(in_text,
+                    rank[_rank_ix(jnp.clip(ph, 0, n - 1), rank,
+                                  dec_step)], -1)
     sp, sf, ss, p_sorted = jax.lax.sort((prim, flagk, sec, p), num_keys=3)
     iota = jnp.arange(n, dtype=I32)
     nb = jnp.concatenate([
         jnp.ones(1, bool),
         (sp[1:] != sp[:-1]) | (sf[1:] != sf[:-1]) | (ss[1:] != ss[:-1])])
     rs = jax.lax.cummax(jnp.where(nb, iota, 0))
-    _, rank = jax.lax.sort((p_sorted, rs), num_keys=1)  # inverse perm
+    if dec_step:  # inverse perm over the extended (padded) domain
+        L = rank.shape[0]
+        tail = jnp.arange(n, L, dtype=I32)
+        keys = jnp.concatenate([_rank_ix(p_sorted, rank, dec_step),
+                                _rank_ix(tail, rank, dec_step)])
+        vals = jnp.concatenate([rs, jnp.zeros(L - n, I32)])
+        _, rank = jax.lax.sort((keys, vals), num_keys=1)
+    else:
+        _, rank = jax.lax.sort((p_sorted, rs), num_keys=1)  # inverse perm
     nxt_same = jnp.concatenate([rs[1:] == rs[:-1], jnp.zeros(1, bool)])
     prv_same = jnp.concatenate([jnp.zeros(1, bool), rs[1:] == rs[:-1]])
     tied_slot = (nxt_same | prv_same) & (p_sorted < direct_bound)
@@ -307,11 +467,14 @@ def _full_round(sa: jax.Array, rank: jax.Array, h: jax.Array,
 
 def _resolve_ties(sa, rank, tied_slot, n: int, k: int,
                   rounds_per_call: int, tied_cap: int | None,
-                  lap=lambda *a: None, direct_bound: int | None = None):
+                  lap=lambda *a: None, direct_bound: int | None = None,
+                  dec_step: int = 0):
     """Host-driven doubling loop until every (direct) suffix rank is
     distinct (shared by the whole-genome and windowed builds):
     full-array rounds while the tied set exceeds the subset capacity,
-    then subset rounds with a shrinking slot buffer."""
+    then subset rounds with a shrinking slot buffer. ``dec_step``:
+    nonzero when `rank` shares the tables' decimated layout (the
+    whole-genome table build)."""
     if tied_cap is None:
         tied_cap = max(1024, n // 8)
     if direct_bound is None:
@@ -323,7 +486,8 @@ def _resolve_ties(sa, rank, tied_slot, n: int, k: int,
     # fits the subset capacity
     while n_tied_host > tied_cap and h < 2 * n:
         sa, rank, tied_slot = _full_round(
-            sa, rank, jnp.int32(min(h, n)), jnp.int32(direct_bound))
+            sa, rank, jnp.int32(min(h, n)), jnp.int32(direct_bound),
+            dec_step=dec_step)
         h = min(h * 2, 2 * n)
         n_tied_host = int(jnp.sum(tied_slot.astype(I32)))
         lap(f"full round h={h//2} ({n_tied_host} tied)")
@@ -333,7 +497,8 @@ def _resolve_ties(sa, rank, tied_slot, n: int, k: int,
     if n_tied_host > 0:
         cap = max(1024, _bucket_pow2(n_tied_host))
         slots, n_tied = _extract_tied(tied_slot, cap)
-        ps, prims = _slot_payload(sa, rank, slots, n_tied)
+        ps, prims = _slot_payload(sa, rank, slots, n_tied,
+                                  dec_step=dec_step)
         while n_tied_host > 0 and h < 2 * n:
             # small tied sets are dispatch-latency-bound: batch more
             # rounds per device call once the buffer is compact (each
@@ -346,7 +511,7 @@ def _resolve_ties(sa, rank, tied_slot, n: int, k: int,
                 rounds = rounds_per_call
             sa, rank, slots, ps, prims, n_tied = _doubling_rounds(
                 sa, rank, slots, ps, prims, n_tied, jnp.int32(min(h, n)),
-                rounds)
+                rounds, dec_step=dec_step)
             h = min(h << rounds, 2 * n)
             n_tied_host = int(n_tied)
             lap(f"rounds to h={h} cap={cap} ({n_tied_host} tied)")
@@ -425,10 +590,10 @@ class DeviceIndex:
             codes1 = jax.device_put(CODE[strand_data])  # the bulk upload
         lap("upload", codes1)
 
-        from .device_engine import table_pad_for
+        from .device_engine import table_len_for
 
-        text_codes = _build_text_codes(
-            codes1, k, reverse, complement, n + table_pad_for(k))
+        L = table_len_for(n, k)  # padded table length, step*SLABS-exact
+        text_codes = _build_text_codes(codes1, k, reverse, complement, L)
         lap("text", text_codes)
         key_hi, key_lo = _pack_planes_all(text_codes, k, n)
         lap("pack", key_hi)
@@ -436,23 +601,27 @@ class DeviceIndex:
         if doubled:
             # appended-half flag in the low plane's spare bit: windows
             # cover only matchable (first-half) entries and ties resolve
-            # only among them (see _groups_and_tables)
+            # only among them (see _group_bounds_impl)
             skhi, sklo, sa = _flagged_sort(key_hi, key_lo, jnp.int32(n1))
         else:
             skhi, sklo, sa = _initial_sort(key_hi, key_lo)
+        del key_hi, key_lo  # donated into the sort
         lap("sort", sa)
-        rank, pos_lo, pos_hi, tied_slot = _groups_and_tables(
-            skhi, sklo, sa, jnp.int32(n1), flagged=doubled)
-        # pad so the engine's strided probe-slice reads never clamp
-        # (padded lanes read zero ranges, discarded by the probe mask)
-        pad = table_pad_for(k)
-        pos_lo = _pad_zeros(pos_lo, pad)
-        pos_hi = _pad_zeros(pos_hi, pad)
-        lap("groups+tables", rank, pos_hi)
-        del key_hi, key_lo, skhi, sklo
+        run_lo, run_hi, tied_slot = _group_bounds(
+            skhi, sklo, sa, jnp.int32(n1), flagged=doubled, flag_n_k=k)
+        del skhi, sklo  # donated into the bounds pass
+        # decimated tables, padded so the engine's contiguous probe-row
+        # reads never clamp (padded lanes read zero ranges,
+        # probe-masked away), with the N-probe flag in pos_lo's sign bit
+        pos_lo, pos_hi = _invert_tables_dec(sa, run_lo, run_hi,
+                                            k // 2, L)
+        del run_lo, run_hi  # freed once the inversion consumes them
+        rank = _rank_from_tables(pos_lo)
+        lap("tables", rank, pos_hi)
 
         sa = _resolve_ties(sa, rank, tied_slot, n, k, rounds_per_call,
-                           tied_cap, lap, direct_bound=n1)
+                           tied_cap, lap, direct_bound=n1,
+                           dec_step=k // 2)
 
         return cls(sa=sa, pos_lo=pos_lo, pos_hi=pos_hi, codes=text_codes,
                    k=k, n=n, first_len=n1, reverse=reverse,
@@ -460,10 +629,16 @@ class DeviceIndex:
 
     def to_host_arrays(self) -> tuple[np.ndarray, np.ndarray]:
         """(sa, ranges[n,2]) as numpy — test/diagnostic use only (bulk
-        device->host downloads are slow on this rig)."""
-        return (np.asarray(self.sa),
-                np.stack([np.asarray(self.pos_lo[: self.n]),
-                          np.asarray(self.pos_hi[: self.n])], axis=1))
+        device->host downloads are slow on this rig). Un-decimates the
+        tables and strips the N-flag sign bit, so the result is directly
+        comparable to the host ``PositionIndex``."""
+        step = self.k // 2
+        lo_dec = np.asarray(self.pos_lo)
+        hi_dec = np.asarray(self.pos_hi)
+        C = lo_dec.shape[0] // step
+        lo = lo_dec.reshape(step, C).T.ravel()[: self.n] & 0x7FFFFFFF
+        hi = hi_dec.reshape(step, C).T.ravel()[: self.n]
+        return np.asarray(self.sa), np.stack([lo, hi], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("w_text", "k"))
@@ -474,18 +649,6 @@ def _window_codes(codes1: jax.Array, win_start, w_text: int, k: int):
     out = jnp.zeros(w_text + 1 + k, dtype=jnp.uint8)
     return out.at[:w_text].set(
         jax.lax.dynamic_slice(codes1, (win_start,), (w_text,)))
-
-
-@jax.jit
-def _slot_run_lo(skhi: jax.Array, sklo: jax.Array):
-    """Slot-indexed equal-key run starts over the sorted keys (the
-    lo-bound companion for merge-join lookups)."""
-    n = skhi.shape[0]
-    iota = jnp.arange(n, dtype=I32)
-    neq = jnp.concatenate([
-        jnp.ones(1, bool),
-        (skhi[1:] != skhi[:-1]) | (sklo[1:] != sklo[:-1])])
-    return jax.lax.cummax(jnp.where(neq, iota, 0))
 
 
 def window_arrays_from_codes(win_codes: jax.Array, k: int, W: int,
@@ -499,11 +662,14 @@ def window_arrays_from_codes(win_codes: jax.Array, k: int, W: int,
     key_hi, key_lo = _pack_planes_all(win_codes, k, W)
     lap("pack", key_hi)
     skhi, sklo, sa = _initial_sort(key_hi, key_lo)
-    rank, _, _, tied_slot = _groups_and_tables(skhi, sklo, sa,
-                                               jnp.int32(W))
-    run_lo = _slot_run_lo(skhi, sklo)
+    del key_hi, key_lo  # donated into the sort
+    # skhi/sklo stay resident (merge-join lookups read them), so the
+    # keep-variant; the unflagged run_lo doubles as the slot-indexed
+    # lo-bound table
+    run_lo, _, tied_slot = _group_bounds_keep(skhi, sklo, sa,
+                                              jnp.int32(W))
+    rank = _invert_perm(sa, run_lo)
     lap("sort+groups", sa, run_lo)
-    del key_hi, key_lo
 
     sa = _resolve_ties(sa, rank, tied_slot, W, k, rounds_per_call,
                        tied_cap, lap)
@@ -545,9 +711,9 @@ class DeviceWindowIndex:
         within equal-key runs);
       * ``run_lo`` [W]: slot-indexed equal-run starts (lo bound lookup);
       * ``sa`` [W]: suffix order, positions already global;
-      * ``codes``: the needle-addressable (doubled) genome codes used to
-        pack probe keys by strided slices, shared layout with the
-        whole-genome engine.
+      * ``codes``: the needle-addressable (doubled) genome codes in
+        decimated layout, used to pack probe keys by contiguous row
+        reads (`device_engine._dec_read`).
     """
 
     key_hi: jax.Array
@@ -607,12 +773,14 @@ class DeviceWindowIndex:
             codes1 = jax.device_put(CODE[strand_data])
         lap("upload", codes1)
 
-        from .device_engine import table_pad_for
+        from .device_engine import table_len_for
 
-        # probe-side: the needle-addressable doubled text (same layout
-        # as the whole-genome engine; probes pack by strided slices)
-        text_codes = _build_text_codes(
-            codes1, k, reverse, complement, n + table_pad_for(k))
+        # probe-side: the needle-addressable doubled text in DECIMATED
+        # layout (probes pack by k contiguous row reads — `_dec_read`)
+        L2 = table_len_for(n, k)
+        text_codes = _decimate_codes(
+            _build_text_codes(codes1, k, reverse, complement, L2 - k),
+            k // 2, L2)
         skhi, sklo, run_lo, sa, W = build_window_arrays(
             codes1, k, ws, we, rounds_per_call=rounds_per_call,
             tied_cap=tied_cap, lap=lap)

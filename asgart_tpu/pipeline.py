@@ -314,8 +314,24 @@ class _DeviceEngineAdapter:
                  codes_device=None, trim=None):
         from .device_engine import (BigWindowEngine, DeviceEngine,
                                     DeviceWindowEngine)
+        from .device_index import (device_index_fits,
+                                   device_window_whole_fits)
 
         self.settings = settings
+        if trim is None and not device_index_fits(
+                len(strand.data), settings.reverse, settings.complement) \
+                and device_window_whole_fits(len(strand.data)):
+            # big-genome strategy: the whole genome as ONE trim window —
+            # a W = n1 row index (the doubled-table sort at 2*n1 rows is
+            # the first thing to outgrow HBM) with merge-join probe
+            # ranges per chunk. Output is identical to the whole-genome
+            # run: a window covering the entire text has the reference's
+            # untrimmed semantics (direct-suffix order is the same in
+            # both texts — the unique '$' decides every comparison), and
+            # `settings` stays untrimmed for the JSON.
+            log.info("whole-genome table index exceeds the HBM budget; "
+                     "using the one-window merge-join device engine")
+            trim = (0, int(len(strand.data)) - 1)
         if trim is not None:
             n1 = int(len(strand.data))
             doubled = (2 * n1 - 1
@@ -418,11 +434,28 @@ def search_duplications(
     # [1/N] proto-duplication search
     log.info("[1] Looking for proto-duplications...")
     t0 = time.time()
-    from .device_index import DEVICE_MAX_K
+    from .device_index import (DEVICE_MAX_K, device_index_fits,
+                               device_window_whole_fits)
 
-    if engine == "tpu" and settings.probe_size <= DEVICE_MAX_K:
-        # production TPU path: index built in HBM (whole genome, or the
-        # trim window with merge-join probe lookup), scan + compaction on
+    use_device = engine == "tpu" and settings.probe_size <= DEVICE_MAX_K
+    if use_device and trim is None and not device_index_fits(
+            len(strand.data), settings.reverse, settings.complement) \
+            and not device_window_whole_fits(len(strand.data)):
+        # beyond even the one-window merge-join strategy (which the
+        # adapter below auto-selects): degrade to the host engine (same
+        # JSON) instead of crashing, and point at the sharded TPU path
+        # (the reference's own answer to memory-bounded runs is the
+        # manual --trim workflow, asgart.rs:142-148)
+        log.warning(
+            "genome too large for a one-HBM device index; falling "
+            "back to the host engine (use --shards N for the "
+            "sharded TPU path)")
+        use_device = False
+        engine = "host"  # skip the device-table upload path too
+    if use_device:
+        # production TPU path: index built in HBM (whole genome — with
+        # automatic one-window demotion past the HBM budget — or the trim
+        # window with merge-join probe lookup), scan + compaction on
         # device, event chaining on host (device_engine module docstring)
         se = _DeviceEngineAdapter(strand, settings, profile=prof,
                                   trim=trim)

@@ -234,3 +234,57 @@ def test_device_chain_mode_matches_host(tmp_path, monkeypatch):
                          dict(min_duplication_length=900))
     assert_results_equal(host, tpu)
     assert sum(len(f) for f in host.families) >= 2
+
+
+def test_hbm_budget_fallback_to_host(tmp_path, monkeypatch, caplog):
+    """A genome whose device index would overflow the HBM budget must
+    degrade to the host engine (identical output + a warning), not
+    crash mid-build (pipeline.search_duplications guard)."""
+    import logging
+
+    rng = np.random.default_rng(77)
+    text = plant_duplication(rng, 24000, 1500, 3000, 15000,
+                             transform=revcomp)
+    kw = dict(reverse=True, complement=True)
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", text)])
+    host = search_duplications([str(fa)], RunSettings(**kw),
+                               engine="host")
+    monkeypatch.setenv("ASGART_HBM_BYTES", "1000")
+    with caplog.at_level(logging.WARNING, logger="asgart"):
+        tpu = search_duplications([str(fa)], RunSettings(**kw),
+                                  engine="tpu")
+    assert any("one-HBM" in r.message for r in caplog.records)
+    assert_results_equal(host, tpu)
+    assert host.families
+
+
+def test_hbm_budget_one_window_strategy(tmp_path, monkeypatch, caplog):
+    """Between the table-engine and window-engine HBM budgets, a
+    whole-genome run must route through the one-window merge-join
+    device engine with byte-identical JSON (untrimmed settings)."""
+    import io
+    import logging
+
+    from asgart_tpu.exporters import JSONExporter
+
+    rng = np.random.default_rng(78)
+    text = plant_duplication(rng, 24000, 1500, 3000, 15000,
+                             transform=revcomp)
+    kw = dict(reverse=True, complement=True)
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", text)])
+    host = search_duplications([str(fa)], RunSettings(**kw),
+                               engine="host")
+    # n1 = 24001, doubled = 48001: table needs 48001*26 B, window
+    # 24001*44 B — a budget between them forces the window strategy
+    monkeypatch.setenv("ASGART_HBM_BYTES", "1100000")
+    with caplog.at_level(logging.INFO, logger="asgart"):
+        tpu = search_duplications([str(fa)], RunSettings(**kw),
+                                  engine="tpu")
+    assert any("one-window" in r.message for r in caplog.records)
+    bh, bt = io.StringIO(), io.StringIO()
+    JSONExporter().save(host, bh)
+    JSONExporter().save(tpu, bt)
+    assert bt.getvalue() == bh.getvalue()
+    assert host.families
