@@ -284,7 +284,16 @@ def _scan_core(lo, hi, mask, sa, chunk_start, chunk_len, max_match_pos,
                max_cardinality, j0,
                k: int, reverse: bool, b_pad: int, cap: int, ev_cap: int):
     """Standalone-jitted scan tail for engines that compute per-probe
-    equal ranges in a separate stage (the windowed trim engine)."""
+    equal ranges in a separate stage (the windowed trim engine). The
+    chunk-bound mask is re-applied here so lanes past the chunk's probe
+    count are inert — batched stage-1 slices may overhang into the next
+    chunk's lanes (`_slice_lanes`)."""
+    step = k // 2
+    jl = jnp.arange(b_pad, dtype=I32)
+    lane_ok = ((j0 + jl) * step) < (chunk_len - k - step)
+    mask = mask & lane_ok
+    lo = jnp.where(mask, lo, 0)
+    hi = jnp.where(mask, hi, 0)
     return _core_from_ranges(
         lo, hi, mask, sa, jnp.int32(0), chunk_start,
         chunk_start + chunk_len, max_match_pos,
@@ -332,41 +341,44 @@ def _window_ranges(key_hi, key_lo, run_lo, codes,
                             chunk_len, k=k, b_pad=b_pad)
 
 
-def _merge_join_core(key_hi, key_lo, run_lo, codes_dec, x0, j0, chunk_len,
-                     k: int, b_pad: int):
-    """Merge-join equal ranges shared by the resident windowed engine
-    (probe codes read from the doubled text at `x0`) and the big-genome
-    engine (probe codes read needle-locally). ``codes_dec`` is in
-    DECIMATED layout (see `_dec_read`): probe symbol t of lane i lives
-    at text position (x0 + t) + i*step, so each of the k symbol reads is
-    one contiguous row slice — the former [b_pad + 3, step] reshape view
-    materialized T(8,128)-padded (12.8x, multi-GB at 128 Mbp chunks)."""
+def _pack_probe_lanes(codes_dec, x0, nc: int, k: int):
+    """(phi, plo, n_mask) for `nc` probe lanes whose text positions are
+    x0 + j*step. ``codes_dec`` is in DECIMATED layout (see `_dec_read`):
+    probe symbol t of lane j lives at text position (x0 + t) + j*step,
+    so each of the k symbol reads is one contiguous row slice — the
+    former [nc + 3, step] reshape view materialized T(8,128)-padded
+    (12.8x, multi-GB at 128 Mbp chunks)."""
     from .device_index import LO_SYMS
 
     step = k // 2
-    W = key_hi.shape[0]
-    jl = jnp.arange(b_pad, dtype=I32)
-    j = j0 + jl
-    bound = chunk_len - k - step
-    mask = (j * step) < bound  # pre-increment loop, automaton.rs:90-97
 
     def sym(t):
-        return _dec_read(codes_dec, x0 + t, b_pad, step).astype(I32)
+        return _dec_read(codes_dec, x0 + t, nc, step).astype(I32)
 
     n_hi = max(k - LO_SYMS, 0)
-    phi = jnp.zeros(b_pad, dtype=I32)
-    plo = jnp.zeros(b_pad, dtype=I32)
+    phi = jnp.zeros(nc, dtype=I32)
+    plo = jnp.zeros(nc, dtype=I32)
     for t in range(n_hi):
         phi = (phi << 3) | sym(t)
     for t in range(n_hi, k):
         plo = (plo << 3) | sym(t)
     # N-probe skip (automaton.rs:100-102): first needle symbol check
-    mask = mask & (sym(0) != N_CODE)
+    return phi, plo, sym(0) != N_CODE
 
-    # merge join: the probe/window tag rides in the id operand's low bit
-    # (3 sort operands, not 4 — the co-sort is the peak HBM user of the
-    # windowed path): probe entries sort after equal window keys, so a
-    # probe's sorted position has exactly hi window entries before it
+
+def _mj_tail(key_hi, key_lo, run_lo, phi, plo, mask):
+    """The merge join itself: per-lane [lo, hi) window equal-ranges of
+    already-packed probe keys. The probe/window tag rides in the id
+    operand's low bit (3 sort operands, not 4 — the co-sort is the peak
+    HBM user of the windowed path): probe entries sort after equal
+    window keys, so a probe's sorted position has exactly hi window
+    entries before it; lo follows from the slot-indexed run starts.
+    One O((W+B) log) sort replaces per-probe binary search — sorts
+    stream at ~190M rows/s on this rig while random HBM gathers are
+    latency-bound."""
+    W = key_hi.shape[0]
+    b_pad = phi.shape[0]
+    jl = jnp.arange(b_pad, dtype=I32)
     tot = W + b_pad
     ckhi = jnp.concatenate([key_hi, phi])
     cklo = jnp.concatenate([key_lo, plo])
@@ -387,8 +399,79 @@ def _merge_join_core(key_hi, key_lo, run_lo, codes_dec, x0, j0, chunk_len,
 
     lo_lane = jnp.where(mask, lo_lane, 0)
     hi_lane = jnp.where(mask, hi_lane, 0)
+    return lo_lane, hi_lane
+
+
+def _merge_join_core(key_hi, key_lo, run_lo, codes_dec, x0, j0, chunk_len,
+                     k: int, b_pad: int):
+    """Single-chunk merge-join equal ranges (probe pack + `_mj_tail`),
+    shared by the resident windowed engine (probe codes read from the
+    doubled text at `x0`) and the big-genome engine (probe codes read
+    needle-locally)."""
+    step = k // 2
+    jl = jnp.arange(b_pad, dtype=I32)
+    bound = chunk_len - k - step
+    # pre-increment loop, automaton.rs:90-97
+    lane_ok = ((j0 + jl) * step) < bound
+    phi, plo, n_mask = _pack_probe_lanes(codes_dec, x0, b_pad, k)
+    mask = lane_ok & n_mask
+    lo_lane, hi_lane = _mj_tail(key_hi, key_lo, run_lo, phi, plo, mask)
     total = jnp.sum((hi_lane - lo_lane).astype(jnp.float32))
     return lo_lane, hi_lane, mask, total
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "reverse", "complement", "first_len", "specs", "total"))
+def _window_ranges_batch(key_hi, key_lo, run_lo, codes_dec,
+                         k: int, reverse: bool, complement: bool,
+                         first_len: int, specs: tuple, total: int):
+    """ALL chunks' merge-join ranges in ONE co-sort.
+
+    The co-sort's W side (the whole sorted window) dominates its cost,
+    and chunk counts on real genomes run into the dozens (every >5000 bp
+    N-run splits a chunk) — re-sorting W per chunk made stage 1 scale
+    with the chunk count. Here every chunk's probe lanes are packed
+    back-to-back (``specs``: one (chunk_start, chunk_len, n_lanes) per
+    chunk, host ints so every read is a static slice), padded to
+    ``total`` with sentinel keys that sort last and match nothing, and
+    joined against the window in a single `_mj_tail`.
+
+    Returns (lo [total], hi [total], mask [total], totals [n_chunks]) —
+    per-chunk exact raw-match sums for capacity sizing; per-chunk lanes
+    start at offset sum(n_lanes of earlier chunks).
+    """
+    step = k // 2
+    phis, plos, masks = [], [], []
+    for (cs, cl, nc) in specs:
+        x0 = _probe_x0(cs, cl, first_len, k, reverse, complement)
+        phi, plo, n_mask = _pack_probe_lanes(codes_dec, x0, nc, k)
+        phis.append(phi)
+        plos.append(plo)
+        masks.append(n_mask)
+    pad = total - sum(nc for (_, _, nc) in specs)
+    big = jnp.full(pad, np.int32(2**31 - 1), I32)
+    phi = jnp.concatenate(phis + [big])
+    plo = jnp.concatenate(plos + [big])
+    mask = jnp.concatenate(masks + [jnp.zeros(pad, bool)])
+    lo, hi = _mj_tail(key_hi, key_lo, run_lo, phi, plo, mask)
+    counts = (hi - lo).astype(jnp.float32)
+    off = 0
+    totals = []
+    for (_, _, nc) in specs:
+        totals.append(jnp.sum(jax.lax.dynamic_slice(counts, (off,),
+                                                    (nc,))))
+        off += nc
+    return lo, hi, mask, jnp.stack(totals)
+
+
+@functools.partial(jax.jit, static_argnames=("off", "b_pad"))
+def _slice_lanes(lo, hi, mask, off: int, b_pad: int):
+    """One chunk's (lo, hi, mask) view out of the batched stage-1
+    arrays. The slice may overhang into the next chunk's lanes —
+    `_scan_core` re-masks by the chunk bound, making overhang inert."""
+    return (jax.lax.dynamic_slice(lo, (off,), (b_pad,)),
+            jax.lax.dynamic_slice(hi, (off,), (b_pad,)),
+            jax.lax.dynamic_slice(mask, (off,), (b_pad,)))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "b_pad"))
@@ -799,9 +882,52 @@ class DeviceWindowEngine(DeviceEngine):
         self._stage1.pop(chunk, None)
         return out
 
+    def _batch_stage1(self, chunks):
+        """Populate the per-chunk stage-1 cache from ONE batched merge
+        join (`_window_ranges_batch`): the co-sort's W side dominates
+        its cost, and N-run splitting gives real genomes dozens of
+        chunks — per-chunk co-sorts scale stage 1 with the chunk count.
+        """
+        s = self.settings
+        k = s.probe_size
+        step = k // 2
+        specs, geo_of = [], {}
+        for c in chunks:
+            if c in self._stage1:
+                continue
+            geo = self._chunk_geometry(c)
+            if geo is None:
+                continue
+            nc = (c[1] - k - step + step - 1) // step
+            specs.append((int(c[0]), int(c[1]), nc))
+            geo_of[c] = geo
+        if len(specs) < 2:
+            return
+        w = self.widx
+        total = sum(nc for (_, _, nc) in specs) \
+            + max(g[0] for g in geo_of.values()) + 8
+        lo, hi, mask, totals = _window_ranges_batch(
+            w.key_hi, w.key_lo, w.run_lo, w.codes,
+            k, s.reverse, s.complement, int(w.first_len),
+            tuple(specs), total)
+        off = 0
+        i = 0
+        for c in chunks:
+            geo = geo_of.get(c)
+            if geo is None:
+                continue
+            b_pad = geo[0]
+            nc = specs[i][2]
+            self._stage1[c] = _slice_lanes(lo, hi, mask, off, b_pad) \
+                + (totals[i],)
+            off += nc
+            i += 1
+
     def run_chunks(self, chunks):
-        # dispatch every stage-1 first (async), then size + dispatch the
-        # cores, then collect: chunk i+1 executes while chunk i downloads
+        # one batched stage-1 for every chunk (falling back to per-chunk
+        # for singletons), then size + dispatch the cores, then collect:
+        # chunk i+1 executes while chunk i downloads
+        self._batch_stage1(chunks)
         for c in chunks:
             self._stage1_for(c)
         states = [self._dispatch_chunk(c) for c in chunks]

@@ -310,3 +310,44 @@ def test_big_window_shards_byte_equal(tmp_path, monkeypatch):
     JSONExporter().save(tpu, bt)
     assert bt.getvalue() == bh.getvalue()
     assert host.families
+
+
+def test_one_window_many_chunks_batch(tmp_path, monkeypatch):
+    """Chunk-heavy genome (many N-run splits) through the one-window
+    engine: the batched stage-1 (`_window_ranges_batch`) must reproduce
+    the host engine byte-for-byte across 6+ chunks."""
+    import io
+
+    import numpy as np
+
+    from asgart_tpu.exporters import JSONExporter
+    from asgart_tpu.pipeline import search_duplications
+    from asgart_tpu.structs import RunSettings
+    from tests.util import random_dna, revcomp, write_fasta
+
+    rng = np.random.default_rng(91)
+    g = bytearray(random_dna(rng, 120000, b"ACGT"))
+    # duplications in distinct chunks, one RC pair, one cross-chunk pair
+    g[30000:32000] = bytes(g[4000:6000])
+    g[76000:77500] = bytes(g[50000:51500])
+    # NB: mid-chunk source — a source at an exact chunk start sits at
+    # the reversed needle's END, and the reference discards arms still
+    # alive at end-of-needle (automaton.rs; oracle docstring)
+    g[110000:112000] = revcomp(bytes(g[24000:26000]))
+    for nstart in (15000, 40000, 60000, 85000, 100000):
+        g[nstart:nstart + 6000] = b"N" * 6000
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", bytes(g))])
+    for kw in ({}, dict(reverse=True, complement=True)):
+        settings = RunSettings(min_duplication_length=800, **kw)
+        host = search_duplications([str(fa)], settings, engine="host")
+        # force the one-window strategy (table engine would fit)
+        monkeypatch.setenv("ASGART_HBM_BYTES",
+                           str(120002 * 50))
+        tpu = search_duplications([str(fa)], settings, engine="tpu")
+        monkeypatch.delenv("ASGART_HBM_BYTES")
+        bh, bt = io.StringIO(), io.StringIO()
+        JSONExporter().save(host, bh)
+        JSONExporter().save(tpu, bt)
+        assert bt.getvalue() == bh.getvalue(), kw
+    assert host.families
