@@ -74,6 +74,19 @@ def one_trial(t, d):
     tpu = js(search_duplications([fa], RunSettings(**kw), engine="tpu"))
     if k <= 21:
         assert tpu == host, f"trial {t}: tpu != host (k={k}, kw={kw})"
+    if k <= 20:
+        # force the big-genome one-window merge-join strategy for
+        # doubled runs (the budget sits between the doubled-table and
+        # window-engine footprints; direct-run tables always fit
+        # whenever the window would, so direct trials just re-run tpu)
+        os.environ["ASGART_HBM_BYTES"] = str((n + 1) * 50)
+        try:
+            win = js(search_duplications([fa], RunSettings(**kw),
+                                         engine="tpu"))
+        finally:
+            del os.environ["ASGART_HBM_BYTES"]
+        assert win == host, \
+            f"trial {t}: one-window != host (k={k}, kw={kw})"
     sh = search_duplications([fa], RunSettings(**kw), shards=3)
     n_sh = sum(len(f) for f in sh.families)
     return sum(len(f) for f in
