@@ -910,6 +910,9 @@ class DeviceWindowEngine(DeviceEngine):
             w.key_hi, w.key_lo, w.run_lo, w.codes,
             k, s.reverse, s.complement, int(w.first_len),
             tuple(specs), total)
+        # ONE totals fetch (a per-chunk device scalar read would cost a
+        # relay round trip per chunk when sizing the cores)
+        tot_host = np.asarray(totals)
         off = 0
         i = 0
         for c in chunks:
@@ -919,7 +922,7 @@ class DeviceWindowEngine(DeviceEngine):
             b_pad = geo[0]
             nc = specs[i][2]
             self._stage1[c] = _slice_lanes(lo, hi, mask, off, b_pad) \
-                + (totals[i],)
+                + (float(tot_host[i]),)
             off += nc
             i += 1
 
