@@ -302,6 +302,95 @@ def _scan_core(lo, hi, mask, sa, chunk_start, chunk_len, max_match_pos,
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "k", "reverse", "complement", "b_pad", "cap", "ev_cap"))
+def _scan_chunks_group(pos_lo_tab, pos_hi_tab, sa, params,
+                       first_len, max_match_pos, max_cardinality,
+                       k: int, reverse: bool, complement: bool,
+                       b_pad: int, cap: int, ev_cap: int):
+    """`_scan_chunk` over a GROUP of same-geometry chunks in one
+    dispatch (``params`` [G, 2] = (chunk_start, chunk_len) rows;
+    dummy rows use chunk_len = 0, whose all-false lane mask makes the
+    core inert). One relay dispatch + one stacked download replaces G
+    of each — per-chunk dispatches through the axon tunnel cost ~0.1 s
+    of fixed overhead while the core's device time is ~20-50 ms, so
+    chunk-heavy genomes (dozens of N-run chunks) were dispatch-bound.
+    `lax.map` (not vmap) keeps intermediate memory at 1x: only the
+    [G, ...] outputs are group-sized."""
+
+    def one(p):
+        return _scan_chunk(
+            pos_lo_tab, pos_hi_tab, sa, p[0], p[1], first_len,
+            max_match_pos, max_cardinality, jnp.int32(0),
+            k=k, reverse=reverse, complement=complement,
+            b_pad=b_pad, cap=cap, ev_cap=ev_cap)
+
+    return jax.lax.map(one, params)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "reverse", "b_pad", "cap", "ev_cap"))
+def _scan_core_group(lo_all, hi_all, mask_all, sa, params,
+                     max_match_pos, max_cardinality,
+                     k: int, reverse: bool, b_pad: int, cap: int,
+                     ev_cap: int):
+    """`_scan_core` over a group of same-geometry chunks in one
+    dispatch, reading each chunk's lanes straight from the batched
+    stage-1 arrays (``params`` [G, 3] = (lane_offset, chunk_start,
+    chunk_len); dummies use chunk_len = 0). Skips the per-chunk
+    `_slice_lanes` dispatches entirely."""
+    step = k // 2
+
+    def one(p):
+        off, cs, cl = p[0], p[1], p[2]
+        lo = jax.lax.dynamic_slice(lo_all, (off,), (b_pad,))
+        hi = jax.lax.dynamic_slice(hi_all, (off,), (b_pad,))
+        mask = jax.lax.dynamic_slice(mask_all, (off,), (b_pad,))
+        jl = jnp.arange(b_pad, dtype=I32)
+        # chunk-bound re-mask: batched stage-1 slices may overhang into
+        # the next chunk's lanes (`_scan_core` semantics)
+        m = mask & ((jl * step) < (cl - k - step))
+        return _core_from_ranges(
+            jnp.where(m, lo, 0), jnp.where(m, hi, 0), m, sa,
+            jnp.int32(0), cs, cs + cl, max_match_pos,
+            max_cardinality, jnp.int32(0), k=k, reverse=reverse,
+            b_pad=b_pad, cap=cap, ev_cap=ev_cap)
+
+    return jax.lax.map(one, params)
+
+
+# grouped-dispatch sizing: group size is static (padded with inert
+# dummy rows) so ONE program per geometry serves any chunk count; the
+# lane budget caps the stacked [G, cap] output footprint
+GROUP_SIZE = 16
+GROUP_LANE_BUDGET = 1 << 27
+
+# flat-capacity floor: low enough that small chunks (real genomes split
+# into dozens at N-runs, ~100k raw matches each) don't pay 1M-lane
+# sorts, high enough to bound the distinct-cap compile count (pow2
+# buckets from 2^17 to B_GRAN: 4 values)
+MIN_CAP = 1 << 17
+
+
+def _group_size_for(cap: int) -> int:
+    for gs in (GROUP_SIZE, 4):
+        if gs * cap <= GROUP_LANE_BUDGET:
+            return gs
+    return 1
+
+
+def _pad_group(n: int) -> int:
+    """Static group size for n live chunks: the smallest of {2,4,8,16}
+    that fits. Pow2 sizes bound the per-geometry compile count at 4
+    while keeping dummy-row waste below one core-run per group in the
+    common cases (2 chunks -> G=2: the bench genome's single N-run
+    split pays zero dummies)."""
+    for gs in (2, 4, 8, 16):
+        if gs >= n:
+            return gs
+    return GROUP_SIZE
+
+
+@functools.partial(jax.jit, static_argnames=(
     "k", "reverse", "b_pad", "cap", "ev_cap"))
 def _scan_core_based(lo, hi, mask, sa, self_base, dir_base, rev_t0,
                      max_match_pos, max_cardinality, j0,
@@ -654,7 +743,7 @@ class DeviceEngine:
                     total = self._prepass_total(chunk)
                 total_raw = int(float(total) * 1.001) + 8
                 t0 = self._lap(t0, f"raw-total pre-pass ({total_raw})")
-                cap = _bucket(max(total_raw + 1, 1 << 20))
+                cap = _bucket(max(total_raw + 1, MIN_CAP))
         if ev_cap is None:
             ev_cap = _bucket(min(cap, b_local)) // 4
 
@@ -707,6 +796,16 @@ class DeviceEngine:
             st = self._dispatch_chunk(st["chunk"], cap=cap, ev_cap=ev_cap)
 
         _CAP_CACHE[self._cap_key(st["chunk"])] = (st["cap"], st["ev_cap"])
+        return self._chain_merged(parts, t0)
+
+    def _chain_merged(self, parts, t0=None):
+        """Merge downloaded per-shard event parts and run the host
+        event chain — the tail shared by per-chunk and grouped
+        collection."""
+        s = self.settings
+        k = s.probe_size
+        if t0 is None:
+            t0 = time.time()
         ev, m_host, z_trail = _merge_shard_events(parts)
         if ev is None:
             return []
@@ -756,36 +855,169 @@ class DeviceEngine:
         fixup left to the caller (mirrors SearchEngine.run_chunk)."""
         return self._collect_chunk(self._dispatch_chunk(chunk))
 
-    def run_chunks(self, chunks):
-        """All chunks, with dispatch/collect pipelining: pre-passes run
-        as ONE batched dispatch when the chunks share a lane bucket, and
-        chunk i+1 executes on the device while chunk i's events
-        download."""
-        geos = [self._chunk_geometry(c) for c in chunks]
-        cached = [g is None or self._cap_key(c) in _CAP_CACHE
-                  for c, g in zip(chunks, geos)]
-        geos = [None if hit else g for g, hit in zip(geos, cached)]
-        b_pads = {g[0] for g in geos if g is not None}
-        if len(b_pads) == 1 and sum(g is not None for g in geos) > 1:
-            b_pad = b_pads.pop()
-            s = self.settings
-            didx = self.didx
-            live = [c for c, g in zip(chunks, geos) if g is not None]
+    def _batch_totals(self, chunks):
+        """Raw-total pre-passes for every chunk not in the cap cache,
+        batched per lane bucket (one dispatch per b_pad instead of one
+        per chunk); returns {chunk: float_total}."""
+        s = self.settings
+        didx = self.didx
+        need = [(c, g) for c, g in
+                ((c, self._chunk_geometry(c)) for c in chunks)
+                if g is not None and self._cap_key(c) not in _CAP_CACHE]
+        by_pad: dict = {}
+        for c, g in need:
+            by_pad.setdefault(g[0], []).append(c)
+        totals: dict = {}
+        for b_pad, cs in by_pad.items():
+            if len(cs) == 1:
+                totals[cs[0]] = self._prepass_total(cs[0])
+                continue
             params = jnp.asarray(
-                np.array([[c[0], c[1]] for c in live], dtype=np.int32))
-            batch = _raw_totals_batch(
+                np.array([[c[0], c[1]] for c in cs], dtype=np.int32))
+            batch = np.asarray(_raw_totals_batch(
                 didx.pos_lo, didx.pos_hi, params,
                 jnp.int32(didx.first_len), s.probe_size, s.reverse,
-                s.complement, b_pad)
-            it = iter(np.asarray(batch))
-            totals = [float(next(it)) if g is not None else None
-                      for g in geos]
-        else:
-            totals = [None if hit else self._prepass_total(c)
-                      for c, hit in zip(chunks, cached)]
-        states = [self._dispatch_chunk(c, total=t)
-                  for c, t in zip(chunks, totals)]
-        return [self._collect_chunk(st) for st in states]
+                s.complement, b_pad))
+            for c, t in zip(cs, batch):
+                totals[c] = float(t)
+        return totals
+
+    def _group_caps(self, chunks, totals, slack: bool):
+        """(cap, ev_cap) per chunk — cache hit or sized from the
+        pre-pass total (`slack` adds the table engine's estimation
+        margin; the merge-join total is exact)."""
+        caps = {}
+        for c in chunks:
+            geo = self._chunk_geometry(c)
+            if geo is None:
+                continue
+            cached = _CAP_CACHE.get(self._cap_key(c))
+            if cached is not None:
+                caps[c] = cached
+                continue
+            t = totals[c]
+            total_raw = (int(float(t) * 1.001) + 8) if slack \
+                else int(float(t))
+            cap = _bucket(max(total_raw + 1, MIN_CAP))
+            caps[c] = (cap, _bucket(min(cap, geo[0])) // 4)
+        return caps
+
+    def _dispatch_group(self, group, b_pad, cap, ev_cap):
+        """One grouped dispatch (`_scan_chunks_group`) for same-geometry
+        chunks, padded with inert dummy rows to the static group size."""
+        s = self.settings
+        didx = self.didx
+        gs = _pad_group(len(group))
+        params = np.zeros((gs, 2), dtype=np.int32)
+        for i, c in enumerate(group):
+            params[i] = c
+        t0 = time.time()
+        ev, m, sc = _scan_chunks_group(
+            didx.pos_lo, didx.pos_hi, didx.sa, jnp.asarray(params),
+            jnp.int32(didx.first_len), jnp.int32(didx.first_len - 1),
+            jnp.int32(s.max_cardinality), k=s.probe_size,
+            reverse=s.reverse, complement=s.complement,
+            b_pad=b_pad, cap=cap, ev_cap=ev_cap)
+        self._lap(t0, f"group dispatch ({len(group)}/{gs}, cap={cap})")
+        return {"chunks": list(group), "ev": ev, "m": m, "sc": sc,
+                "cap": cap, "ev_cap": ev_cap}
+
+    # bulk-download breakeven: each live chunk's per-slice download
+    # costs ~2 relay round trips (~50 ms ~= 3 MB at the measured
+    # 0.06 GB/s), so the full stacked ev/m arrays come down in 2 bulk
+    # fetches only when their size is under that saving
+    GROUP_FETCH_PER_CHUNK = 3 << 20
+
+    def _collect_group(self, gst):
+        """{chunk: families} for one dispatched group: ONE stacked
+        scalars fetch, bulk (or per-chunk) event downloads, host
+        chain; chunks that overflowed retry through the single-chunk
+        path."""
+        t0 = time.time()
+        sc = np.asarray(gst["sc"])
+        t0 = self._lap(t0, "group scalars fetch")
+        full_bytes = 4 * (gst["ev"].size + gst["m"].size)
+        ev_h = m_h = None
+        if full_bytes <= len(gst["chunks"]) * self.GROUP_FETCH_PER_CHUNK:
+            ev_h = np.asarray(gst["ev"])
+            m_h = np.asarray(gst["m"])
+        out = {}
+        for g, chunk in enumerate(gst["chunks"]):
+            n_events, total_kept, z_trail, overflow = (
+                int(v) for v in sc[g])
+            if overflow:
+                cap, ev_cap = gst["cap"], gst["ev_cap"]
+                if n_events > ev_cap:
+                    ev_cap = _bucket(n_events + 1)
+                else:
+                    cap *= 2
+                log.debug("group scan retry: cap=%d ev_cap=%d",
+                          cap, ev_cap)
+                out[chunk] = self._collect_chunk(
+                    self._dispatch_chunk(chunk, cap=cap, ev_cap=ev_cap))
+                continue
+            _CAP_CACHE[self._cap_key(chunk)] = (gst["cap"],
+                                                gst["ev_cap"])
+            if ev_h is not None:
+                parts = [(ev_h[g][:, :n_events], m_h[g][:total_kept],
+                          z_trail)]
+            else:
+                parts = [(np.asarray(gst["ev"][g][:, :n_events]),
+                          np.asarray(gst["m"][g][:total_kept]),
+                          z_trail)]
+            out[chunk] = self._chain_merged(parts)
+        self._lap(t0, f"group collect ({len(gst['chunks'])})")
+        return out
+
+    def _plan_groups(self, chunks, totals, slack: bool):
+        """Partition chunks into grouped dispatches by (b_pad, cap,
+        ev_cap); returns (groups, singles) where groups is a list of
+        (chunk_list, b_pad, cap, ev_cap)."""
+        caps = self._group_caps(chunks, totals, slack)
+        by_key: dict = {}
+        for c in chunks:
+            geo = self._chunk_geometry(c)
+            if geo is None:
+                continue
+            key = (geo[0],) + caps[c]
+            by_key.setdefault(key, []).append(c)
+        groups, singles = [], []
+        for (b_pad, cap, ev_cap), cs in by_key.items():
+            gs = _group_size_for(cap)
+            if gs < 2 or len(cs) < 2:
+                singles.extend((c, cap, ev_cap) for c in cs)
+                continue
+            for i in range(0, len(cs), gs):
+                part = cs[i:i + gs]
+                if len(part) == 1:
+                    singles.append((part[0], cap, ev_cap))
+                else:
+                    groups.append((part, b_pad, cap, ev_cap))
+        return groups, singles
+
+    def run_chunks(self, chunks):
+        """All chunks with grouped dispatch: same-geometry chunks run
+        as ONE `lax.map` core (one relay dispatch + one stacked
+        scalars fetch per group of up to GROUP_SIZE) and groups
+        pipeline against each other's downloads. Mesh runs keep the
+        per-chunk sharded path."""
+        if self.mesh is not None:
+            totals = self._batch_totals(chunks)
+            states = [self._dispatch_chunk(c, total=totals.get(c))
+                      for c in chunks]
+            return [self._collect_chunk(st) for st in states]
+        totals = self._batch_totals(chunks)
+        groups, singles = self._plan_groups(chunks, totals, slack=True)
+        gstates = [self._dispatch_group(part, b_pad, cap, ev_cap)
+                   for part, b_pad, cap, ev_cap in groups]
+        sstates = {c: self._dispatch_chunk(c, cap=cap, ev_cap=ev_cap)
+                   for c, cap, ev_cap in singles}
+        results: dict = {}
+        for gst in gstates:
+            results.update(self._collect_group(gst))
+        for c, st in sstates.items():
+            results[c] = self._collect_chunk(st)
+        return [results.get(c, []) for c in chunks]
 
 
 class DeviceWindowEngine(DeviceEngine):
@@ -825,21 +1057,31 @@ class DeviceWindowEngine(DeviceEngine):
                 s.reverse, s.complement, s.max_cardinality, chunk)
 
     def _stage1_for(self, chunk):
-        """Dispatch (or reuse) the merge-join ranges for one chunk."""
+        """Dispatch (or reuse) the merge-join ranges for one chunk;
+        chunks covered by a batched stage 1 slice their lanes out of
+        the shared arrays lazily (only the singleton/retry paths need
+        per-chunk slices — grouped dispatch reads the shared arrays
+        directly)."""
         st1 = self._stage1.get(chunk)
         if st1 is None:
             geo = self._chunk_geometry(chunk)
             if geo is None:
                 return None
             b_pad, _, _ = geo
-            s = self.settings
-            w = self.widx
-            st1 = _window_ranges(
-                w.key_hi, w.key_lo, w.run_lo, w.codes,
-                jnp.int32(chunk[0]), jnp.int32(chunk[1]),
-                jnp.int32(w.first_len), jnp.int32(0),
-                k=s.probe_size, reverse=s.reverse,
-                complement=s.complement, b_pad=b_pad)
+            goff = getattr(self, "_g_off", {}).get(chunk)
+            if goff is not None:
+                lo, hi, mask = self._g_full
+                st1 = _slice_lanes(lo, hi, mask, goff[0], b_pad) \
+                    + (goff[1],)
+            else:
+                s = self.settings
+                w = self.widx
+                st1 = _window_ranges(
+                    w.key_hi, w.key_lo, w.run_lo, w.codes,
+                    jnp.int32(chunk[0]), jnp.int32(chunk[1]),
+                    jnp.int32(w.first_len), jnp.int32(0),
+                    k=s.probe_size, reverse=s.reverse,
+                    complement=s.complement, b_pad=b_pad)
             self._stage1[chunk] = st1
         return st1
 
@@ -864,7 +1106,7 @@ class DeviceWindowEngine(DeviceEngine):
                 # the merge-join total is exact, no estimation slack
                 total_raw = int(float(tot if total is None else total))
                 t0 = self._lap(t0, f"ranges+total ({total_raw})")
-                cap = _bucket(max(total_raw + 1, 1 << 20))
+                cap = _bucket(max(total_raw + 1, MIN_CAP))
         if ev_cap is None:
             ev_cap = _bucket(min(cap, b_local)) // 4
         ev_pack, m_flat, scalars = _scan_core(
@@ -913,30 +1155,66 @@ class DeviceWindowEngine(DeviceEngine):
         # ONE totals fetch (a per-chunk device scalar read would cost a
         # relay round trip per chunk when sizing the cores)
         tot_host = np.asarray(totals)
+        self._g_full = (lo, hi, mask)
+        self._g_off = {}
         off = 0
         i = 0
         for c in chunks:
             geo = geo_of.get(c)
             if geo is None:
                 continue
-            b_pad = geo[0]
             nc = specs[i][2]
-            self._stage1[c] = _slice_lanes(lo, hi, mask, off, b_pad) \
-                + (float(tot_host[i]),)
+            self._g_off[c] = (off, float(tot_host[i]))
             off += nc
             i += 1
 
+    def _dispatch_group(self, group, b_pad, cap, ev_cap):
+        """Grouped `_scan_core_group` dispatch reading each chunk's
+        lanes straight from the batched stage-1 arrays."""
+        s = self.settings
+        lo, hi, mask = self._g_full
+        gs = _pad_group(len(group))
+        params = np.zeros((gs, 3), dtype=np.int32)
+        for i, c in enumerate(group):
+            params[i] = (self._g_off[c][0], c[0], c[1])
+        t0 = time.time()
+        ev, m, sc = _scan_core_group(
+            lo, hi, mask, self.widx.sa, jnp.asarray(params),
+            jnp.int32((1 << 31) - 1), jnp.int32(s.max_cardinality),
+            k=s.probe_size, reverse=s.reverse, b_pad=b_pad,
+            cap=cap, ev_cap=ev_cap)
+        self._lap(t0, f"group dispatch ({len(group)}/{gs}, cap={cap})")
+        return {"chunks": list(group), "ev": ev, "m": m, "sc": sc,
+                "cap": cap, "ev_cap": ev_cap}
+
     def run_chunks(self, chunks):
-        # one batched stage-1 for every chunk (falling back to per-chunk
-        # for singletons), then size + dispatch the cores, then collect:
-        # chunk i+1 executes while chunk i downloads
+        # one batched stage-1 for every chunk, then grouped cores
+        # (same-geometry chunks share one dispatch + one scalars
+        # fetch); chunks outside the batch go through the per-chunk
+        # path. Groups pipeline against each other's downloads.
+        self._g_off = {}
+        self._g_full = None
         self._batch_stage1(chunks)
-        for c in chunks:
-            self._stage1_for(c)
-        states = [self._dispatch_chunk(c) for c in chunks]
-        out = [self._collect_chunk(st) for st in states]
+        in_batch = [c for c in chunks if c in self._g_off]
+        rest = [c for c in chunks if c not in self._g_off]
+        totals = {c: off[1] for c, off in self._g_off.items()}
+        groups, singles = self._plan_groups(in_batch, totals,
+                                            slack=False)
+        gstates = [self._dispatch_group(part, b_pad, cap, ev_cap)
+                   for part, b_pad, cap, ev_cap in groups]
+        sstates = {c: self._dispatch_chunk(c, cap=cap, ev_cap=ev_cap)
+                   for c, cap, ev_cap in singles}
+        for c in rest:
+            sstates[c] = self._dispatch_chunk(c)
+        results: dict = {}
+        for gst in gstates:
+            results.update(self._collect_group(gst))
+        for c, st in sstates.items():
+            results[c] = self._collect_chunk(st)
         self._stage1.clear()
-        return out
+        self._g_off = {}
+        self._g_full = None
+        return [results.get(c, []) for c in chunks]
 
 
 class BigWindowEngine(DeviceEngine):
@@ -1066,7 +1344,7 @@ class BigWindowEngine(DeviceEngine):
             else:
                 total_raw = int(float(tot if total is None else total))
                 t0 = self._lap(t0, f"ranges+total ({total_raw})")
-                cap = _bucket(max(total_raw + 1, 1 << 20))
+                cap = _bucket(max(total_raw + 1, MIN_CAP))
         if ev_cap is None:
             ev_cap = _bucket(min(cap, b_local)) // 4
         # host-clamped rebased filter constants (outcome-preserving)
@@ -1268,7 +1546,7 @@ class MeshWindowEngine:
                 continue
             chunk, b_local, P_ax, (lo, hi, mask, totals) = st
             tot_host = np.asarray(totals)
-            cap = _bucket(max(int(tot_host.max()) + 1, 1 << 20))
+            cap = _bucket(max(int(tot_host.max()) + 1, MIN_CAP))
             ev_cap = _bucket(min(cap, b_local)) // 4
             while True:
                 core_fn = _mesh_window_core(

@@ -288,3 +288,74 @@ def test_hbm_budget_one_window_strategy(tmp_path, monkeypatch, caplog):
     JSONExporter().save(tpu, bt)
     assert bt.getvalue() == bh.getvalue()
     assert host.families
+
+
+def test_grouped_dispatch_many_chunks(tmp_path):
+    """9 N-run chunks run as grouped lax.map dispatches (pow2-padded
+    with inert dummy rows — 9 live chunks pad to G=16): host equality
+    through the public pipeline, direct and RC."""
+    import io
+
+    from asgart_tpu.exporters import JSONExporter
+
+    rng = np.random.default_rng(31)
+    g = bytearray(random_dna(rng, 180000, b"ACGT"))
+    g[24000:25500] = bytes(g[2000:3500])          # dup within chunk 1
+    g[63000:64200] = bytes(g[42000:43200])        # dup within chunk 3
+    g[156000:158000] = bytes(g[130000:132000])    # dup near the tail
+    g[90000:91500] = revcomp(bytes(g[70000:71500]))
+    for i in range(8):                            # 8 N-runs -> 9 chunks
+        p = 17000 + i * 20000
+        g[p:p + 6000] = b"N" * 6000
+    for kw in ({}, dict(reverse=True, complement=True)):
+        host, tpu = run_both(
+            tmp_path, bytes(g), dict(min_duplication_length=700, **kw))
+        assert_results_equal(host, tpu)
+        bh, bt = io.StringIO(), io.StringIO()
+        JSONExporter().save(host, bh)
+        JSONExporter().save(tpu, bt)
+        assert bt.getvalue() == bh.getvalue(), kw
+    assert host.families
+
+
+def test_grouped_overflow_retry(tmp_path):
+    """A grouped dispatch with tiny capacities: overflowed chunks must
+    retry through the single-chunk path inside _collect_group and the
+    merged output must still equal the host engine."""
+    from asgart_tpu.device_engine import DeviceEngine
+    from asgart_tpu.fasta import prepare_data
+    from asgart_tpu.pipeline import SearchEngine, raw_families_to_protosds
+
+    rng = np.random.default_rng(33)
+    n = 60000
+    g = bytearray(random_dna(rng, n, b"ACGT"))
+    g[12000:14000] = bytes(g[1000:3000])
+    alu = random_dna(rng, 200, b"ACGT")
+    for i in range(25):                    # repeat scatter -> overflow
+        g[30000 + i * 230: 30000 + i * 230 + 200] = alu
+    g[20000:26000] = b"N" * 6000           # chunk split
+    g[40000:46000] = b"N" * 6000           # chunk split -> 3 chunks
+    g[55000:56500] = bytes(g[47000:48500])  # dup within chunk 3
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", bytes(g))])
+    settings = RunSettings(min_duplication_length=500, max_cardinality=60)
+    _, chunks, strand = prepare_data([str(fa)], settings.skip_masked, None)
+    assert len(chunks) >= 3
+
+    host_se = SearchEngine(strand, settings, None, engine="host")
+    host_fams = [f for c in chunks for f in host_se.run_chunk(c)]
+
+    dev = DeviceEngine(strand, settings, mesh=False)
+    live = [c for c in chunks if dev._chunk_geometry(c) is not None]
+    b_pad = dev._chunk_geometry(live[0])[0]
+    assert all(dev._chunk_geometry(c)[0] == b_pad for c in live)
+    gst = dev._dispatch_group(live, b_pad, cap=256, ev_cap=8)
+    res = dev._collect_group(gst)
+    tpu_fams = []
+    for c in chunks:
+        tpu_fams.extend(raw_families_to_protosds(
+            res.get(c, []), settings, c[0], c[1]))
+    h = [[vars(sd) for sd in fam] for fam in host_fams]
+    t = [[vars(sd) for sd in fam] for fam in tpu_fams]
+    assert json.dumps(t, sort_keys=True) == json.dumps(h, sort_keys=True)
+    assert len(tpu_fams) >= 2
