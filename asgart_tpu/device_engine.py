@@ -392,14 +392,49 @@ def _pad_group(n: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "reverse", "b_pad", "cap", "ev_cap"))
-def _scan_core_based(lo, hi, mask, sa, self_base, dir_base, rev_t0,
-                     max_match_pos, max_cardinality, j0,
+def _scan_core_based_group(lo_all, hi_all, mask_all, sa, params,
+                           max_match_pos, max_cardinality,
+                           k: int, reverse: bool, b_pad: int, cap: int,
+                           ev_cap: int):
+    """`_scan_core_based` over a group of same-geometry chunks
+    (``params`` [G, 5] = (lane_offset, chunk_len, self_base, dir_base,
+    rev_t0); dummies use chunk_len = 0) — the big-genome engine's
+    grouped stage 2, with per-chunk host-clamped rebased filter
+    constants riding in the params rows."""
+    step = k // 2
+
+    def one(p):
+        off, cl = p[0], p[1]
+        lo = jax.lax.dynamic_slice(lo_all, (off,), (b_pad,))
+        hi = jax.lax.dynamic_slice(hi_all, (off,), (b_pad,))
+        mask = jax.lax.dynamic_slice(mask_all, (off,), (b_pad,))
+        jl = jnp.arange(b_pad, dtype=I32)
+        m = mask & ((jl * step) < (cl - k - step))
+        return _core_from_ranges(
+            jnp.where(m, lo, 0), jnp.where(m, hi, 0), m, sa,
+            p[2], p[3], p[4], max_match_pos, max_cardinality,
+            jnp.int32(0), k=k, reverse=reverse, b_pad=b_pad,
+            cap=cap, ev_cap=ev_cap)
+
+    return jax.lax.map(one, params)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "reverse", "b_pad", "cap", "ev_cap"))
+def _scan_core_based(lo, hi, mask, sa, chunk_len, self_base, dir_base,
+                     rev_t0, max_match_pos, max_cardinality, j0,
                      k: int, reverse: bool, b_pad: int, cap: int,
                      ev_cap: int):
     """Scan tail with explicit (host-clamped) rebased filter constants —
-    the window-relative big-genome engine's stage 2."""
+    the window-relative big-genome engine's stage 2. Re-masks by the
+    chunk's probe bound: batched stage-1 slices may overhang into the
+    next chunk's lanes."""
+    step = k // 2
+    jl = jnp.arange(b_pad, dtype=I32)
+    m = mask & (((j0 + jl) * step) < (chunk_len - k - step))
     return _core_from_ranges(
-        lo, hi, mask, sa, self_base, dir_base, rev_t0, max_match_pos,
+        jnp.where(m, lo, 0), jnp.where(m, hi, 0), m, sa, self_base,
+        dir_base, rev_t0, max_match_pos,
         max_cardinality, j0, k=k, reverse=reverse, b_pad=b_pad,
         cap=cap, ev_cap=ev_cap)
 
@@ -510,10 +545,11 @@ def _merge_join_core(key_hi, key_lo, run_lo, codes_dec, x0, j0, chunk_len,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "k", "reverse", "complement", "first_len", "specs", "total"))
-def _window_ranges_batch(key_hi, key_lo, run_lo, codes_dec,
+    "k", "reverse", "complement", "first_len", "specs", "total", "x0s"))
+def _window_ranges_batch(key_hi, key_lo, run_lo, codes_dec, j0s,
                          k: int, reverse: bool, complement: bool,
-                         first_len: int, specs: tuple, total: int):
+                         first_len: int, specs: tuple, total: int,
+                         x0s: tuple | None = None):
     """ALL chunks' merge-join ranges in ONE co-sort.
 
     The co-sort's W side (the whole sorted window) dominates its cost,
@@ -525,18 +561,33 @@ def _window_ranges_batch(key_hi, key_lo, run_lo, codes_dec,
     ``total`` with sentinel keys that sort last and match nothing, and
     joined against the window in a single `_mj_tail`.
 
+    ``j0s`` [n_chunks] (traced): each chunk's probe-lane origin — zero
+    for single-device runs; cell p of a probe-sharded mesh passes
+    ``p * b_local`` per chunk so every cell packs only its own probe
+    slice. Lanes past a chunk's probe bound are masked here (exact
+    per-chunk totals even when n_lanes overshoots the bound).
+
+    ``x0s`` overrides the probe->text map per chunk (static): the
+    big-genome engine packs NEEDLE-LOCAL codes laid out back-to-back in
+    one buffer, so chunk i's probe j=0 reads at its base offset + step
+    instead of `_probe_x0`'s doubled-text position.
+
     Returns (lo [total], hi [total], mask [total], totals [n_chunks]) —
     per-chunk exact raw-match sums for capacity sizing; per-chunk lanes
     start at offset sum(n_lanes of earlier chunks).
     """
     step = k // 2
     phis, plos, masks = [], [], []
-    for (cs, cl, nc) in specs:
-        x0 = _probe_x0(cs, cl, first_len, k, reverse, complement)
+    for i, (cs, cl, nc) in enumerate(specs):
+        x0 = (x0s[i] if x0s is not None
+              else _probe_x0(cs, cl, first_len, k, reverse, complement)) \
+            + j0s[i] * step
         phi, plo, n_mask = _pack_probe_lanes(codes_dec, x0, nc, k)
+        lane_ok = ((j0s[i] + jnp.arange(nc, dtype=I32)) * step) \
+            < (cl - k - step)
         phis.append(phi)
         plos.append(plo)
-        masks.append(n_mask)
+        masks.append(n_mask & lane_ok)
     pad = total - sum(nc for (_, _, nc) in specs)
     big = jnp.full(pad, np.int32(2**31 - 1), I32)
     phi = jnp.concatenate(phis + [big])
@@ -1150,6 +1201,7 @@ class DeviceWindowEngine(DeviceEngine):
             + max(g[0] for g in geo_of.values()) + 8
         lo, hi, mask, totals = _window_ranges_batch(
             w.key_hi, w.key_lo, w.run_lo, w.codes,
+            jnp.zeros(len(specs), I32),
             k, s.reverse, s.complement, int(w.first_len),
             tuple(specs), total)
         # ONE totals fetch (a per-chunk device scalar read would cost a
@@ -1287,6 +1339,22 @@ class BigWindowEngine(DeviceEngine):
         return ("big", self.first_len, self.trim, s.probe_size,
                 s.reverse, s.complement, s.max_cardinality, chunk)
 
+    def _needle_codes_host(self, chunk):
+        """Transformed needle symbol codes for one chunk (host)."""
+        from .index import CODE
+        from .pipeline import transform_needle
+
+        start, length = chunk
+        if length >= (1 << 30):
+            raise ValueError(
+                "chunk exceeds 2^30 positions (unbroken N-free run "
+                "> 1 Gbp); big-window filters require chunk_len "
+                "< 2^30")
+        s = self.settings
+        return CODE[transform_needle(
+            self.strand.data[start:start + length],
+            s.reverse, s.complement)]
+
     def _stage1_for(self, chunk):
         st1 = self._stage1.get(chunk)
         if st1 is None:
@@ -1294,34 +1362,109 @@ class BigWindowEngine(DeviceEngine):
             if geo is None:
                 return None
             b_pad, _, _ = geo
-            s = self.settings
-            start, length = chunk
-            if length >= (1 << 30):
-                raise ValueError(
-                    "chunk exceeds 2^30 positions (unbroken N-free run "
-                    "> 1 Gbp); big-window filters require chunk_len "
-                    "< 2^30")
-            from .index import CODE
-            from .pipeline import transform_needle
-
-            needle = transform_needle(
-                self.strand.data[start:start + length],
-                s.reverse, s.complement)
-            k = s.probe_size
-            step = k // 2
-            # host-side decimation (the merge join reads decimated rows)
-            C3 = b_pad + 7
-            codes_host = np.zeros(C3 * step, dtype=np.uint8)
-            codes_host[:length] = CODE[needle]
-            needle_codes = jax.device_put(
-                np.ascontiguousarray(
-                    codes_host.reshape(C3, step).T).reshape(-1))
-            st1 = _needle_ranges(
-                self.key_hi, self.key_lo, self.run_lo, needle_codes,
-                jnp.int32(length), jnp.int32(0),
-                k=k, b_pad=b_pad)
+            goff = getattr(self, "_g_off", {}).get(chunk)
+            if goff is not None:
+                lo, hi, mask = self._g_full
+                st1 = _slice_lanes(lo, hi, mask, goff[0], b_pad) \
+                    + (goff[1],)
+            else:
+                s = self.settings
+                length = chunk[1]
+                k = s.probe_size
+                step = k // 2
+                # host-side decimation (merge join reads decimated rows)
+                C3 = b_pad + 7
+                codes_host = np.zeros(C3 * step, dtype=np.uint8)
+                codes_host[:length] = self._needle_codes_host(chunk)
+                needle_codes = jax.device_put(
+                    np.ascontiguousarray(
+                        codes_host.reshape(C3, step).T).reshape(-1))
+                st1 = _needle_ranges(
+                    self.key_hi, self.key_lo, self.run_lo, needle_codes,
+                    jnp.int32(length), jnp.int32(0),
+                    k=k, b_pad=b_pad)
             self._stage1[chunk] = st1
         return st1
+
+    def _batch_stage1(self, chunks):
+        """ONE concatenated needle-codes upload + ONE merge-join co-sort
+        for a batch of chunks: the per-chunk path re-sorts the window's
+        W keys per chunk (the dominant stage-1 cost at W up to 2^30) and
+        pays a host->device upload round trip per chunk."""
+        s = self.settings
+        k = s.probe_size
+        step = k // 2
+        geo_of = {}
+        for c in chunks:
+            if c in self._stage1:
+                continue
+            geo = self._chunk_geometry(c)
+            if geo is not None:
+                geo_of[c] = geo
+        if len(geo_of) < 2:
+            return
+        # back-to-back chunk regions in ONE plain codes buffer, each
+        # padded to a step multiple with probe-window slack
+        bases, specs = {}, []
+        off = 0
+        for c, geo in geo_of.items():
+            b_pad = geo[0]
+            nc = (c[1] - k - step + step - 1) // step
+            bases[c] = off
+            specs.append((int(c[0]), int(c[1]), nc))
+            off += (b_pad + 4) * step
+        codes_host = np.zeros(off, dtype=np.uint8)
+        for c in geo_of:
+            codes_host[bases[c]: bases[c] + c[1]] = \
+                self._needle_codes_host(c)
+        # host-side decimation of the whole buffer as one matrix
+        codes_dec = jax.device_put(np.ascontiguousarray(
+            codes_host.reshape(off // step, step).T).reshape(-1))
+        x0s = tuple(bases[c] + step for c in geo_of)
+        total = sum(sp[2] for sp in specs) \
+            + max(g[0] for g in geo_of.values()) + 8
+        lo, hi, mask, totals = _window_ranges_batch(
+            self.key_hi, self.key_lo, self.run_lo, codes_dec,
+            jnp.zeros(len(specs), I32),
+            k, s.reverse, s.complement, int(self.first_len),
+            tuple(specs), total, x0s=x0s)
+        tot_host = np.asarray(totals)
+        self._g_full = (lo, hi, mask)
+        self._g_off = {}
+        lane_off = 0
+        for i, c in enumerate(geo_of):
+            self._g_off[c] = (lane_off, float(tot_host[i]))
+            lane_off += specs[i][2]
+
+    def _rebased(self, chunk):
+        """Host-clamped rebased filter constants (outcome-preserving —
+        see `_core_from_ranges`)."""
+        start, length = chunk
+        ws = self.trim[0]
+        W = self.W
+        lo_c, hi_c = -(length + 2), W + 2
+        return (int(np.clip(-ws, lo_c, hi_c)),
+                int(np.clip(start - ws, lo_c, hi_c)),
+                int(np.clip(start + length - ws, -2, W + length + 2)))
+
+    def _dispatch_group(self, group, b_pad, cap, ev_cap):
+        """Grouped `_scan_core_based_group` dispatch with per-chunk
+        rebased filter constants in the params rows."""
+        s = self.settings
+        lo, hi, mask = self._g_full
+        gs = _pad_group(len(group))
+        params = np.zeros((gs, 5), dtype=np.int32)
+        for i, c in enumerate(group):
+            params[i] = (self._g_off[c][0], c[1]) + self._rebased(c)
+        t0 = time.time()
+        ev, m, sc = _scan_core_based_group(
+            lo, hi, mask, self.sa, jnp.asarray(params),
+            jnp.int32(self.W + 1), jnp.int32(s.max_cardinality),
+            k=s.probe_size, reverse=s.reverse, b_pad=b_pad,
+            cap=cap, ev_cap=ev_cap)
+        self._lap(t0, f"group dispatch ({len(group)}/{gs}, cap={cap})")
+        return {"chunks": list(group), "ev": ev, "m": m, "sc": sc,
+                "cap": cap, "ev_cap": ev_cap}
 
     def _prepass_total(self, chunk):
         st1 = self._stage1_for(chunk)
@@ -1347,15 +1490,10 @@ class BigWindowEngine(DeviceEngine):
                 cap = _bucket(max(total_raw + 1, MIN_CAP))
         if ev_cap is None:
             ev_cap = _bucket(min(cap, b_local)) // 4
-        # host-clamped rebased filter constants (outcome-preserving)
-        ws = self.trim[0]
+        base_self, base_dir, rev_t0 = self._rebased(chunk)
         W = self.W
-        lo_c, hi_c = -(length + 2), W + 2
-        base_self = int(np.clip(-ws, lo_c, hi_c))
-        base_dir = int(np.clip(start - ws, lo_c, hi_c))
-        rev_t0 = int(np.clip(start + length - ws, -2, W + length + 2))
         ev_pack, m_flat, scalars = _scan_core_based(
-            lo, hi, mask, self.sa,
+            lo, hi, mask, self.sa, jnp.int32(length),
             jnp.int32(base_self), jnp.int32(base_dir), jnp.int32(rev_t0),
             jnp.int32(W + 1), jnp.int32(s.max_cardinality),
             jnp.int32(0), k=s.probe_size, reverse=s.reverse,
@@ -1370,12 +1508,58 @@ class BigWindowEngine(DeviceEngine):
         return out
 
     def run_chunks(self, chunks):
+        """Chunks run in budget-bounded BATCHES (one concatenated
+        needle upload + one co-sort + grouped cores per batch); the
+        concatenated codes buffer is the extra HBM cost, so batches cap
+        at ~budget/16 bytes of needle codes."""
+        s = self.settings
+        k = s.probe_size
+        step = k // 2
+        from .device_index import hbm_budget_bytes
+
+        budget = int(os.environ.get("ASGART_BIG_BATCH_BYTES", 0)) \
+            or max(hbm_budget_bytes() // 16, 1 << 28)
+        results: dict = {}
+        batch: list = []
+        acc = 0
         for c in chunks:
-            self._stage1_for(c)
-        states = [self._dispatch_chunk(c) for c in chunks]
-        out = [self._collect_chunk(st) for st in states]
+            geo = self._chunk_geometry(c)
+            if geo is None:
+                continue
+            reg = (geo[0] + 4) * step
+            if batch and acc + reg > budget:
+                self._run_batch(batch, results)
+                batch, acc = [], 0
+            batch.append(c)
+            acc += reg
+        if batch:
+            self._run_batch(batch, results)
+        return [results.get(c, []) for c in chunks]
+
+    def _run_batch(self, chunks, results):
+        """One batched stage 1 + grouped cores for a chunk batch
+        (singletons fall through to the per-chunk path)."""
+        self._g_off = {}
+        self._g_full = None
+        self._batch_stage1(chunks)
+        in_batch = [c for c in chunks if c in self._g_off]
+        rest = [c for c in chunks if c not in self._g_off]
+        totals = {c: off[1] for c, off in self._g_off.items()}
+        groups, singles = self._plan_groups(in_batch, totals,
+                                            slack=False)
+        gstates = [self._dispatch_group(part, b_pad, cap, ev_cap)
+                   for part, b_pad, cap, ev_cap in groups]
+        sstates = {c: self._dispatch_chunk(c, cap=cap, ev_cap=ev_cap)
+                   for c, cap, ev_cap in singles}
+        for c in rest:
+            sstates[c] = self._dispatch_chunk(c)
+        for gst in gstates:
+            results.update(self._collect_group(gst))
+        for c, st in sstates.items():
+            results[c] = self._collect_chunk(st)
         self._stage1.clear()
-        return out
+        self._g_off = {}
+        self._g_full = None
 
 
 def _mesh_window_ranges(mesh, k: int, reverse: bool, complement: bool,
@@ -1403,6 +1587,66 @@ def _mesh_window_ranges(mesh, k: int, reverse: bool, complement: bool,
         in_specs=(P("windows"), P("windows"), P("windows"),
                   P(), P(), P(), P()),
         out_specs=(P("windows", "probes"),) * 4,
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+def _mesh_ranges_batch(mesh, k: int, reverse: bool, complement: bool,
+                       first_len: int, specs: tuple, total: int,
+                       b_locals: tuple):
+    """Batched stage-1 SPMD over the (windows x probes) mesh: ONE
+    dispatch computes every chunk's merge-join ranges on every cell —
+    re-sorting each window's W keys per chunk made mesh stage 1 scale
+    with the chunk count, exactly the single-device disease fixed by
+    `_window_ranges_batch`. Cell (w, p) joins its probe slices (lane
+    origin ``p * b_local`` per chunk) against window w's keys."""
+    from jax.sharding import PartitionSpec as P
+
+    bl = np.array(b_locals, dtype=np.int32)
+
+    def stepf(key_hi, key_lo, run_lo, codes):
+        p = jax.lax.axis_index("probes").astype(I32)
+        j0s = p * jnp.asarray(bl)
+        lo, hi, mask, totals = _window_ranges_batch(
+            key_hi[0], key_lo[0], run_lo[0], codes, j0s,
+            k, reverse, complement, first_len, specs, total)
+        return (lo[None, None], hi[None, None], mask[None, None],
+                totals[None, None])
+
+    mapped = jax.shard_map(
+        stepf, mesh=mesh,
+        in_specs=(P("windows"), P("windows"), P("windows"), P()),
+        out_specs=(P("windows", "probes"),) * 4,
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+def _mesh_window_core_off(mesh, k: int, reverse: bool, b_local: int,
+                          cap: int, ev_cap: int):
+    """Stage-2 SPMD consuming the batched stage-1 arrays: each cell
+    slices its chunk's lanes at the (cell-local) offset — no per-chunk
+    stage-1 dispatches, no slice dispatches."""
+    from jax.sharding import PartitionSpec as P
+
+    def stepf(lo_all, hi_all, mask_all, sa, off, chunk_start, chunk_len,
+              max_cardinality):
+        p = jax.lax.axis_index("probes").astype(I32)
+        j0 = p * b_local
+        lo = jax.lax.dynamic_slice(lo_all[0, 0], (off,), (b_local,))
+        hi = jax.lax.dynamic_slice(hi_all[0, 0], (off,), (b_local,))
+        mask = jax.lax.dynamic_slice(mask_all[0, 0], (off,), (b_local,))
+        ev_pack, m_flat, scalars = _scan_core(
+            lo, hi, mask, sa[0], chunk_start, chunk_len,
+            jnp.int32((1 << 31) - 1), max_cardinality, j0,
+            k=k, reverse=reverse, b_pad=b_local, cap=cap, ev_cap=ev_cap)
+        return ev_pack[None, None], m_flat[None, None], scalars[None, None]
+
+    mapped = jax.shard_map(
+        stepf, mesh=mesh,
+        in_specs=(P("windows", "probes"), P("windows", "probes"),
+                  P("windows", "probes"), P("windows"), P(), P(), P(),
+                  P()),
+        out_specs=(P("windows", "probes"),) * 3,
         check_vma=False)
     return jax.jit(mapped)
 
@@ -1521,66 +1765,123 @@ class MeshWindowEngine:
     def run_windows(self, chunks):
         """Scan every chunk for every window; returns
         ``raw[w][c]`` = the native-format families of window w on
-        chunk c (needle-relative lefts, global rights)."""
+        chunk c (needle-relative lefts, global rights).
+
+        With >= 2 live chunks, stage 1 runs as ONE batched SPMD
+        dispatch (`_mesh_ranges_batch` — per-chunk co-sorts re-sorted
+        each window's W keys per chunk, scaling stage 1 with the chunk
+        count) and the cores consume the batched arrays at per-chunk
+        lane offsets."""
         s = self.settings
-        k = s.probe_size
         S = self.mesh.shape["windows"]
         out = [[[] for _ in chunks] for _ in range(S)]
-        states = []
-        for ci, chunk in enumerate(chunks):
-            geo = self._geometry(chunk)
-            if geo is None:
-                states.append(None)
-                continue
-            b_pad, b_local, P_ax = geo
-            ranges_fn = _mesh_window_ranges(
-                self.mesh, k, s.reverse, s.complement, b_local)
-            st1 = ranges_fn(self.key_hi, self.key_lo, self.run_lo,
-                            self.codes, jnp.int32(chunk[0]),
-                            jnp.int32(chunk[1]),
-                            jnp.int32(self.first_len))
-            states.append((chunk, b_local, P_ax, st1))
+        live = [(ci, c, self._geometry(c)) for ci, c in enumerate(chunks)]
+        live = [(ci, c, g) for ci, c, g in live if g is not None]
+        if len(live) >= 2:
+            self._run_batched(live, out)
+        else:
+            for ci, c, g in live:
+                self._run_one(ci, c, g, None, None, out)
+        return out
 
-        for ci, st in enumerate(states):
-            if st is None:
-                continue
-            chunk, b_local, P_ax, (lo, hi, mask, totals) = st
-            tot_host = np.asarray(totals)
-            cap = _bucket(max(int(tot_host.max()) + 1, MIN_CAP))
+    def _run_batched(self, live, out):
+        s = self.settings
+        k = s.probe_size
+        specs = tuple((int(c[0]), int(c[1]), g[1]) for _, c, g in live)
+        b_locals = tuple(g[1] for _, c, g in live)
+        total = sum(b_locals) + max(b_locals) + 8
+        ranges_fn = _mesh_ranges_batch(
+            self.mesh, k, s.reverse, s.complement, int(self.first_len),
+            specs, total, b_locals)
+        lo, hi, mask, totals = ranges_fn(
+            self.key_hi, self.key_lo, self.run_lo, self.codes)
+        tot = np.asarray(totals)  # [S, P, C] — ONE fetch for all chunks
+        states = []
+        off = 0
+        for i, (ci, chunk, geo) in enumerate(live):
+            _, b_local, P_ax = geo
+            cap = _bucket(max(int(tot[:, :, i].max()) + 1, MIN_CAP))
             ev_cap = _bucket(min(cap, b_local)) // 4
-            while True:
-                core_fn = _mesh_window_core(
-                    self.mesh, k, s.reverse, b_local, cap, ev_cap)
-                ev, mf, sc = core_fn(
-                    lo, hi, mask, self.sa, jnp.int32(chunk[0]),
-                    jnp.int32(chunk[1]), jnp.int32(s.max_cardinality))
-                sc_host = np.asarray(sc)  # [S, P, 4]
-                if not sc_host[:, :, 3].any():
-                    break
+            core_fn = _mesh_window_core_off(
+                self.mesh, k, s.reverse, b_local, cap, ev_cap)
+            ev, mf, sc = core_fn(
+                lo, hi, mask, self.sa, jnp.int32(off),
+                jnp.int32(chunk[0]), jnp.int32(chunk[1]),
+                jnp.int32(s.max_cardinality))
+            states.append((ci, chunk, geo, cap, ev_cap, ev, mf, sc))
+            off += b_local
+        for (ci, chunk, geo, cap, ev_cap, ev, mf, sc) in states:
+            _, b_local, P_ax = geo
+            sc_host = np.asarray(sc)
+            if sc_host[:, :, 3].any():
+                # batched totals are exact, so only ev_cap can
+                # overflow; retry this chunk through the per-chunk path
                 max_ev = int(sc_host[:, :, 0].max())
                 if max_ev > ev_cap:
                     ev_cap = _bucket(max_ev + 1)
                 else:
                     cap *= 2
-                log.debug("mesh scan retry: cap=%d ev_cap=%d", cap, ev_cap)
+                log.debug("mesh batched retry: cap=%d ev_cap=%d",
+                          cap, ev_cap)
+                self._run_one(ci, chunk, geo, cap, ev_cap, out)
+                continue
+            self._chain_cells(ci, chunk, P_ax, ev, mf, sc_host, out)
 
-            for w in range(S):
-                parts = []
-                for p in range(P_ax):
-                    n_events, total_kept, z_trail, _ = (
-                        int(v) for v in sc_host[w, p])
-                    parts.append((np.asarray(ev[w, p][:, :n_events]),
-                                  np.asarray(mf[w, p][:total_kept]),
-                                  z_trail))
-                evm, m_host, z_trail = _merge_shard_events(parts)
-                if evm is None:
-                    continue
-                m_offsets = np.zeros(evm.shape[1] + 1, dtype=np.int64)
-                np.cumsum(evm[2], out=m_offsets[1:])
-                out[w][ci] = native.chain_events(
-                    evm[0], evm[1], m_offsets, m_host, z_trail=z_trail,
-                    probe_size=k, step_size=k // 2,
-                    max_gap_size=s.max_gap_size,
-                    min_duplication_length=s.min_duplication_length,
-                    max_cardinality=s.max_cardinality)
-        return out
+    def _run_one(self, ci, chunk, geo, cap, ev_cap, out):
+        """Per-chunk stage 1 + core with overflow retry (singleton and
+        batched-overflow fallback path)."""
+        s = self.settings
+        k = s.probe_size
+        _, b_local, P_ax = geo
+        ranges_fn = _mesh_window_ranges(
+            self.mesh, k, s.reverse, s.complement, b_local)
+        lo, hi, mask, totals = ranges_fn(
+            self.key_hi, self.key_lo, self.run_lo, self.codes,
+            jnp.int32(chunk[0]), jnp.int32(chunk[1]),
+            jnp.int32(self.first_len))
+        if cap is None:
+            tot_host = np.asarray(totals)
+            cap = _bucket(max(int(tot_host.max()) + 1, MIN_CAP))
+            ev_cap = _bucket(min(cap, b_local)) // 4
+        while True:
+            core_fn = _mesh_window_core(
+                self.mesh, k, s.reverse, b_local, cap, ev_cap)
+            ev, mf, sc = core_fn(
+                lo, hi, mask, self.sa, jnp.int32(chunk[0]),
+                jnp.int32(chunk[1]), jnp.int32(s.max_cardinality))
+            sc_host = np.asarray(sc)  # [S, P, 4]
+            if not sc_host[:, :, 3].any():
+                break
+            max_ev = int(sc_host[:, :, 0].max())
+            if max_ev > ev_cap:
+                ev_cap = _bucket(max_ev + 1)
+            else:
+                cap *= 2
+            log.debug("mesh scan retry: cap=%d ev_cap=%d", cap, ev_cap)
+        self._chain_cells(ci, chunk, P_ax, ev, mf, sc_host, out)
+
+    def _chain_cells(self, ci, chunk, P_ax, ev, mf, sc_host, out):
+        """Download cells' events, merge the probe axis with the aging
+        carry, chain per window."""
+        s = self.settings
+        k = s.probe_size
+        S = self.mesh.shape["windows"]
+        for w in range(S):
+            parts = []
+            for p in range(P_ax):
+                n_events, total_kept, z_trail, _ = (
+                    int(v) for v in sc_host[w, p])
+                parts.append((np.asarray(ev[w, p][:, :n_events]),
+                              np.asarray(mf[w, p][:total_kept]),
+                              z_trail))
+            evm, m_host, z_trail = _merge_shard_events(parts)
+            if evm is None:
+                continue
+            m_offsets = np.zeros(evm.shape[1] + 1, dtype=np.int64)
+            np.cumsum(evm[2], out=m_offsets[1:])
+            out[w][ci] = native.chain_events(
+                evm[0], evm[1], m_offsets, m_host, z_trail=z_trail,
+                probe_size=k, step_size=k // 2,
+                max_gap_size=s.max_gap_size,
+                min_duplication_length=s.min_duplication_length,
+                max_cardinality=s.max_cardinality)

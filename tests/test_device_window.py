@@ -351,3 +351,24 @@ def test_one_window_many_chunks_batch(tmp_path, monkeypatch):
         JSONExporter().save(tpu, bt)
         assert bt.getvalue() == bh.getvalue(), kw
     assert host.families
+
+
+def test_big_window_chunk_heavy_batched(tmp_path, monkeypatch):
+    """6 chunks through the forced big-window engine's batched stage 1
+    (one concatenated needle upload + one co-sort + grouped rebased
+    cores), split over TWO batches by a tiny batch budget; RC mode."""
+    monkeypatch.setenv("ASGART_BIG_WINDOW", "1")
+    monkeypatch.setenv("ASGART_BIG_BATCH_BYTES", str(3 * (1 << 20)))
+    rng = np.random.default_rng(47)
+    g = bytearray(random_dna(rng, 130000, b"ACGT"))
+    g[30000:31500] = revcomp(bytes(g[4000:5500]))
+    g[100000:101800] = revcomp(bytes(g[60000:61800]))
+    g[125000:126200] = bytes(g[90000:91200])
+    for p in (12000, 50000, 70000, 110000, 118000):
+        g[p:p + 6000] = b"N" * 6000
+    host, tpu = run_both(
+        tmp_path, bytes(g),
+        dict(reverse=True, complement=True, trim=(0, 128000),
+             min_duplication_length=700))
+    assert_results_equal(host, tpu)
+    assert host.families

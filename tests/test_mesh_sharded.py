@@ -131,3 +131,25 @@ def test_indivisible_device_count_falls_back(tmp_path):
                            dict(min_duplication_length=800), 3)
     assert json_of(tpu) == json_of(host)
     assert host.families
+
+
+def test_mesh_batched_stage1_many_chunks(tmp_path):
+    """Chunk-heavy mesh run (6 chunks of uneven sizes -> differing
+    per-chunk b_local lane origins) through the batched SPMD stage 1:
+    byte equality with the sequential trim+merge workflow, direct and
+    RC."""
+    rng = np.random.default_rng(26)
+    n = 150000
+    g = bytearray(random_dna(rng, n, b"ACGT"))
+    g[30000:31500] = bytes(g[4000:5500])       # window-straddling pair
+    g[100000:101800] = bytes(g[60000:61800])
+    g[140000:141200] = revcomp(bytes(g[85000:86200]))
+    # uneven N-runs -> chunks of 12k..40k (different probe buckets)
+    for p in (12000, 50000, 75000, 110000, 128000):
+        g[p:p + 6000] = b"N" * 6000
+    for kw in ({}, dict(reverse=True, complement=True)):
+        host, tpu = run_shards(
+            tmp_path, [("chr1", bytes(g))],
+            dict(min_duplication_length=700, **kw), 2)
+        assert json_of(tpu) == json_of(host), kw
+    assert host.families
