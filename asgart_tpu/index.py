@@ -22,10 +22,13 @@ symbols and can never equal an ACGTN probe, reproducing the reference's
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
+
+_BUCKET_BUILD_LOCK = threading.Lock()
 
 # byte → 3-bit symbol rank; '$'(36) < 'A' < 'C' < 'G' < 'N' < 'T'
 CODE = np.zeros(256, dtype=np.uint8)
@@ -362,7 +365,12 @@ class PositionIndex:
         if self.keys is None:
             raise ValueError("index built without retained keys")
         if not hasattr(self, "_bucket_table"):
-            self._build_bucket_table(n_threads)
+            # build paths create the table eagerly; this lazy fallback
+            # (hand-constructed indexes) is locked so concurrent
+            # search_ranges callers don't duplicate the build
+            with _BUCKET_BUILD_LOCK:
+                if not hasattr(self, "_bucket_table"):
+                    self._build_bucket_table(n_threads)
         return native.batch_equal_range(
             self.keys, probe_kmers, n_threads,
             bucket_table=self._bucket_table, k=self.k,

@@ -1,5 +1,12 @@
 """Multi-device execution: probe-parallel search over a ``jax.sharding.Mesh``.
 
+NB (round 2): this module is the round-1 SPMD *prototype*, kept for its
+tests and as the simplest readable statement of the sharding design. The
+PRODUCTION multi-device paths live in :mod:`asgart_tpu.device_engine`
+(`_sharded_scan` probe-axis SPMD, `MeshWindowEngine` composed
+windows × probes mesh) on top of the on-device index build
+(:mod:`asgart_tpu.device_index`).
+
 The reference's scale-out axes (SURVEY §2): rayon chunk-parallelism within
 one host plus the manual ``--trim`` + ``asgart-slice`` merge workflow. The
 TPU-native design replaces both with SPMD over a device mesh:
