@@ -87,6 +87,21 @@ def one_trial(t, d):
             del os.environ["ASGART_HBM_BYTES"]
         assert win == host, \
             f"trial {t}: one-window != host (k={k}, kw={kw})"
+    if k <= 20 and t % 3 == 0:
+        # forced big-window engine with a tiny batch budget: exercises
+        # the batched needle upload + multi-batch split + grouped
+        # rebased cores
+        os.environ["ASGART_BIG_WINDOW"] = "1"
+        os.environ["ASGART_BIG_BATCH_BYTES"] = str(1 << 20)
+        try:
+            big = js(search_duplications(
+                [fa], RunSettings(trim=(0, n), **kw), engine="tpu"))
+            bh = js(search_duplications(
+                [fa], RunSettings(trim=(0, n), **kw), engine="host"))
+        finally:
+            del os.environ["ASGART_BIG_WINDOW"]
+            del os.environ["ASGART_BIG_BATCH_BYTES"]
+        assert big == bh, f"trial {t}: big-window != host (k={k}, kw={kw})"
     sh = search_duplications([fa], RunSettings(**kw), shards=3)
     n_sh = sum(len(f) for f in sh.families)
     return sum(len(f) for f in
