@@ -33,6 +33,19 @@ from .utils import complemented
 log = logging.getLogger("asgart")
 
 
+def _is_backend_unavailable(e: BaseException) -> bool:
+    """True for jax *backend-init* failures (device runtime down or
+    unreachable — e.g. "Unable to initialize backend 'axon':
+    UNAVAILABLE"), which the pipeline degrades to the host engine; any
+    other error propagates (a device-path bug must not silently fall
+    back and hide behind byte-equal host output)."""
+    if not isinstance(e, RuntimeError):
+        return False
+    msg = str(e)
+    return ("nitialize backend" in msg or "UNAVAILABLE" in msg
+            or "backend setup" in msg or "No visible" in msg)
+
+
 def probe_positions(needle: np.ndarray, probe_size: int) -> np.ndarray:
     """Needle indices probed by the automaton: ``i = step, 2*step, …`` while
     ``i < len - probe - step`` pre-increment (automaton.rs:90-97), minus
@@ -258,7 +271,15 @@ def _search_duplications_sharded(
         # chunk — byte-equal to the sequential trim+merge workflow
         import jax
 
-        n_dev = len(jax.devices())
+        try:
+            n_dev = len(jax.devices())
+        except RuntimeError as e:
+            if not _is_backend_unavailable(e):
+                raise
+            log.warning("device backend unavailable (%s); running the "
+                        "sharded windows on the host engine", e)
+            n_dev = 0
+            engine = "host"
         if n_dev > 1 and n_dev >= len(windows) \
                 and n_dev % len(windows) == 0:
             from jax.sharding import Mesh
@@ -457,9 +478,19 @@ def search_duplications(
         # automatic one-window demotion past the HBM budget — or the trim
         # window with merge-join probe lookup), scan + compaction on
         # device, event chaining on host (device_engine module docstring)
-        se = _DeviceEngineAdapter(strand, settings, profile=prof,
-                                  trim=trim)
-    else:
+        try:
+            se = _DeviceEngineAdapter(strand, settings, profile=prof,
+                                      trim=trim)
+        except RuntimeError as e:
+            # device runtime down/unreachable: degrade to the host
+            # engine (byte-equal output) instead of failing the run
+            if not _is_backend_unavailable(e):
+                raise
+            log.warning("device backend unavailable (%s); falling back "
+                        "to the host engine", e)
+            use_device = False
+            engine = "host"
+    if not use_device:
         # wide probes (k > 20) keep the host strategies
         se = SearchEngine(strand, settings, trim, engine=engine,
                           index_cache=index_cache)

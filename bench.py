@@ -111,13 +111,47 @@ def run_device_pass(strand, chunks, settings, codes_device=None):
     return fams, t_index, t_scan
 
 
-def start_device_worker(strand, chunks, settings, n, budget_s,
-                        codes_device=None):
+def start_device_claim(skip: bool):
+    """Touch the device backend from a DAEMON thread only: backend init
+    through the axon relay can either stall for many minutes or raise
+    UNAVAILABLE outright, and neither may block the main thread (the one
+    JSON line must always print inside the wall ceiling). The thread
+    claims the backend with a tiny dispatch, then waits for the genome
+    bytes (``claim["data"]`` + ``ev_data``) and starts the async 1 B/bp
+    codes upload so the wire transfer overlaps the host-side phase."""
+    import threading
+
+    claim = {"ev_data": threading.Event(), "done": threading.Event()}
+    if skip:
+        claim["err"] = RuntimeError("BENCH_SKIP_DEVICE=1")
+        claim["done"].set()
+        return claim
+
+    def worker():
+        try:
+            import jax
+            import jax.numpy as jnp
+            jax.jit(lambda x: x * 2 + 1)(jnp.arange(8))
+            claim["ev_data"].wait()
+            if "data" in claim:
+                from asgart_tpu.device_index import DeviceIndex
+                claim["codes"] = DeviceIndex.upload_codes(claim["data"])
+        except Exception as e:  # pragma: no cover - defensive
+            claim["err"] = e
+            log(f"device claim failed ({e!r}); host-only bench")
+        finally:
+            claim["done"].set()
+
+    threading.Thread(target=worker, daemon=True).start()
+    return claim
+
+
+def start_device_worker(strand, chunks, settings, n, budget_s, claim):
     """Launch the TPU measurement worker immediately (daemon thread).
 
     The axon relay's per-process claim/compile can stall for many
     minutes at random, so the worker starts BEFORE the host-side
-    baseline measurements: the stall overlaps them instead of burning
+    engine measurements: the stall overlaps them instead of burning
     the watchdog budget. The worker spends most of its life blocked on
     the tunnel, so the host numbers see little CPU contention. Collected
     later with `collect_device(state)`; on stall the daemon
@@ -129,6 +163,10 @@ def start_device_worker(strand, chunks, settings, n, budget_s,
 
     def worker():
         try:
+            claim["done"].wait()  # daemon: a stalled claim is abandoned
+            if "err" in claim:
+                raise claim["err"]
+            codes_device = claim.get("codes")
             deadline = time.time() + budget_s
             for p in range(3):
                 fams, ti, ts = run_device_pass(strand, chunks, settings,
@@ -181,11 +219,12 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-    # Fire-and-forget tiny dispatch: the axon service takes seconds to
-    # minutes to serve a process's first work; start the claim now so it
-    # overlaps the host-side setup below.
-    import jax.numpy as jnp
-    _warm = jax.jit(lambda x: x * 2 + 1)(jnp.arange(8))
+    # Start the backend claim now (daemon thread — init can stall for
+    # many minutes or raise UNAVAILABLE, and neither may block this
+    # thread): the axon service takes seconds to minutes to serve a
+    # process's first work, so the claim overlaps the host-side setup.
+    claim = start_device_claim(
+        skip=os.environ.get("BENCH_SKIP_DEVICE") == "1")
 
     from asgart_tpu.fasta import Strand, find_chunks_to_process
     from asgart_tpu.structs import RunSettings, Start
@@ -202,20 +241,16 @@ def main():
     chunks = find_chunks_to_process(g)
     settings = RunSettings(reverse=True, complement=True)
 
-    # Start the (async) genome-code upload now: a serving deployment
-    # keeps the genome resident in HBM and overlaps the one-time 1 B/bp
-    # transfer with input preparation; here it overlaps the host-side
-    # baseline measurements below. The cold pass still includes every
-    # compile; only this wire transfer sits outside the measured window.
-    codes_dev = None
+    # Hand the genome bytes to the claim thread: it starts the (async)
+    # 1 B/bp codes upload as soon as the backend answers. A serving
+    # deployment keeps the genome resident in HBM and overlaps the
+    # one-time transfer with input preparation; here it overlaps the
+    # host-side baseline measurements below. The cold pass still
+    # includes every compile; only this wire transfer sits outside the
+    # measured window.
     dev_state = None
-    if os.environ.get("BENCH_SKIP_DEVICE") != "1":
-        try:
-            from asgart_tpu.device_index import DeviceIndex
-            codes_dev = DeviceIndex.upload_codes(data)  # async claim+xfer
-        except Exception as e:  # pragma: no cover - defensive
-            log(f"device preupload unavailable ({e!r}); the worker will "
-                "upload in-pass")
+    claim["data"] = data
+    claim["ev_data"].set()
 
     # --- baseline: reference-design proxy on a genome slice ---------------
     # Single-threaded SA-IS over the single text + per-probe binary search,
@@ -265,9 +300,9 @@ def main():
     # the TPU worker starts only now: its client-side tracing/compiles
     # would contend with the single-core proxy measurement above (the
     # early device_put still lets the relay claim + transfer overlap it)
-    if os.environ.get("BENCH_SKIP_DEVICE") != "1":
+    if not (claim["done"].is_set() and "err" in claim):
         dev_state = start_device_worker(
-            strand, chunks, settings, n, DEVICE_BUDGET_S, codes_dev)
+            strand, chunks, settings, n, DEVICE_BUDGET_S, claim)
 
     # --- host engine (comparison line), best of three ---------------------
     host_best = None

@@ -487,3 +487,44 @@ def test_checkpoint_resume_with_tpu_engine(tmp_path):
     assert dump(first) == dump(full)
     assert dump(resumed) == dump(full)
     assert full.families
+
+
+def test_tpu_engine_backend_down_falls_back_to_host(tmp_path, monkeypatch):
+    """A device *backend-init* failure (runtime down/unreachable) must
+    degrade engine=tpu to the host engine with identical output — the
+    bench and CLI must not die when the accelerator service is out."""
+    import pytest
+
+    import asgart_tpu.pipeline as pl
+
+    rng = np.random.default_rng(77)
+    g = plant_duplication(rng, 20000, 2000, 3000, 12000, noise=0.01)
+    p = tmp_path / "genome.fa"
+    write_fasta(p, [("chrT", g)])
+    settings = default_settings()
+
+    host = search_duplications([str(p)], settings, engine="host")
+
+    class DownAdapter:
+        def __init__(self, *a, **kw):
+            raise RuntimeError(
+                "Unable to initialize backend 'axon': UNAVAILABLE: "
+                "TPU backend setup/compile error (Unavailable).")
+
+    monkeypatch.setattr(pl, "_DeviceEngineAdapter", DownAdapter)
+    fell_back = search_duplications([str(p)], settings, engine="tpu")
+
+    bh, bf = io.StringIO(), io.StringIO()
+    JSONExporter().save(host, bh)
+    JSONExporter().save(fell_back, bf)
+    assert bh.getvalue() == bf.getvalue()
+
+    # any OTHER RuntimeError must propagate (a device-path bug must not
+    # hide behind byte-equal host output)
+    class BuggyAdapter:
+        def __init__(self, *a, **kw):
+            raise RuntimeError("shape mismatch in _scan_chunk")
+
+    monkeypatch.setattr(pl, "_DeviceEngineAdapter", BuggyAdapter)
+    with pytest.raises(RuntimeError, match="shape mismatch"):
+        search_duplications([str(p)], settings, engine="tpu")
