@@ -528,3 +528,40 @@ def test_tpu_engine_backend_down_falls_back_to_host(tmp_path, monkeypatch):
     monkeypatch.setattr(pl, "_DeviceEngineAdapter", BuggyAdapter)
     with pytest.raises(RuntimeError, match="shape mismatch"):
         search_duplications([str(p)], settings, engine="tpu")
+
+
+def test_shards_backend_down_falls_back_to_host(tmp_path, monkeypatch):
+    """--shards with engine=tpu degrades to host windows (same output)
+    when the device backend cannot initialize."""
+    import jax
+
+    import asgart_tpu.pipeline as pl
+
+    rng = np.random.default_rng(78)
+    g = plant_duplication(rng, 24000, 1500, 2000, 15000, noise=0.0)
+    p = tmp_path / "genome.fa"
+    write_fasta(p, [("chrT", g)])
+    settings = default_settings(min_duplication_length=800)
+
+    host = search_duplications([str(p)], settings, shards=2,
+                               engine="host")
+
+    def down():
+        raise RuntimeError(
+            "Unable to initialize backend 'axon': UNAVAILABLE")
+
+    monkeypatch.setattr(jax, "devices", down)
+
+    class DownAdapter:
+        def __init__(self, *a, **kw):
+            raise RuntimeError(
+                "Unable to initialize backend 'axon': UNAVAILABLE")
+
+    monkeypatch.setattr(pl, "_DeviceEngineAdapter", DownAdapter)
+    fell_back = search_duplications([str(p)], settings, shards=2,
+                                    engine="tpu")
+
+    bh, bf = io.StringIO(), io.StringIO()
+    JSONExporter().save(host, bh)
+    JSONExporter().save(fell_back, bf)
+    assert bh.getvalue() == bf.getvalue()
