@@ -1054,6 +1054,14 @@ static int bpi_codes_impl(const uint8_t* codes, int64_t n, int64_t k,
         while (lo > 0 && key_at(lo - 1) == key_at(b0)) --lo;
         int64_t hi = -1;
         for (int64_t r = b0; r < b1; ++r) {
+          // the pos_lo scatter below is a random 8 B store per row over
+          // a multi-GB table (latency-bound, RFO per line): prefetch
+          // the destination line PF rows ahead — recs[] itself is a
+          // sequential read, so the lookahead is nearly free
+          constexpr int64_t PF = 48;
+          if (r + PF < b1)
+            __builtin_prefetch(&pos_lo[2 * (int64_t)recs[r + PF].pos],
+                               1, 0);
           if (r > 0 && key_at(r) != key_at(r - 1)) lo = r;
           if (r >= hi) {
             hi = r + 1;
