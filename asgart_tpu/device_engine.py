@@ -50,14 +50,17 @@ def _bucket(n: int, lo: int = 1 << 16) -> int:
     b = lo
     while b < n and b < B_GRAN:
         b <<= 1
-    while b < n:
-        b += B_GRAN
+    if b < n:
+        b = -(-n // B_GRAN) * B_GRAN
     return b
 
 
 # probe-count bucket granularity: coarse enough to bound recompiles,
 # fine enough not to waste stream lanes (old pow2 buckets wasted ~30%)
 B_GRAN = 1 << 20
+
+# neutral slice-end bound (every real lane index is far below int32 max)
+_J_END_ALL = np.int32(2**31 - 1)
 
 
 def table_pad_for(k: int) -> int:
@@ -126,6 +129,26 @@ def _raw_total(pos_lo_tab, pos_hi_tab, chunk_start, chunk_len,
     return total
 
 
+@functools.partial(jax.jit, static_argnames=("k", "reverse", "complement",
+                                             "b_pad", "n_gran"))
+def _raw_total_granules(pos_lo_tab, pos_hi_tab, chunk_start, chunk_len,
+                        first_len, k: int, reverse: bool,
+                        complement: bool, b_pad: int, n_gran: int):
+    """Per-granule raw-window sums ([n_gran] f32, granule = b_pad/n_gran
+    consecutive probe lanes) — the sizing input for SLICED dispatch of
+    repeat-heavy chunks (upper bounds, like `_raw_total`)."""
+    step = k // 2
+    x0 = _probe_x0(chunk_start, chunk_len, first_len, k, reverse,
+                   complement)
+    lo_raw = _dec_read(pos_lo_tab, x0, b_pad, step)
+    hi = _dec_read(pos_hi_tab, x0, b_pad, step)
+    lo = lo_raw & jnp.int32(0x7FFFFFFF)
+    j = jnp.arange(b_pad, dtype=I32)
+    mask = (j * step) < (chunk_len - k - step)
+    counts = jnp.where(mask, hi - lo, 0).astype(jnp.float32)
+    return counts.reshape(n_gran, b_pad // n_gran).sum(axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "reverse",
                                              "complement", "b_pad"))
 def _raw_totals_batch(pos_lo_tab, pos_hi_tab, chunk_params,
@@ -145,14 +168,19 @@ def _raw_totals_batch(pos_lo_tab, pos_hi_tab, chunk_params,
     "k", "reverse", "complement", "b_pad", "cap", "ev_cap"))
 def _scan_chunk(pos_lo_tab, pos_hi_tab, sa,
                 chunk_start, chunk_len, first_len, max_match_pos,
-                max_cardinality, j0,
+                max_cardinality, j0, j_end,
                 k: int, reverse: bool, complement: bool,
                 b_pad: int, cap: int, ev_cap: int):
-    """Fused device scan for one probe slice [j0, j0 + b_pad):
+    """Fused device scan for one probe slice [j0, min(j_end, j0 + b_pad)):
     probe stream -> table equal-ranges (contiguous decimated-row reads)
     -> flat CSR match gather -> exact filters -> per-probe cardinality
     -> event compaction (sort-based: full-size drop-scatters are
     latency-bound on this rig, a payload sort is ~3x cheaper).
+
+    ``j_end`` (traced) bounds the live lanes for SLICED dispatch
+    (`DeviceEngine._dispatch_chunk_sliced` partitions a repeat-heavy
+    chunk's probe stream into bounded-raw-total slices that share one
+    compiled shape); whole-range callers pass `_J_END_ALL`.
 
     Returns (ev_pack [3, ev_cap], m_flat [cap], scalars [4]).
     """
@@ -160,7 +188,8 @@ def _scan_chunk(pos_lo_tab, pos_hi_tab, sa,
     jl = jnp.arange(b_pad, dtype=I32)
     j = j0 + jl
     bound = chunk_len - k - step
-    mask = (j * step) < bound  # pre-increment loop, automaton.rs:90-97
+    # pre-increment loop, automaton.rs:90-97; slice-end bound
+    mask = ((j * step) < bound) & (j < j_end)
 
     # equal-ranges: x is affine increasing in j for every transform, so
     # the probes' table entries form ONE contiguous run of a decimated
@@ -321,6 +350,7 @@ def _scan_chunks_group(pos_lo_tab, pos_hi_tab, sa, params,
         return _scan_chunk(
             pos_lo_tab, pos_hi_tab, sa, p[0], p[1], first_len,
             max_match_pos, max_cardinality, jnp.int32(0),
+            jnp.int32(_J_END_ALL),
             k=k, reverse=reverse, complement=complement,
             b_pad=b_pad, cap=cap, ev_cap=ev_cap)
 
@@ -388,6 +418,86 @@ def _pad_group(n: int) -> int:
         if gs >= n:
             return gs
     return GROUP_SIZE
+
+
+# --- sliced dispatch (repeat-heavy chunks) --------------------------------
+#
+# The flat CSR gather capacity scales with the chunk's summed RAW match
+# windows, which explodes on low-complexity/satellite repeats left
+# unmasked (default mode uppercases soft-masked regions — the reference
+# scans them too, asgart.rs:291-301, just slowly). One dispatch sized to
+# such a total would exhaust HBM, so chunks whose capacity crosses
+# SLICE_LANES are scanned as consecutive PROBE SLICES, each with a
+# bounded-raw-total capacity; slice event streams merge with the exact
+# aging carry (`_merge_shard_events` — slices are probe slices, the same
+# mechanism that makes mesh sharding byte-equal).
+
+SLICE_GRAN = 4096        # planning granule (probe lanes)
+SLICE_HARD_CAP = 1 << 28  # one slice's gather may never exceed this
+
+
+def _slice_budget() -> int:
+    env = os.environ.get("ASGART_DEVICE_SLICE_LANES")
+    return int(env) if env else (1 << 26)
+
+
+def _fixed_slice_width(gran_totals, gran_lanes: int, budget: int,
+                       max_lanes: int, b_pad: int) -> int:
+    """Largest pow2 slice width DIVIDING ``b_pad`` (aligned windows of
+    the lane range) whose every window's raw total fits ``budget`` —
+    the windowed engines' slicing scheme. Alignment + divisibility mean
+    no slice-end masking and no `dynamic_slice` clamp (a clamped slice
+    would re-read real lanes and double-count their events)."""
+    w = gran_lanes
+    gt = np.asarray(gran_totals, dtype=np.float64)
+    while w * 2 <= max_lanes and b_pad % (w * 2) == 0:
+        k2 = (w * 2) // gran_lanes
+        sums = gt.reshape(-1, k2).sum(1)
+        if sums.max(initial=0.0) > budget:
+            break
+        w *= 2
+    return w
+
+
+@functools.partial(jax.jit, static_argnames=("n_gran",))
+def _range_granule_totals(lo, hi, n_gran: int):
+    """Per-granule raw sums of already-masked stage-1 equal ranges."""
+    counts = (hi - lo).astype(jnp.float32)
+    return counts.reshape(n_gran, counts.shape[0] // n_gran).sum(axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("b",))
+def _slice_lanes_dyn(lo, hi, mask, off, b: int):
+    """Traced-offset variant of `_slice_lanes` for sliced dispatch
+    (aligned offsets: off + b never exceeds the arrays)."""
+    return (jax.lax.dynamic_slice(lo, (off,), (b,)),
+            jax.lax.dynamic_slice(hi, (off,), (b,)),
+            jax.lax.dynamic_slice(mask, (off,), (b,)))
+
+
+def _plan_slices(gran_totals, gran_lanes: int, budget: int):
+    """Greedy-pack consecutive granules into probe slices whose raw
+    totals stay within ``budget`` (a single over-budget granule becomes
+    its own slice). Slices are also capped at B_GRAN lanes so their
+    table reads stay inside the `table_pad_for` slack. Returns
+    [(lane0, n_lanes, total)] partitioning [0, len*gran_lanes)."""
+    slices = []
+    cur0 = 0
+    cur_lanes = 0
+    cur_tot = 0.0
+    for g, t in enumerate(gran_totals):
+        t = float(t)
+        if cur_lanes and (cur_tot + t > budget
+                          or cur_lanes + gran_lanes > B_GRAN):
+            slices.append((cur0, cur_lanes, cur_tot))
+            cur0 = g * gran_lanes
+            cur_lanes = 0
+            cur_tot = 0.0
+        cur_lanes += gran_lanes
+        cur_tot += t
+    if cur_lanes:
+        slices.append((cur0, cur_lanes, cur_tot))
+    return slices
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -647,6 +757,7 @@ def _sharded_scan(mesh, k: int, reverse: bool, complement: bool,
         ev_pack, m_flat, scalars = _scan_chunk(
             pos_lo_tab, pos_hi_tab, sa, chunk_start, chunk_len,
             first_len, max_match_pos, max_cardinality, j0,
+            jnp.int32(_J_END_ALL),
             k=k, reverse=reverse, complement=complement,
             b_pad=b_local, cap=cap, ev_cap=ev_cap)
         return ev_pack[None], m_flat[None], scalars[None]
@@ -787,6 +898,8 @@ class DeviceEngine:
                 jnp.int32(s.max_cardinality))
         if cap is None:
             cached = _CAP_CACHE.get(self._cap_key(chunk))
+            if cached == "sliced":
+                return self._dispatch_chunk_sliced(chunk)
             if cached is not None:
                 cap, ev_cap = cached
             else:
@@ -795,12 +908,18 @@ class DeviceEngine:
                 total_raw = int(float(total) * 1.001) + 8
                 t0 = self._lap(t0, f"raw-total pre-pass ({total_raw})")
                 cap = _bucket(max(total_raw + 1, MIN_CAP))
+        if cap > _slice_budget():
+            # repeat-heavy chunk: bounded-memory sliced dispatch (under
+            # a mesh the slices run as plain replicated dispatches —
+            # correctness first; such chunks are rare and scan-bound)
+            return self._dispatch_chunk_sliced(chunk)
         if ev_cap is None:
             ev_cap = _bucket(min(cap, b_local)) // 4
 
         if self.mesh is None:
             ev_pack, m_flat, scalars = _scan_chunk(
-                *args, jnp.int32(0), k=k, reverse=s.reverse,
+                *args, jnp.int32(0), jnp.int32(_J_END_ALL),
+                k=k, reverse=s.reverse,
                 complement=s.complement, b_pad=b_pad, cap=cap,
                 ev_cap=ev_cap)
             shards = [(ev_pack, m_flat, scalars)]
@@ -813,6 +932,105 @@ class DeviceEngine:
                       for i in range(n_shards)]
         self._lap(t0, f"scan dispatch (cap={cap})")
         return {"chunk": chunk, "cap": cap, "ev_cap": ev_cap,
+                "shards": shards}
+
+    def _dispatch_chunk_sliced(self, chunk, ev_scale: int = 1):
+        """Bounded-memory dispatch for a repeat-heavy chunk: partition
+        the probe stream into consecutive slices whose raw match totals
+        stay within the slice budget, scan each with `_scan_chunk`
+        (shared static shape: one b_slice, pow2 caps) and merge the
+        slice event streams with the exact aging carry downstream.
+        Output is identical to the single-dispatch scan: slices are
+        probe slices, the mechanism already pinned byte-equal for mesh
+        shards (tests/test_device_engine.py)."""
+        if self._chunk_geometry(chunk) is None:
+            return None
+        s = self.settings
+        k = s.probe_size
+        didx = self.didx
+        from .utils import pow2_ceil
+
+        # shard-independent lane geometry (the mesh roundup of
+        # `_chunk_geometry` could break SLICE_GRAN divisibility)
+        step = k // 2
+        n_probes = (chunk[1] - k - step + step - 1) // step
+        b_pad = _bucket(n_probes)
+
+        t0 = time.time()
+        n_gran = b_pad // SLICE_GRAN
+        gt = np.asarray(_raw_total_granules(
+            didx.pos_lo, didx.pos_hi, jnp.int32(chunk[0]),
+            jnp.int32(chunk[1]), jnp.int32(didx.first_len),
+            k, s.reverse, s.complement, b_pad, n_gran))
+        slices = _plan_slices(gt, SLICE_GRAN, _slice_budget())
+        t0 = self._lap(t0, f"granule pre-pass ({len(slices)} slices)")
+        b_slice = pow2_ceil(max(nl for _, nl, _ in slices), 1 << 12)
+        args = (didx.pos_lo, didx.pos_hi, didx.sa,
+                jnp.int32(chunk[0]), jnp.int32(chunk[1]),
+                jnp.int32(didx.first_len),
+                jnp.int32(didx.first_len - 1),
+                jnp.int32(s.max_cardinality))
+        shards = []
+        for lane0, n_lanes, total in slices:
+            # granule sums are exact raw totals up to f32 rounding
+            # (<= 16 absolute below SLICE_HARD_CAP) — covered by slack
+            need = int(total * 1.001) + 32
+            if need > SLICE_HARD_CAP:
+                raise RuntimeError(
+                    f"a single probe slice needs a {need}-lane match "
+                    "gather (pathological low-complexity repeat); "
+                    "run with --skip-masked or the host engine")
+            cap = pow2_ceil(max(need, MIN_CAP), 1)
+            ev_cap = _bucket(min(cap, b_slice)) // 4 * ev_scale
+            ev_pack, m_flat, scalars = _scan_chunk(
+                *args, jnp.int32(lane0), jnp.int32(lane0 + n_lanes),
+                k=k, reverse=s.reverse, complement=s.complement,
+                b_pad=b_slice, cap=cap, ev_cap=ev_cap)
+            shards.append((ev_pack, m_flat, scalars))
+        self._lap(t0, f"sliced scan dispatch ({len(slices)} x "
+                      f"b={b_slice})")
+        return {"chunk": chunk, "sliced": True, "ev_scale": ev_scale,
+                "shards": shards}
+
+    def _sliced_windows(self, chunk, ev_scale: int):
+        """Bounded-memory sliced stage 2 for a repeat-heavy chunk of a
+        WINDOWED engine: the stage-1 lane range is partitioned into
+        ALIGNED fixed-width windows, each scanned (via the engine's
+        `_slice_core` hook) with a capacity sized to its own exact raw
+        total; window event streams merge with the exact aging carry
+        downstream (the same probe-slice mechanism as mesh shards)."""
+        geo = self._chunk_geometry(chunk)
+        if geo is None:
+            return None
+        b_pad, _, _ = geo
+        st1 = self._stage1_for(chunk)
+        lo, hi, mask, _ = st1
+        from .utils import pow2_ceil
+
+        t0 = time.time()
+        n_gran = b_pad // SLICE_GRAN
+        gt = np.asarray(_range_granule_totals(lo, hi, n_gran),
+                        dtype=np.float64)
+        budget = _slice_budget()
+        w = _fixed_slice_width(gt, SLICE_GRAN, budget,
+                               min(B_GRAN, b_pad), b_pad)
+        sums = gt.reshape(b_pad // w, w // SLICE_GRAN).sum(1)
+        t0 = self._lap(t0, f"granule pre-pass ({len(sums)} x {w} lanes)")
+        shards = []
+        for i, tot_i in enumerate(sums):
+            need = int(float(tot_i) * 1.001) + 32
+            if need > SLICE_HARD_CAP:
+                raise RuntimeError(
+                    f"a single probe slice needs a {need}-lane match "
+                    "gather (pathological low-complexity repeat); "
+                    "run with --skip-masked or the host engine")
+            cap = pow2_ceil(max(need, MIN_CAP), 1)
+            ev_cap = _bucket(min(cap, w)) // 4 * ev_scale
+            st1s = _slice_lanes_dyn(lo, hi, mask, jnp.int32(i * w), w)
+            shards.append(self._slice_core(
+                st1s, chunk, jnp.int32(i * w), w, cap, ev_cap))
+        self._lap(t0, f"sliced scan dispatch ({len(sums)} x b={w})")
+        return {"chunk": chunk, "sliced": True, "ev_scale": ev_scale,
                 "shards": shards}
 
     def _collect_chunk(self, st):
@@ -838,6 +1056,14 @@ class DeviceEngine:
             t0 = self._lap(t0, "event download")
             if not overflow_any:
                 break
+            if st.get("sliced"):
+                # slice caps are exact raw totals — only the event
+                # capacity can overflow; rescan with larger ev_caps
+                scale = st["ev_scale"] * 4
+                log.debug("sliced scan retry: ev_scale=%d", scale)
+                st = self._dispatch_chunk_sliced(st["chunk"],
+                                                 ev_scale=scale)
+                continue
             cap, ev_cap = st["cap"], st["ev_cap"]
             if max_ev > ev_cap:
                 ev_cap = _bucket(max_ev + 1)
@@ -846,7 +1072,8 @@ class DeviceEngine:
             log.debug("device scan retry: cap=%d ev_cap=%d", cap, ev_cap)
             st = self._dispatch_chunk(st["chunk"], cap=cap, ev_cap=ev_cap)
 
-        _CAP_CACHE[self._cap_key(st["chunk"])] = (st["cap"], st["ev_cap"])
+        _CAP_CACHE[self._cap_key(st["chunk"])] = (
+            "sliced" if st.get("sliced") else (st["cap"], st["ev_cap"]))
         return self._chain_merged(parts, t0)
 
     def _chain_merged(self, parts, t0=None):
@@ -944,12 +1171,15 @@ class DeviceEngine:
                 continue
             cached = _CAP_CACHE.get(self._cap_key(c))
             if cached is not None:
-                caps[c] = cached
+                caps[c] = cached  # may be the "sliced" marker
                 continue
             t = totals[c]
             total_raw = (int(float(t) * 1.001) + 8) if slack \
                 else int(float(t))
             cap = _bucket(max(total_raw + 1, MIN_CAP))
+            if cap > _slice_budget():
+                caps[c] = "sliced"  # repeat-heavy: single sliced path
+                continue
             caps[c] = (cap, _bucket(min(cap, geo[0])) // 4)
         return caps
 
@@ -1026,13 +1256,17 @@ class DeviceEngine:
         (chunk_list, b_pad, cap, ev_cap)."""
         caps = self._group_caps(chunks, totals, slack)
         by_key: dict = {}
+        sliced = []
         for c in chunks:
             geo = self._chunk_geometry(c)
             if geo is None:
                 continue
+            if caps[c] == "sliced":
+                sliced.append((c, None, None))  # dispatch auto-slices
+                continue
             key = (geo[0],) + caps[c]
             by_key.setdefault(key, []).append(c)
-        groups, singles = [], []
+        groups, singles = [], list(sliced)
         for (b_pad, cap, ev_cap), cs in by_key.items():
             gs = _group_size_for(cap)
             if gs < 2 or len(cs) < 2:
@@ -1151,6 +1385,8 @@ class DeviceWindowEngine(DeviceEngine):
         t0 = time.time()
         if cap is None:
             cached = _CAP_CACHE.get(self._cap_key(chunk))
+            if cached == "sliced":
+                return self._dispatch_chunk_sliced(chunk)
             if cached is not None:
                 cap, ev_cap = cached
             else:
@@ -1158,6 +1394,8 @@ class DeviceWindowEngine(DeviceEngine):
                 total_raw = int(float(tot if total is None else total))
                 t0 = self._lap(t0, f"ranges+total ({total_raw})")
                 cap = _bucket(max(total_raw + 1, MIN_CAP))
+        if cap > _slice_budget():
+            return self._dispatch_chunk_sliced(chunk)
         if ev_cap is None:
             ev_cap = _bucket(min(cap, b_local)) // 4
         ev_pack, m_flat, scalars = _scan_core(
@@ -1169,6 +1407,20 @@ class DeviceWindowEngine(DeviceEngine):
         self._lap(t0, f"window scan dispatch (cap={cap})")
         return {"chunk": chunk, "cap": cap, "ev_cap": ev_cap,
                 "shards": [(ev_pack, m_flat, scalars)]}
+
+    def _slice_core(self, st1s, chunk, j0, b, cap, ev_cap):
+        """One sliced stage-2 dispatch (hook for `_sliced_windows`)."""
+        s = self.settings
+        lo_s, hi_s, mask_s = st1s
+        return _scan_core(
+            lo_s, hi_s, mask_s, self.widx.sa,
+            jnp.int32(chunk[0]), jnp.int32(chunk[1]),
+            jnp.int32((1 << 31) - 1), jnp.int32(s.max_cardinality),
+            j0, k=s.probe_size, reverse=s.reverse,
+            b_pad=b, cap=cap, ev_cap=ev_cap)
+
+    def _dispatch_chunk_sliced(self, chunk, ev_scale: int = 1):
+        return self._sliced_windows(chunk, ev_scale)
 
     def run_chunk(self, chunk):
         out = self._collect_chunk(self._dispatch_chunk(chunk))
@@ -1482,12 +1734,16 @@ class BigWindowEngine(DeviceEngine):
         t0 = time.time()
         if cap is None:
             cached = _CAP_CACHE.get(self._cap_key(chunk))
+            if cached == "sliced":
+                return self._dispatch_chunk_sliced(chunk)
             if cached is not None:
                 cap, ev_cap = cached
             else:
                 total_raw = int(float(tot if total is None else total))
                 t0 = self._lap(t0, f"ranges+total ({total_raw})")
                 cap = _bucket(max(total_raw + 1, MIN_CAP))
+        if cap > _slice_budget():
+            return self._dispatch_chunk_sliced(chunk)
         if ev_cap is None:
             ev_cap = _bucket(min(cap, b_local)) // 4
         base_self, base_dir, rev_t0 = self._rebased(chunk)
@@ -1501,6 +1757,21 @@ class BigWindowEngine(DeviceEngine):
         self._lap(t0, f"big window scan dispatch (cap={cap})")
         return {"chunk": chunk, "cap": cap, "ev_cap": ev_cap,
                 "shards": [(ev_pack, m_flat, scalars)]}
+
+    def _slice_core(self, st1s, chunk, j0, b, cap, ev_cap):
+        s = self.settings
+        lo_s, hi_s, mask_s = st1s
+        base_self, base_dir, rev_t0 = self._rebased(chunk)
+        return _scan_core_based(
+            lo_s, hi_s, mask_s, self.sa, jnp.int32(chunk[1]),
+            jnp.int32(base_self), jnp.int32(base_dir),
+            jnp.int32(rev_t0), jnp.int32(self.W + 1),
+            jnp.int32(s.max_cardinality), j0,
+            k=s.probe_size, reverse=s.reverse,
+            b_pad=b, cap=cap, ev_cap=ev_cap)
+
+    def _dispatch_chunk_sliced(self, chunk, ev_scale: int = 1):
+        return self._sliced_windows(chunk, ev_scale)
 
     def run_chunk(self, chunk):
         out = self._collect_chunk(self._dispatch_chunk(chunk))

@@ -359,3 +359,48 @@ def test_grouped_overflow_retry(tmp_path):
     t = [[vars(sd) for sd in fam] for fam in tpu_fams]
     assert json.dumps(t, sort_keys=True) == json.dumps(h, sort_keys=True)
     assert len(tpu_fams) >= 2
+
+
+def test_sliced_dispatch_repeat_explosion(tmp_path, monkeypatch):
+    """A chunk whose RAW match-window total exceeds the slice budget
+    (unmasked satellite-like repeats) must scan as bounded-memory probe
+    slices with output identical to the host engine — the reference
+    survives such regions (slowly, asgart.rs:291-301 keeps them), so
+    the device engine may not OOM on them."""
+    import asgart_tpu.device_engine as de
+
+    monkeypatch.setenv("ASGART_DEVICE_SLICE_LANES", "8192")
+    rng = np.random.default_rng(11)
+    n = 40000
+    g = bytearray(random_dna(rng, n, b"ACGT"))
+    # satellite block: a 40-mer repeated ~250x back-to-back -> every
+    # probe in the block has ~hundreds of raw matches (kept counts stay
+    # below max_cardinality only for some; the explosion is in RAW)
+    unit = random_dna(rng, 40, b"ACGT")
+    block = (unit * 250)[:10000]
+    g[15000:25000] = block
+    # plus a plain duplication elsewhere (must still be found exactly)
+    g[30000:32000] = bytes(g[2000:4000])
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", bytes(g))])
+
+    de._CAP_CACHE.clear()
+    settings = dict(min_duplication_length=500, max_cardinality=500)
+    host = search_duplications([str(fa)], RunSettings(**settings),
+                               engine="host")
+    tpu = search_duplications([str(fa)], RunSettings(**settings),
+                              engine="tpu")
+    assert_results_equal(host, tpu)
+    assert any(v == "sliced" for v in de._CAP_CACHE.values()), \
+        "expected the sliced dispatch path to trigger"
+    assert sum(len(f) for f in host.families) >= 1
+
+    # rc flavor over the same genome (reversed probe->table mapping)
+    de._CAP_CACHE.clear()
+    settings["reverse"] = settings["complement"] = True
+    host = search_duplications([str(fa)], RunSettings(**settings),
+                               engine="host")
+    tpu = search_duplications([str(fa)], RunSettings(**settings),
+                              engine="tpu")
+    assert_results_equal(host, tpu)
+    assert any(v == "sliced" for v in de._CAP_CACHE.values())

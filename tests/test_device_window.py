@@ -372,3 +372,45 @@ def test_big_window_chunk_heavy_batched(tmp_path, monkeypatch):
              min_duplication_length=700))
     assert_results_equal(host, tpu)
     assert host.families
+
+
+def _satellite_genome(rng, n=40000):
+    g = bytearray(random_dna(rng, n, b"ACGT"))
+    unit = random_dna(rng, 40, b"ACGT")
+    g[15000:25000] = (unit * 250)[:10000]    # raw-match explosion
+    g[30000:32000] = bytes(g[2000:4000])     # plain duplication
+    return bytes(g)
+
+
+def test_window_engine_sliced_dispatch(tmp_path, monkeypatch):
+    """Repeat-heavy trim run: stage 2 must slice into bounded windows
+    with output identical to the host trim engine."""
+    import asgart_tpu.device_engine as de
+
+    monkeypatch.setenv("ASGART_DEVICE_SLICE_LANES", "8192")
+    rng = np.random.default_rng(21)
+    g = _satellite_genome(rng)
+    de._CAP_CACHE.clear()
+    host, tpu = run_both(tmp_path, g,
+                         dict(trim=(10000, 35000),
+                              min_duplication_length=500))
+    assert_results_equal(host, tpu)
+    assert any(v == "sliced" for v in de._CAP_CACHE.values()), \
+        "expected the sliced window dispatch to trigger"
+
+
+def test_big_window_sliced_dispatch(tmp_path, monkeypatch):
+    """Same for the forced big-genome (window-relative) engine."""
+    import asgart_tpu.device_engine as de
+
+    monkeypatch.setenv("ASGART_BIG_WINDOW", "1")
+    monkeypatch.setenv("ASGART_DEVICE_SLICE_LANES", "8192")
+    rng = np.random.default_rng(22)
+    g = _satellite_genome(rng)
+    de._CAP_CACHE.clear()
+    host, tpu = run_both(tmp_path, g,
+                         dict(trim=(10000, 35000), reverse=True,
+                              complement=True,
+                              min_duplication_length=500))
+    assert_results_equal(host, tpu)
+    assert any(v == "sliced" for v in de._CAP_CACHE.values())
