@@ -83,6 +83,8 @@ def synthetic_genome(n: int, rng: np.random.Generator) -> np.ndarray:
 
 
 def run_host(strand, chunks, settings):
+    from concurrent.futures import ThreadPoolExecutor
+
     from asgart_tpu.pipeline import SearchEngine
 
     t0 = time.time()
@@ -90,8 +92,16 @@ def run_host(strand, chunks, settings):
     t_index = time.time() - t0
     t0 = time.time()
     fams = []
-    for chunk in chunks:
-        fams.extend(se.run_chunk(chunk))
+    # chunk thread pool, exactly like the production pipeline (the
+    # native chain releases the GIL); results keep chunk order
+    workers = min(len(chunks), os.cpu_count() or 1)
+    if workers > 1:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            for part in ex.map(se.run_chunk, chunks):
+                fams.extend(part)
+    else:
+        for chunk in chunks:
+            fams.extend(se.run_chunk(chunk))
     t_scan = time.time() - t0
     return fams, t_index, t_scan
 
