@@ -65,10 +65,15 @@ _J_END_ALL = np.int32(2**31 - 1)
 
 def table_pad_for(k: int) -> int:
     """Table padding so the probe-window reads of `_scan_chunk` /
-    `_window_ranges` never clamp for lanes holding real probes (bucket
-    slack is at most B_GRAN + shard-divisibility roundup; the window
-    reshape reads up to 3 extra step-rows past the last lane)."""
-    return (B_GRAN + 1024) * (k // 2) + 4 * (k // 2) + k
+    `_window_ranges` never clamp for lanes holding real probes: bucket
+    slack is at most B_GRAN + shard-divisibility roundup, and a SLICED
+    dispatch reads up to another b_slice - SLICE_GRAN (< B_GRAN) lanes
+    past the last live lane (variable-width slices share one static
+    b_slice; a clamped `dynamic_slice` would shift live lanes onto
+    wrong table entries). The window reshape reads up to 3 extra
+    step-rows past the last lane. ~90 MB at the 256M-row scale —
+    well inside the HBM-budget reserve."""
+    return 2 * B_GRAN * (k // 2) + 1028 * (k // 2) + k
 
 
 def table_len_for(n: int, k: int) -> int:
@@ -441,6 +446,24 @@ def _slice_budget() -> int:
     return int(env) if env else (1 << 26)
 
 
+def _slice_caps(total: float, b_slice: int, ev_scale: int):
+    """(cap, ev_cap) for one probe slice. Granule sums are exact raw
+    totals up to f32 rounding (<= 16 absolute below the hard cap) —
+    covered by the slack, so the overflow flag can only fire for event
+    capacity. A slice past SLICE_HARD_CAP is a pathological
+    single-k-mer repeat no gather capacity can serve."""
+    from .utils import pow2_ceil
+
+    need = int(float(total) * 1.001) + 32
+    if need > SLICE_HARD_CAP:
+        raise RuntimeError(
+            f"a single probe slice needs a {need}-lane match gather "
+            "(pathological low-complexity repeat); run with "
+            "--skip-masked or the host engine")
+    cap = pow2_ceil(max(need, MIN_CAP), 1)
+    return cap, _bucket(min(cap, b_slice)) // 4 * ev_scale
+
+
 def _fixed_slice_width(gran_totals, gran_lanes: int, budget: int,
                        max_lanes: int, b_pad: int) -> int:
     """Largest pow2 slice width DIVIDING ``b_pad`` (aligned windows of
@@ -460,10 +483,15 @@ def _fixed_slice_width(gran_totals, gran_lanes: int, budget: int,
 
 
 @functools.partial(jax.jit, static_argnames=("n_gran",))
-def _range_granule_totals(lo, hi, n_gran: int):
-    """Per-granule raw sums of already-masked stage-1 equal ranges."""
-    counts = (hi - lo).astype(jnp.float32)
-    return counts.reshape(n_gran, counts.shape[0] // n_gran).sum(axis=1)
+def _range_granule_totals(lo, hi, n_lanes, n_gran: int):
+    """Per-granule raw sums of already-masked stage-1 equal ranges.
+    ``n_lanes`` re-masks the chunk's live lane count: a batched
+    stage-1 slice may overhang into the NEXT chunk's live lanes
+    (`_slice_lanes` semantics), which must not inflate the sizing."""
+    b = lo.shape[0]
+    live = jnp.arange(b, dtype=I32) < n_lanes
+    counts = jnp.where(live, hi - lo, 0).astype(jnp.float32)
+    return counts.reshape(n_gran, b // n_gran).sum(axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("b",))
@@ -964,6 +992,9 @@ class DeviceEngine:
             k, s.reverse, s.complement, b_pad, n_gran))
         slices = _plan_slices(gt, SLICE_GRAN, _slice_budget())
         t0 = self._lap(t0, f"granule pre-pass ({len(slices)} slices)")
+        # every slice reads b_slice lanes from its lane0, overhanging a
+        # short slice's end by up to b_slice - SLICE_GRAN lanes (masked
+        # via j_end; table_pad_for reserves the extra B_GRAN of slack)
         b_slice = pow2_ceil(max(nl for _, nl, _ in slices), 1 << 12)
         args = (didx.pos_lo, didx.pos_hi, didx.sa,
                 jnp.int32(chunk[0]), jnp.int32(chunk[1]),
@@ -972,16 +1003,7 @@ class DeviceEngine:
                 jnp.int32(s.max_cardinality))
         shards = []
         for lane0, n_lanes, total in slices:
-            # granule sums are exact raw totals up to f32 rounding
-            # (<= 16 absolute below SLICE_HARD_CAP) — covered by slack
-            need = int(total * 1.001) + 32
-            if need > SLICE_HARD_CAP:
-                raise RuntimeError(
-                    f"a single probe slice needs a {need}-lane match "
-                    "gather (pathological low-complexity repeat); "
-                    "run with --skip-masked or the host engine")
-            cap = pow2_ceil(max(need, MIN_CAP), 1)
-            ev_cap = _bucket(min(cap, b_slice)) // 4 * ev_scale
+            cap, ev_cap = _slice_caps(total, b_slice, ev_scale)
             ev_pack, m_flat, scalars = _scan_chunk(
                 *args, jnp.int32(lane0), jnp.int32(lane0 + n_lanes),
                 k=k, reverse=s.reverse, complement=s.complement,
@@ -1005,12 +1027,14 @@ class DeviceEngine:
         b_pad, _, _ = geo
         st1 = self._stage1_for(chunk)
         lo, hi, mask, _ = st1
-        from .utils import pow2_ceil
 
         t0 = time.time()
+        s = self.settings
+        step = s.probe_size // 2
+        n_lanes = (chunk[1] - s.probe_size - step + step - 1) // step
         n_gran = b_pad // SLICE_GRAN
-        gt = np.asarray(_range_granule_totals(lo, hi, n_gran),
-                        dtype=np.float64)
+        gt = np.asarray(_range_granule_totals(lo, hi, jnp.int32(n_lanes),
+                                              n_gran), dtype=np.float64)
         budget = _slice_budget()
         w = _fixed_slice_width(gt, SLICE_GRAN, budget,
                                min(B_GRAN, b_pad), b_pad)
@@ -1018,14 +1042,7 @@ class DeviceEngine:
         t0 = self._lap(t0, f"granule pre-pass ({len(sums)} x {w} lanes)")
         shards = []
         for i, tot_i in enumerate(sums):
-            need = int(float(tot_i) * 1.001) + 32
-            if need > SLICE_HARD_CAP:
-                raise RuntimeError(
-                    f"a single probe slice needs a {need}-lane match "
-                    "gather (pathological low-complexity repeat); "
-                    "run with --skip-masked or the host engine")
-            cap = pow2_ceil(max(need, MIN_CAP), 1)
-            ev_cap = _bucket(min(cap, w)) // 4 * ev_scale
+            cap, ev_cap = _slice_caps(tot_i, w, ev_scale)
             st1s = _slice_lanes_dyn(lo, hi, mask, jnp.int32(i * w), w)
             shards.append(self._slice_core(
                 st1s, chunk, jnp.int32(i * w), w, cap, ev_cap))
@@ -1295,7 +1312,8 @@ class DeviceEngine:
         groups, singles = self._plan_groups(chunks, totals, slack=True)
         gstates = [self._dispatch_group(part, b_pad, cap, ev_cap)
                    for part, b_pad, cap, ev_cap in groups]
-        sstates = {c: self._dispatch_chunk(c, cap=cap, ev_cap=ev_cap)
+        sstates = {c: self._dispatch_chunk(c, cap=cap, ev_cap=ev_cap,
+                                           total=totals.get(c))
                    for c, cap, ev_cap in singles}
         results: dict = {}
         for gst in gstates:

@@ -142,13 +142,21 @@ def start_device_claim(skip: bool):
             import jax
             import jax.numpy as jnp
             jax.jit(lambda x: x * 2 + 1)(jnp.arange(8))
+        except Exception as e:  # pragma: no cover - defensive
+            claim["err"] = e
+            log(f"device claim failed ({e!r}); host-only bench")
+            claim["done"].set()
+            return
+        try:
             claim["ev_data"].wait()
             if "data" in claim:
                 from asgart_tpu.device_index import DeviceIndex
                 claim["codes"] = DeviceIndex.upload_codes(claim["data"])
         except Exception as e:  # pragma: no cover - defensive
-            claim["err"] = e
-            log(f"device claim failed ({e!r}); host-only bench")
+            # preupload is an optimization only: the measurement worker
+            # falls back to uploading in-pass
+            log(f"device preupload unavailable ({e!r}); the worker "
+                "will upload in-pass")
         finally:
             claim["done"].set()
 

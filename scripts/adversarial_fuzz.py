@@ -30,35 +30,37 @@ TRIALS = int(os.environ.get("FUZZ_TRIALS", "24"))
 
 
 def adversarial_genome(rng, t):
-    n = int(rng.integers(8000, 40000))
+    n = int(rng.integers(16000, 40000))
     g = bytearray(random_dna(rng, n, b"ACGT"))
     kind = t % 6
     if kind == 0:        # homopolymer block (maximal equal ranges)
-        L = int(rng.integers(2000, 8000))
+        L = int(rng.integers(2000, min(8000, n // 2)))
         p = int(rng.integers(0, n - L))
         g[p:p + L] = b"A" * L
     elif kind == 1:      # dinucleotide satellite
-        L = int(rng.integers(2000, 8000))
+        L = int(rng.integers(2000, min(8000, n // 2)))
         p = int(rng.integers(0, n - L))
         g[p:p + L] = (b"AT" * L)[:L]
     elif kind == 2:      # tandem array of a short unit
         unit = random_dna(rng, int(rng.integers(20, 200)), b"ACGT")
-        L = int(rng.integers(3000, 9000))
+        L = int(rng.integers(3000, min(9000, n // 2)))
         p = int(rng.integers(0, n - L))
         g[p:p + L] = (unit * (L // len(unit) + 1))[:L]
     elif kind == 3:      # nested/overlapping duplications
-        a = int(rng.integers(0, n // 4))
+        a = int(rng.integers(0, n // 4 - 3000)) if n // 4 > 3000 else 0
         g[n // 2:n // 2 + 3000] = bytes(g[a:a + 3000])
-        g[3 * n // 4:3 * n // 4 + 1500] = bytes(g[a + 500:a + 2000])
+        L2 = min(1500, n - 3 * n // 4)
+        g[3 * n // 4:3 * n // 4 + L2] = bytes(g[a + 500:a + 500 + L2])
     elif kind == 4:      # identical halves (one giant duplication)
         g[n // 2:] = bytes(g[:n - n // 2])
     else:                # straddler across an N-run chunk split
-        g[n // 2:n // 2 + 6000] = b"N" * 6000
-        g[n // 2 + 7000:n // 2 + 9000] = bytes(g[1000:3000])
+        mid = n // 3
+        g[mid:mid + 6000] = b"N" * 6000
+        end = min(mid + 9000, n)
+        g[end - 2000:end] = bytes(g[1000:3000])
     if rng.integers(0, 2):
-        p = int(rng.integers(0, max(1, n - 2500)))
-        g[p + 500:p + 2500] = revcomp(bytes(g[p - 2000:p]) if p >= 2000
-                                      else bytes(g[:2000]))
+        p = int(rng.integers(2000, n - 2500))
+        g[p + 500:p + 2500] = revcomp(bytes(g[p - 2000:p]))
     return bytes(g)
 
 
