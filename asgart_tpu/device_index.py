@@ -175,7 +175,7 @@ def _flagged_sort(key_hi: jax.Array, key_lo: jax.Array,
 
 def _group_bounds_impl(skhi: jax.Array, sklo: jax.Array, sa: jax.Array,
                        direct_bound: jax.Array, flagged: bool = False,
-                       flag_n_k: int = 0):
+                       flag_n_k: int = 0, pad_to: int = 0):
     """Equal-key run boundaries over the sorted keys.
 
     Returns slot-indexed (run_lo [n], run_hi [n], tied_slot [n] bool).
@@ -234,16 +234,23 @@ def _group_bounds_impl(skhi: jax.Array, sklo: jax.Array, sa: jax.Array,
             true_lo = (sklo >> 1) if flagged else sklo
             first_sym = (true_lo >> (3 * (k - 1))) & 7
         run_lo = run_lo | jnp.where(first_sym == N_RANK, I32_SIGN, 0)
+    if pad_to > n:
+        # pre-pad for the table inversion: padding here fuses into this
+        # pass's output write, where a `concatenate` at the inversion's
+        # input would materialize a full extra copy pass per operand
+        run_lo = jnp.zeros(pad_to, I32).at[:n].set(run_lo)
+        run_hi = jnp.zeros(pad_to, I32).at[:n].set(run_hi)
     return run_lo, run_hi, tied_slot
 
 
 # build path: the sorted keys are dead after this pass — donate them
 _group_bounds = jax.jit(_group_bounds_impl,
-                        static_argnames=("flagged", "flag_n_k"),
+                        static_argnames=("flagged", "flag_n_k", "pad_to"),
                         donate_argnums=(0, 1))
 # window path: skhi/sklo stay resident (merge-join lookups) — keep them
 _group_bounds_keep = jax.jit(_group_bounds_impl,
-                             static_argnames=("flagged", "flag_n_k"))
+                             static_argnames=("flagged", "flag_n_k",
+                                              "pad_to"))
 
 
 N_RANK = 4  # 3-bit symbol rank of 'N' (CODE table)
@@ -256,24 +263,31 @@ def _dec_of(p, step: int, C: int):
     return (p % step) * C + p // step
 
 
-@functools.partial(jax.jit, static_argnames=("step", "L"))
-def _invert_tables_dec(sa: jax.Array, run_lo: jax.Array,
-                       run_hi: jax.Array, step: int, L: int):
-    # (run_lo/run_hi are [n] while every output is [L] — donation could
-    # not alias, so the caller's `del` frees them at the same point)
-    """Slot-indexed run bounds → DECIMATED position-indexed tables, by
-    ONE payload sort keyed on the decimation permutation of `sa`:
-    full-size random scatters run at ~25-50M elem/s on this rig
-    (latency-bound HBM) while `lax.sort` moves 128M rows in ~1s, and an
-    explicit [C, step] transpose materializes T(8,128)-padded (12.8x)
-    — keying the inversion sort by dec(sa) gets the decimated layout
-    for free. The tail rows [n, L) extend the permutation over the
-    padded domain so the sorted payloads land POSITIONALLY (zero pad
-    values, same semantics as the old zero padding).
+@functools.partial(jax.jit, static_argnames=("step", "L"),
+                   donate_argnums=(1, 2))
+def _invert_tables_dec(sa: jax.Array, lo_ext: jax.Array,
+                       hi_ext: jax.Array, step: int, L: int):
+    """Slot-indexed run bounds (already [L]-padded by `_group_bounds`'s
+    ``pad_to``) → DECIMATED position-indexed tables, by ONE payload sort
+    keyed on the decimation permutation of `sa`: full-size random
+    scatters run at ~25-50M elem/s on this rig (latency-bound HBM) while
+    `lax.sort` moves 128M rows in ~1s, and an explicit [C, step]
+    transpose materializes T(8,128)-padded (12.8x) — keying the
+    inversion sort by dec(sa) gets the decimated layout for free. The
+    tail rows [n, L) extend the permutation over the padded domain so
+    the sorted payloads land POSITIONALLY (zero pad values, same
+    semantics as the old zero padding). ``lo_ext``/``hi_ext`` arrive
+    [L]-sized and donated: padding them at the producer fuses into its
+    output write, and donation lets the sort alias its outputs — both
+    measured wins over the previous in-jit `concatenate` pads.
 
     Probe reads then are contiguous row slices (`device_engine
     ._dec_read`), and the N-probe flag folded into run_lo's sign bit by
     `_group_bounds_impl` rides along into position space.
+
+    Also returns the doubling loop's mutable rank seed (pos_lo stripped
+    of the N-flag sign bit) — fused here so it costs one output write
+    instead of a separate read+write pass.
 
     NB: tables stay as 1-D arrays — a [n, 2] device array tiles as
     (8, 128) on TPU, padding the minor dim 2 up to 128 (64x memory)."""
@@ -281,20 +295,9 @@ def _invert_tables_dec(sa: jax.Array, run_lo: jax.Array,
     C = L // step
     tail = jnp.arange(n, L, dtype=I32)
     dec = jnp.concatenate([_dec_of(sa, step, C), _dec_of(tail, step, C)])
-    zeros = jnp.zeros(L - n, I32)
-    lo_ext = jnp.concatenate([run_lo, zeros])
-    hi_ext = jnp.concatenate([run_hi, zeros])
     _, pos_lo, pos_hi = jax.lax.sort((dec, lo_ext, hi_ext), num_keys=1)
-    return pos_lo, pos_hi
-
-
-@jax.jit
-def _rank_from_tables(pos_lo: jax.Array):
-    """The doubling loop's mutable rank seed: pos_lo stripped of the
-    N-flag sign bit (dec-indexed, like the tables — the doubling
-    machinery remaps its cap-sized rank gathers/scatters through
-    `_dec_of`)."""
-    return pos_lo & jnp.int32(0x7FFFFFFF)
+    rank = pos_lo & jnp.int32(0x7FFFFFFF)
+    return pos_lo, pos_hi, rank
 
 
 @functools.partial(jax.jit, static_argnames=("step", "L"))
@@ -317,15 +320,38 @@ def _invert_perm(sa: jax.Array, vals: jax.Array):
     return out
 
 
+_EXTRACT_BLOCK = 1 << 14
+
+
 @functools.partial(jax.jit, static_argnames=("cap",))
 def _extract_tied(tied_slot: jax.Array, cap: int):
     """Compact the tied slot indices (ascending) into [cap]; returns
-    (slots [cap] padded with n, count). Sort-based for the same
-    scatter-vs-sort reason as `_invert_lo`."""
+    (slots [cap] padded with n, count).
+
+    Blocked two-level compaction: a row-wise sort over [G, B] blocks
+    (bitonic depth log2(B)^2 instead of log2(n)^2 — measured 0.28s vs
+    the full n-row sort's 1.00s at 256M rows) followed by a cumsum-based
+    placement gather in the cap-sized output domain. Exact: block-major
+    iota keys keep the global output ascending, and the caller sizes
+    ``cap >= n_tied`` (pow2_ceil of the live count)."""
     n = tied_slot.shape[0]
-    key = jnp.where(tied_slot, jnp.arange(n, dtype=I32), n)
-    (sorted_keys,) = jax.lax.sort((key,), num_keys=1)
-    return sorted_keys[:cap], jnp.sum(tied_slot.astype(I32))
+    B = _EXTRACT_BLOCK
+    G = (n + B - 1) // B
+    iota = jnp.arange(n, dtype=I32)
+    key = jnp.where(tied_slot, iota, n)
+    key2 = jnp.concatenate([key, jnp.full(G * B - n, n, I32)]).reshape(G, B)
+    skey = jax.lax.sort(key2, dimension=1)
+    counts = jnp.sum((key2 < n).astype(I32), axis=1)
+    total = jnp.sum(counts)
+    offs = jnp.concatenate([jnp.zeros(1, I32), jnp.cumsum(counts)[:-1]])
+    # block id per output lane: mark each block's start offset, cummax
+    marks = jnp.zeros(cap, I32).at[offs].max(jnp.arange(G, dtype=I32),
+                                             mode="drop")
+    block_of = jax.lax.cummax(marks)
+    jcap = jnp.arange(cap, dtype=I32)
+    j = jnp.maximum(jcap - offs[block_of], 0)
+    vals = skey[block_of, j]
+    return jnp.where(jcap < total, vals, n), total
 
 
 def _rank_ix(p, rank: jax.Array, dec_step: int):
@@ -607,16 +633,23 @@ class DeviceIndex:
             skhi, sklo, sa = _initial_sort(key_hi, key_lo)
         del key_hi, key_lo  # donated into the sort
         lap("sort", sa)
-        run_lo, run_hi, tied_slot = _group_bounds(
-            skhi, sklo, sa, jnp.int32(n1), flagged=doubled, flag_n_k=k)
+        import warnings
+
+        with warnings.catch_warnings():
+            # donating skhi/sklo frees them at execution (the point);
+            # the [L]-padded outputs can't alias them, which JAX notes
+            warnings.filterwarnings(
+                "ignore", message="Some donated buffers were not usable")
+            run_lo, run_hi, tied_slot = _group_bounds(
+                skhi, sklo, sa, jnp.int32(n1), flagged=doubled,
+                flag_n_k=k, pad_to=L)
         del skhi, sklo  # donated into the bounds pass
         # decimated tables, padded so the engine's contiguous probe-row
         # reads never clamp (padded lanes read zero ranges,
         # probe-masked away), with the N-probe flag in pos_lo's sign bit
-        pos_lo, pos_hi = _invert_tables_dec(sa, run_lo, run_hi,
-                                            k // 2, L)
-        del run_lo, run_hi  # freed once the inversion consumes them
-        rank = _rank_from_tables(pos_lo)
+        pos_lo, pos_hi, rank = _invert_tables_dec(sa, run_lo, run_hi,
+                                                  k // 2, L)
+        del run_lo, run_hi  # donated into the inversion
         lap("tables", rank, pos_hi)
 
         sa = _resolve_ties(sa, rank, tied_slot, n, k, rounds_per_call,
