@@ -111,3 +111,38 @@ def test_device_index_all_same_symbol():
     didx = DeviceIndex.build(data, 10, tied_cap=128)
     pidx = PositionIndex.build(data, 10)
     assert_index_equal(didx, pidx)
+
+
+@pytest.mark.parametrize("pattern", ["sparse", "dense", "runs", "none",
+                                     "all", "tail_block"])
+def test_extract_tied_blocked(pattern):
+    """The blocked two-level compaction in `_extract_tied` is exact:
+    ascending tied slot indices, padded with n, count right — across
+    block-boundary/density edge cases (block size is 2^14)."""
+    import jax.numpy as jnp
+
+    from asgart_tpu.device_index import _EXTRACT_BLOCK, _extract_tied
+    from asgart_tpu.utils import pow2_ceil
+
+    rng = np.random.default_rng(hash(pattern) % 2**31)
+    n = 3 * _EXTRACT_BLOCK + 777  # non-multiple of the block size
+    tied = np.zeros(n, dtype=bool)
+    if pattern == "sparse":
+        tied[rng.choice(n, 97, replace=False)] = True
+    elif pattern == "dense":
+        tied[rng.random(n) < 0.7] = True
+    elif pattern == "runs":  # whole blocks tied, straddling boundaries
+        tied[_EXTRACT_BLOCK - 5:_EXTRACT_BLOCK + 5] = True
+        tied[2 * _EXTRACT_BLOCK:3 * _EXTRACT_BLOCK] = True
+        tied[n - 3:] = True
+    elif pattern == "all":
+        tied[:] = True
+    elif pattern == "tail_block":  # only the ragged last block
+        tied[3 * _EXTRACT_BLOCK:] = True
+    expect = np.flatnonzero(tied)
+    cap = max(1024, pow2_ceil(max(len(expect), 1), 1))
+    slots, total = _extract_tied(jnp.asarray(tied), cap)
+    slots = np.asarray(slots)
+    assert int(total) == len(expect)
+    assert np.array_equal(slots[: len(expect)], expect)
+    assert np.all(slots[len(expect):] == n)
