@@ -98,6 +98,26 @@ def device_window_whole_fits(n1: int) -> bool:
         <= hbm_budget_bytes()
 
 
+def device_window_fits(n1: int, W: int, doubled: bool) -> bool:
+    """Whether ONE trim window of ``W`` rows, probed by the whole
+    ``n1``-byte strand, fits one HBM. Generalizes
+    :func:`device_window_whole_fits` to ``--shards``/``--trim`` windows,
+    where the probe side scales with the whole genome while the window
+    is a fraction of it: the stage-1 merge join co-sorts W window rows
+    with ~n1/step probe lanes (3 operands, in+out+scratch), next to the
+    resident window arrays and the decimated (doubled) probe codes.
+    Calibrated against the same measurements as
+    ``WINDOW_PEAK_BYTES_PER_ROW`` (one 256M-row window ran; two
+    resident at once OOMed a 15.75 GB HBM)."""
+    if W >= (1 << 30):
+        return False
+    step = 10  # k // 2 at the default k=20; conservative for smaller k
+    b = n1 // step + (1 << 21)
+    codes = (2 * n1 if doubled else n1)
+    peak = WINDOW_PEAK_BYTES_PER_ROW * (W + b) + codes
+    return peak <= hbm_budget_bytes()
+
+
 def _bucket_pow2(n: int) -> int:
     from .utils import pow2_ceil
 

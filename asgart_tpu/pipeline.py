@@ -314,9 +314,35 @@ def _search_duplications_sharded(
         s = dataclasses.replace(settings, trim=w)
         return search_duplications(strands_files, s, engine=engine)
 
+    if engine == "tpu" and windows:
+        from .device_index import device_window_fits
+
+        per_w = max(we - ws for ws, we in windows) + 1
+        doubled = settings.reverse or settings.complement
+        if 2 * total_len + 1 < (1 << 31) \
+                and not device_window_fits(total_len + 1, per_w, doubled):
+            # a single window of this size + the whole-genome probe side
+            # would overrun one HBM mid-run; the host engine produces
+            # byte-identical windows (same trim semantics), so degrade
+            # instead of crashing. (Beyond int32 doubled addressing the
+            # BigWindowEngine takes over with its own budgeting.)
+            log.warning(
+                "--shards %d gives %d-row device windows that exceed "
+                "the HBM budget; running the windows on the byte-equal "
+                "host engine (use more shards for the device path)",
+                shards, per_w)
+            engine = "host"
+
+    # device windows serialize: on a single chip, concurrent windows
+    # would hold several window indexes + their merge-join co-sort
+    # transients in ONE HBM at once (observed RESOURCE_EXHAUSTED at
+    # 512 Mbp --shards 2); device work queues on the chip anyway, so
+    # concurrency only buys host-side overlap — worthless against an
+    # OOM. Host windows keep the thread-pool fan-out.
+    workers = 1 if engine == "tpu" else min(len(windows),
+                                            os.cpu_count() or 1)
     t0 = time.time()
-    with ThreadPoolExecutor(max_workers=min(len(windows),
-                                            os.cpu_count() or 1)) as ex:
+    with ThreadPoolExecutor(max_workers=workers) as ex:
         results = list(ex.map(run_window, windows))
     prof["scan_s"] = round(time.time() - t0, 3)
 
