@@ -38,12 +38,29 @@ def _is_backend_unavailable(e: BaseException) -> bool:
     unreachable — e.g. "Unable to initialize backend 'axon':
     UNAVAILABLE"), which the pipeline degrades to the host engine; any
     other error propagates (a device-path bug must not silently fall
-    back and hide behind byte-equal host output)."""
+    back and hide behind byte-equal host output).
+
+    Typed check first: ``jax.errors.JaxRuntimeError`` (the
+    XlaRuntimeError alias) carries a gRPC-style status prefix — only
+    runtime-unreachable statuses count as an outage; e.g. an INTERNAL
+    or INVALID_ARGUMENT error still propagates. The string check
+    remains only for jax's *untyped* ``RuntimeError`` raises during
+    backend discovery (xla_bridge's "Unable to initialize backend" /
+    "No visible ... devices")."""
     if not isinstance(e, RuntimeError):
         return False
     msg = str(e)
-    return ("nitialize backend" in msg or "UNAVAILABLE" in msg
-            or "backend setup" in msg or "No visible" in msg)
+    try:
+        from jax.errors import JaxRuntimeError
+    except Exception:  # pragma: no cover - very old jax
+        JaxRuntimeError = ()
+    if isinstance(e, JaxRuntimeError):
+        return (msg.startswith(("UNAVAILABLE", "DEADLINE_EXCEEDED"))
+                or "Unable to initialize backend" in msg)
+    return ("Unable to initialize backend" in msg
+            or "nitialize backend" in msg
+            or "backend setup" in msg or "No visible" in msg
+            or "UNAVAILABLE" in msg)
 
 
 def probe_positions(needle: np.ndarray, probe_size: int) -> np.ndarray:

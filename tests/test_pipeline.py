@@ -530,6 +530,33 @@ def test_tpu_engine_backend_down_falls_back_to_host(tmp_path, monkeypatch):
         search_duplications([str(p)], settings, engine="tpu")
 
 
+def test_backend_outage_classification():
+    """Typed outage detection (`_is_backend_unavailable`): only
+    runtime-unreachable conditions degrade; device-path bugs — typed or
+    untyped — propagate even if jax's message wording changes."""
+    from jax.errors import JaxRuntimeError
+
+    from asgart_tpu.pipeline import _is_backend_unavailable as down
+
+    # typed runtime errors: status prefix decides
+    assert down(JaxRuntimeError("UNAVAILABLE: connection to TPU lost"))
+    assert down(JaxRuntimeError("DEADLINE_EXCEEDED: claim timed out"))
+    assert not down(JaxRuntimeError("INTERNAL: Mosaic lowering failed"))
+    assert not down(JaxRuntimeError(
+        "INVALID_ARGUMENT: shape mismatch in _scan_chunk"))
+    # a typed error merely MENTIONING unavailability mid-message is not
+    # an init failure (the old string check would have eaten it)
+    assert not down(JaxRuntimeError(
+        "INTERNAL: buffer donated while marked UNAVAILABLE"))
+
+    # untyped RuntimeErrors from backend discovery (string fallback)
+    assert down(RuntimeError(
+        "Unable to initialize backend 'axon': UNAVAILABLE: ..."))
+    assert down(RuntimeError("No visible TPU devices"))
+    assert not down(RuntimeError("shape mismatch in _scan_chunk"))
+    assert not down(ValueError("UNAVAILABLE"))  # not a RuntimeError
+
+
 def test_shards_backend_down_falls_back_to_host(tmp_path, monkeypatch):
     """--shards with engine=tpu degrades to host windows (same output)
     when the device backend cannot initialize."""
