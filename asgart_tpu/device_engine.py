@@ -798,6 +798,69 @@ def _sharded_scan(mesh, k: int, reverse: bool, complement: bool,
     return jax.jit(mapped)
 
 
+def _sharded_scan_group(mesh, k: int, reverse: bool, complement: bool,
+                        b_local: int, cap: int, ev_cap: int,
+                        axis: str = "probes"):
+    """Grouped SPMD scan (mesh parity for `_scan_chunks_group`): every
+    device runs the whole chunk GROUP as one `lax.map` core over its own
+    probe slice (j0 from its axis index). One relay dispatch serves
+    G chunks x n_dev shards; outputs come back stacked [n_dev, G, ...]
+    and each chunk's shard streams merge with the exact aging carry —
+    the same mechanism that makes per-chunk mesh scans byte-equal."""
+    from jax.sharding import PartitionSpec as P
+
+    def stepf(pos_lo_tab, pos_hi_tab, sa, params, first_len,
+              max_match_pos, max_cardinality):
+        d = jax.lax.axis_index(axis).astype(I32)
+        j0 = d * b_local
+
+        def one(p):
+            return _scan_chunk(
+                pos_lo_tab, pos_hi_tab, sa, p[0], p[1], first_len,
+                max_match_pos, max_cardinality, j0,
+                jnp.int32(_J_END_ALL),
+                k=k, reverse=reverse, complement=complement,
+                b_pad=b_local, cap=cap, ev_cap=ev_cap)
+
+        ev, m, sc = jax.lax.map(one, params)
+        return ev[None], m[None], sc[None]
+
+    mapped = jax.shard_map(
+        stepf, mesh=mesh,
+        in_specs=(P(),) * 7,
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+def _sharded_sliced_scan(mesh, k: int, reverse: bool, complement: bool,
+                         b_slice: int, cap: int, ev_cap: int,
+                         axis: str = "probes"):
+    """Sliced SPMD scan (mesh parity for sliced dispatch): a ROUND of up
+    to n_dev probe slices of one repeat-heavy chunk runs as one
+    dispatch, each device scanning its own (j0, j_end) row of the
+    sharded ``sl_params`` [n_dev, 2] (dummy rows use j_end = 0, whose
+    all-false lane mask makes the core inert)."""
+    from jax.sharding import PartitionSpec as P
+
+    def stepf(pos_lo_tab, pos_hi_tab, sa, sl_params, chunk_start,
+              chunk_len, first_len, max_match_pos, max_cardinality):
+        row = sl_params[0]
+        ev, m, sc = _scan_chunk(
+            pos_lo_tab, pos_hi_tab, sa, chunk_start, chunk_len,
+            first_len, max_match_pos, max_cardinality, row[0], row[1],
+            k=k, reverse=reverse, complement=complement,
+            b_pad=b_slice, cap=cap, ev_cap=ev_cap)
+        return ev[None], m[None], sc[None]
+
+    mapped = jax.shard_map(
+        stepf, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(), P(), P(), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
 def _merge_shard_events(shard_events):
     """Concatenate per-shard (probe_i, z_before, counts, m_flat, z_trail)
     into one global event stream.
@@ -839,8 +902,10 @@ class DeviceEngine:
         self.strand = strand
         self.settings = settings
         t0 = time.time()
-        self.didx = DeviceIndex.build(
-            strand.data, settings.probe_size,
+        from .device_index import cached_build
+
+        self.didx = cached_build(
+            DeviceIndex.build, strand.data, (settings.probe_size,),
             reverse=settings.reverse, complement=settings.complement,
             codes_device=codes_device)
         if mesh is None and len(jax.devices()) > 1:
@@ -937,9 +1002,8 @@ class DeviceEngine:
                 t0 = self._lap(t0, f"raw-total pre-pass ({total_raw})")
                 cap = _bucket(max(total_raw + 1, MIN_CAP))
         if cap > _slice_budget():
-            # repeat-heavy chunk: bounded-memory sliced dispatch (under
-            # a mesh the slices run as plain replicated dispatches —
-            # correctness first; such chunks are rare and scan-bound)
+            # repeat-heavy chunk: bounded-memory sliced dispatch
+            # (SPMD slice rounds under a mesh)
             return self._dispatch_chunk_sliced(chunk)
         if ev_cap is None:
             ev_cap = _bucket(min(cap, b_local)) // 4
@@ -996,19 +1060,45 @@ class DeviceEngine:
         # short slice's end by up to b_slice - SLICE_GRAN lanes (masked
         # via j_end; table_pad_for reserves the extra B_GRAN of slack)
         b_slice = pow2_ceil(max(nl for _, nl, _ in slices), 1 << 12)
-        args = (didx.pos_lo, didx.pos_hi, didx.sa,
-                jnp.int32(chunk[0]), jnp.int32(chunk[1]),
-                jnp.int32(didx.first_len),
-                jnp.int32(didx.first_len - 1),
-                jnp.int32(s.max_cardinality))
         shards = []
-        for lane0, n_lanes, total in slices:
-            cap, ev_cap = _slice_caps(total, b_slice, ev_scale)
-            ev_pack, m_flat, scalars = _scan_chunk(
-                *args, jnp.int32(lane0), jnp.int32(lane0 + n_lanes),
-                k=k, reverse=s.reverse, complement=s.complement,
-                b_pad=b_slice, cap=cap, ev_cap=ev_cap)
-            shards.append((ev_pack, m_flat, scalars))
+        if self.mesh is not None:
+            # SPMD slice rounds: up to n_dev slices per dispatch, each
+            # device scanning its own (j0, j_end) row; a round shares
+            # one (max) capacity so all cells run one program
+            n_dev = self.mesh.devices.size
+            for i in range(0, len(slices), n_dev):
+                batch = slices[i:i + n_dev]
+                caps = [_slice_caps(t, b_slice, ev_scale)
+                        for (_, _, t) in batch]
+                cap = max(c for c, _ in caps)
+                ev_cap = max(e for _, e in caps)
+                params = np.zeros((n_dev, 2), dtype=np.int32)
+                for d, (lane0, n_lanes, _) in enumerate(batch):
+                    params[d] = (lane0, lane0 + n_lanes)
+                stepf = _sharded_sliced_scan(
+                    self.mesh, k, s.reverse, s.complement, b_slice,
+                    cap, ev_cap)
+                ev, mf, sc = stepf(
+                    didx.pos_lo, didx.pos_hi, didx.sa,
+                    jnp.asarray(params), jnp.int32(chunk[0]),
+                    jnp.int32(chunk[1]), jnp.int32(didx.first_len),
+                    jnp.int32(didx.first_len - 1),
+                    jnp.int32(s.max_cardinality))
+                for d in range(len(batch)):
+                    shards.append((ev[d], mf[d], sc[d]))
+        else:
+            args = (didx.pos_lo, didx.pos_hi, didx.sa,
+                    jnp.int32(chunk[0]), jnp.int32(chunk[1]),
+                    jnp.int32(didx.first_len),
+                    jnp.int32(didx.first_len - 1),
+                    jnp.int32(s.max_cardinality))
+            for lane0, n_lanes, total in slices:
+                cap, ev_cap = _slice_caps(total, b_slice, ev_scale)
+                ev_pack, m_flat, scalars = _scan_chunk(
+                    *args, jnp.int32(lane0), jnp.int32(lane0 + n_lanes),
+                    k=k, reverse=s.reverse, complement=s.complement,
+                    b_pad=b_slice, cap=cap, ev_cap=ev_cap)
+                shards.append((ev_pack, m_flat, scalars))
         self._lap(t0, f"sliced scan dispatch ({len(slices)} x "
                       f"b={b_slice})")
         return {"chunk": chunk, "sliced": True, "ev_scale": ev_scale,
@@ -1201,8 +1291,10 @@ class DeviceEngine:
         return caps
 
     def _dispatch_group(self, group, b_pad, cap, ev_cap):
-        """One grouped dispatch (`_scan_chunks_group`) for same-geometry
-        chunks, padded with inert dummy rows to the static group size."""
+        """One grouped dispatch (`_scan_chunks_group`, or its SPMD
+        counterpart `_sharded_scan_group` under a mesh) for
+        same-geometry chunks, padded with inert dummy rows to the
+        static group size."""
         s = self.settings
         didx = self.didx
         gs = _pad_group(len(group))
@@ -1210,15 +1302,26 @@ class DeviceEngine:
         for i, c in enumerate(group):
             params[i] = c
         t0 = time.time()
-        ev, m, sc = _scan_chunks_group(
-            didx.pos_lo, didx.pos_hi, didx.sa, jnp.asarray(params),
-            jnp.int32(didx.first_len), jnp.int32(didx.first_len - 1),
-            jnp.int32(s.max_cardinality), k=s.probe_size,
-            reverse=s.reverse, complement=s.complement,
-            b_pad=b_pad, cap=cap, ev_cap=ev_cap)
+        if self.mesh is None:
+            ev, m, sc = _scan_chunks_group(
+                didx.pos_lo, didx.pos_hi, didx.sa, jnp.asarray(params),
+                jnp.int32(didx.first_len), jnp.int32(didx.first_len - 1),
+                jnp.int32(s.max_cardinality), k=s.probe_size,
+                reverse=s.reverse, complement=s.complement,
+                b_pad=b_pad, cap=cap, ev_cap=ev_cap)
+            n_shards = 1
+        else:
+            n_shards = self.mesh.devices.size
+            stepf = _sharded_scan_group(
+                self.mesh, s.probe_size, s.reverse, s.complement,
+                b_pad // n_shards, cap, ev_cap)
+            ev, m, sc = stepf(
+                didx.pos_lo, didx.pos_hi, didx.sa, jnp.asarray(params),
+                jnp.int32(didx.first_len), jnp.int32(didx.first_len - 1),
+                jnp.int32(s.max_cardinality))
         self._lap(t0, f"group dispatch ({len(group)}/{gs}, cap={cap})")
         return {"chunks": list(group), "ev": ev, "m": m, "sc": sc,
-                "cap": cap, "ev_cap": ev_cap}
+                "cap": cap, "ev_cap": ev_cap, "n_shards": n_shards}
 
     # bulk-download breakeven: each live chunk's per-slice download
     # costs ~2 relay round trips (~50 ms ~= 3 MB at the measured
@@ -1230,23 +1333,26 @@ class DeviceEngine:
         """{chunk: families} for one dispatched group: ONE stacked
         scalars fetch, bulk (or per-chunk) event downloads, host
         chain; chunks that overflowed retry through the single-chunk
-        path."""
+        path. Mesh groups arrive as [n_shards, G, ...] stacks; each
+        chunk's shard streams merge with the exact aging carry."""
         t0 = time.time()
+        S = gst.get("n_shards", 1)
         sc = np.asarray(gst["sc"])
+        if S == 1 and sc.ndim == 2:
+            sc = sc[None]  # [S, G, 4] uniformly
         t0 = self._lap(t0, "group scalars fetch")
         full_bytes = 4 * (gst["ev"].size + gst["m"].size)
         ev_h = m_h = None
         if full_bytes <= len(gst["chunks"]) * self.GROUP_FETCH_PER_CHUNK:
-            ev_h = np.asarray(gst["ev"])
-            m_h = np.asarray(gst["m"])
+            ev_h = np.asarray(gst["ev"]).reshape((S,) + gst["ev"].shape[-3:])
+            m_h = np.asarray(gst["m"]).reshape((S,) + gst["m"].shape[-2:])
         out = {}
         for g, chunk in enumerate(gst["chunks"]):
-            n_events, total_kept, z_trail, overflow = (
-                int(v) for v in sc[g])
-            if overflow:
+            if sc[:, g, 3].any():
                 cap, ev_cap = gst["cap"], gst["ev_cap"]
-                if n_events > ev_cap:
-                    ev_cap = _bucket(n_events + 1)
+                max_ev = int(sc[:, g, 0].max())
+                if max_ev > ev_cap:
+                    ev_cap = _bucket(max_ev + 1)
                 else:
                     cap *= 2
                 log.debug("group scan retry: cap=%d ev_cap=%d",
@@ -1256,13 +1362,19 @@ class DeviceEngine:
                 continue
             _CAP_CACHE[self._cap_key(chunk)] = (gst["cap"],
                                                 gst["ev_cap"])
-            if ev_h is not None:
-                parts = [(ev_h[g][:, :n_events], m_h[g][:total_kept],
-                          z_trail)]
-            else:
-                parts = [(np.asarray(gst["ev"][g][:, :n_events]),
-                          np.asarray(gst["m"][g][:total_kept]),
-                          z_trail)]
+            parts = []
+            for sh in range(S):
+                n_events, total_kept, z_trail, _ = (
+                    int(v) for v in sc[sh, g])
+                if ev_h is not None:
+                    parts.append((ev_h[sh, g][:, :n_events],
+                                  m_h[sh, g][:total_kept], z_trail))
+                else:
+                    ev_d = gst["ev"][sh] if S > 1 else gst["ev"]
+                    m_d = gst["m"][sh] if S > 1 else gst["m"]
+                    parts.append((np.asarray(ev_d[g][:, :n_events]),
+                                  np.asarray(m_d[g][:total_kept]),
+                                  z_trail))
             out[chunk] = self._chain_merged(parts)
         self._lap(t0, f"group collect ({len(gst['chunks'])})")
         return out
@@ -1301,13 +1413,10 @@ class DeviceEngine:
         """All chunks with grouped dispatch: same-geometry chunks run
         as ONE `lax.map` core (one relay dispatch + one stacked
         scalars fetch per group of up to GROUP_SIZE) and groups
-        pipeline against each other's downloads. Mesh runs keep the
-        per-chunk sharded path."""
-        if self.mesh is not None:
-            totals = self._batch_totals(chunks)
-            states = [self._dispatch_chunk(c, total=totals.get(c))
-                      for c in chunks]
-            return [self._collect_chunk(st) for st in states]
+        pipeline against each other's downloads. Under a mesh the
+        groups dispatch as `_sharded_scan_group` SPMD programs — the
+        chunk-heavy dispatch-bound profile that motivated grouping
+        does not regress when ≥ 2 chips are present."""
         totals = self._batch_totals(chunks)
         groups, singles = self._plan_groups(chunks, totals, slack=True)
         gstates = [self._dispatch_group(part, b_pad, cap, ev_cap)
@@ -1337,14 +1446,15 @@ class DeviceWindowEngine(DeviceEngine):
 
     def __init__(self, strand, settings, trim, profile: dict | None = None,
                  codes_device=None):
-        from .device_index import DeviceWindowIndex
+        from .device_index import DeviceWindowIndex, cached_build
 
         self.strand = strand
         self.settings = settings
         self.trim = (int(trim[0]), int(trim[1]))
         t0 = time.time()
-        self.widx = DeviceWindowIndex.build(
-            strand.data, settings.probe_size, trim=self.trim,
+        self.widx = cached_build(
+            DeviceWindowIndex.build, strand.data,
+            (settings.probe_size,), trim=self.trim,
             reverse=settings.reverse, complement=settings.complement,
             codes_device=codes_device)
         # probe-axis mesh sharding for windows comes via the composed

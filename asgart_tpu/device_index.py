@@ -570,6 +570,61 @@ def _resolve_ties(sa, rank, tied_slot, n: int, k: int,
     return sa
 
 
+# --- device-resident index cache ------------------------------------------
+#
+# A warm service rescanning a genome it has already indexed skips the
+# build entirely: the index arrays stay resident in HBM between runs,
+# keyed by a content fingerprint of the strand (plus every build
+# parameter). ONE entry only — a v5e HBM cannot hold two genome-scale
+# indexes next to a build's transients — and the old entry is evicted
+# BEFORE a new build so its buffers are freed when the build's sorts
+# allocate. `ASGART_DEVICE_INDEX_CACHE=0` disables.
+#
+# The on-disk analog is `--index-cache` (host engine); this is its HBM
+# counterpart for the TPU engine, where a device->host snapshot would
+# cost more than the rebuild (the axon tunnel moves ~0.06 GB/s while
+# the build sorts in seconds).
+
+_DEVICE_INDEX_CACHE: dict = {}
+
+
+def _strand_fingerprint(data: np.ndarray) -> tuple:
+    """Content key of a strand: (blake2b-128, length). ~1 GB/s on this
+    rig — a fraction of the build it may save."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(memoryview(np.ascontiguousarray(data)))
+    return (h.hexdigest(), int(len(data)))
+
+
+def device_index_cache_enabled() -> bool:
+    import os
+
+    return os.environ.get("ASGART_DEVICE_INDEX_CACHE", "1") != "0"
+
+
+def cached_build(builder, strand_data: np.ndarray, params: tuple,
+                 **kwargs):
+    """Build-or-reuse a device index. ``builder`` is the classmethod
+    (``DeviceIndex.build`` / ``DeviceWindowIndex.build``); ``params``
+    must capture every build-affecting argument; ``kwargs`` pass through
+    to the builder on a miss."""
+    if not device_index_cache_enabled():
+        return builder(strand_data, *params, **kwargs)
+    key = (builder.__qualname__, _strand_fingerprint(strand_data),
+           params, tuple(sorted(
+               (k, v) for k, v in kwargs.items()
+               if k not in ("codes_device",))))
+    hit = _DEVICE_INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    _DEVICE_INDEX_CACHE.clear()  # evict before allocating the build
+    idx = builder(strand_data, *params, **kwargs)
+    _DEVICE_INDEX_CACHE[key] = idx
+    return idx
+
+
 @dataclass
 class DeviceIndex:
     """Device-resident doubled-text position index (the on-device analog

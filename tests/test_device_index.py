@@ -95,6 +95,7 @@ def test_device_index_long_identical_duplications():
     assert_index_equal(didx, pidx)
 
 
+@pytest.mark.soak
 def test_device_index_hyper_repetitive_full_rounds():
     """Tiny tied_cap forces the full-array fallback rounds."""
     rng = np.random.default_rng(6)
@@ -146,3 +147,70 @@ def test_extract_tied_blocked(pattern):
     assert int(total) == len(expect)
     assert np.array_equal(slots[: len(expect)], expect)
     assert np.all(slots[len(expect):] == n)
+
+
+def test_device_index_cache(monkeypatch):
+    """HBM-resident index cache: same strand + params reuses the built
+    index (a warm service skips the build); any param or content change
+    rebuilds and EVICTS the old entry (one-entry policy — two
+    genome-scale indexes never share an HBM with a build's transients);
+    ASGART_DEVICE_INDEX_CACHE=0 disables."""
+    from asgart_tpu import device_index as di
+
+    rng = np.random.default_rng(21)
+    data = np.frombuffer(random_dna(rng, 3000, b"ACGT") + b"$", np.uint8)
+    data2 = np.frombuffer(random_dna(rng, 3000, b"ACGT") + b"$", np.uint8)
+
+    di._DEVICE_INDEX_CACHE.clear()
+    a = di.cached_build(di.DeviceIndex.build, data, (10,),
+                        reverse=True, complement=True)
+    b = di.cached_build(di.DeviceIndex.build, data, (10,),
+                        reverse=True, complement=True)
+    assert b is a, "cache hit must reuse the resident index"
+    c = di.cached_build(di.DeviceIndex.build, data, (10,),
+                        reverse=False, complement=False)
+    assert c is not a
+    assert len(di._DEVICE_INDEX_CACHE) == 1, "one-entry eviction policy"
+    d = di.cached_build(di.DeviceIndex.build, data2, (10,),
+                        reverse=False, complement=False)
+    assert d is not c, "content change must rebuild"
+    # the cached index is exact (not just reused blindly)
+    assert_index_equal(d, PositionIndex.build(data2, 10))
+
+    monkeypatch.setenv("ASGART_DEVICE_INDEX_CACHE", "0")
+    e = di.cached_build(di.DeviceIndex.build, data2, (10,),
+                        reverse=False, complement=False)
+    assert e is not d
+    di._DEVICE_INDEX_CACHE.clear()
+
+
+def test_device_index_cache_pipeline_rescan(tmp_path):
+    """engine=tpu rescan of the same genome through the public pipeline:
+    identical JSON with the index served from the HBM cache."""
+    import io
+
+    from asgart_tpu import device_index as di
+    from asgart_tpu.exporters import JSONExporter
+    from asgart_tpu.pipeline import search_duplications
+    from asgart_tpu.structs import RunSettings
+    from tests.util import write_fasta
+
+    rng = np.random.default_rng(22)
+    text = plant_duplication(rng, 16000, 1200, 2000, 9000,
+                             transform=revcomp)
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", text)])
+    kw = dict(reverse=True, complement=True)
+
+    di._DEVICE_INDEX_CACHE.clear()
+    r1 = search_duplications([str(fa)], RunSettings(**kw), engine="tpu")
+    assert len(di._DEVICE_INDEX_CACHE) == 1
+    cached = next(iter(di._DEVICE_INDEX_CACHE.values()))
+    r2 = search_duplications([str(fa)], RunSettings(**kw), engine="tpu")
+    assert next(iter(di._DEVICE_INDEX_CACHE.values())) is cached
+    b1, b2 = io.StringIO(), io.StringIO()
+    JSONExporter().save(r1, b1)
+    JSONExporter().save(r2, b2)
+    assert b1.getvalue() == b2.getvalue()
+    assert r1.families
+    di._DEVICE_INDEX_CACHE.clear()
