@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "the whole genome and merged (the automated "
                         "version of the reference's --trim + asgart-slice "
                         "workflow; bounds index memory to 1/N)")
+    p.add_argument("--hosts", type=int, default=1, metavar="N",
+                   help="Run the --shards windows as worker PROCESSES, "
+                        "up to N concurrently (the multi-host execution "
+                        "form: one window per host, partial results "
+                        "merged — zero cross-process communication). "
+                        "Defaults --shards to N if unset")
     p.add_argument("--index-cache", default=None, metavar="DIR",
                    help="Cache the genome index in DIR keyed by input "
                         "hash; one cached index serves direct and R/C/RC "
@@ -103,10 +109,18 @@ def _main(argv=None) -> int:
     )
 
     prof: dict = {}
-    result = search_duplications(
-        args.strands, settings, engine=args.engine,
-        checkpoint=args.checkpoint, profile=prof,
-        index_cache=args.index_cache, shards=args.shards)
+    if args.hosts > 1:
+        from ..multihost import search_duplications_multihost
+
+        shards = args.shards if args.shards > 1 else args.hosts
+        result = search_duplications_multihost(
+            args.strands, settings, shards=shards, hosts=args.hosts,
+            engine=args.engine)
+    else:
+        result = search_duplications(
+            args.strands, settings, engine=args.engine,
+            checkpoint=args.checkpoint, profile=prof,
+            index_cache=args.index_cache, shards=args.shards)
     if args.profile:
         import json as _json
         print(_json.dumps(prof), file=sys.stderr)
