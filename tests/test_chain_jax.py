@@ -72,6 +72,7 @@ def test_device_chain_matches_native_reverse():
 
 
 @pytest.mark.parametrize("trial", range(6))
+@pytest.mark.soak
 def test_three_engine_equivalence_random_settings(trial):
     """Oracle ≡ native ≡ lax.scan under randomized settings and genomes."""
     from asgart_tpu import automaton
@@ -112,6 +113,7 @@ def test_three_engine_equivalence_random_settings(trial):
     assert got == want
 
 
+@pytest.mark.soak
 def test_overflow_retry_out_cap_and_arms():
     """Drive chain_scan into its out_cap and max_arms overflow regimes:
     chain_device must detect the overflow (n_out > out_cap / n_dropped)
@@ -182,6 +184,7 @@ def test_chain_scan_reports_dropped_arms():
 
 
 @pytest.mark.parametrize("trial", range(8))
+@pytest.mark.soak
 def test_burst_chain_equals_event_chain(trial):
     """Full-on-device burst chaining (vmap over provably-independent
     bursts) must equal the native event-stream automaton, including
@@ -226,6 +229,7 @@ def test_burst_chain_equals_event_chain(trial):
     assert got == want
 
 
+@pytest.mark.soak
 def test_burst_chain_capacity_retry():
     """Tiny per-lane out_cap / max_arms must retry to the exact result."""
     from asgart_tpu.chain_jax import chain_events_device

@@ -56,6 +56,7 @@ def test_window_engine_rc(tmp_path):
     assert host.families
 
 
+@pytest.mark.soak
 def test_window_engine_multi_chunk(tmp_path):
     """N-run chunk splits with a trim window: probes stay chunk-local,
     the window index serves every chunk."""
@@ -72,6 +73,7 @@ def test_window_engine_multi_chunk(tmp_path):
 
 
 @pytest.mark.parametrize("trial", range(4))
+@pytest.mark.soak
 def test_window_engine_fuzz(tmp_path, trial):
     rng = np.random.default_rng(200 + trial)
     k = int(rng.choice([10, 14, 20]))
@@ -99,6 +101,7 @@ def test_window_engine_fuzz(tmp_path, trial):
     assert_results_equal(host, tpu)
 
 
+@pytest.mark.soak
 def test_window_engine_repeat_heavy(tmp_path):
     """Cardinality skips must agree when many matches land in the
     window."""
@@ -117,6 +120,7 @@ def test_window_engine_repeat_heavy(tmp_path):
     assert_results_equal(host, tpu)
 
 
+@pytest.mark.soak
 def test_window_engine_tiny_window(tmp_path):
     """A window smaller than min_duplication_length still runs (and
     finds nothing or short right arms, identically to the host)."""
@@ -239,6 +243,7 @@ def test_big_window_rc(tmp_path, monkeypatch):
     assert host.families
 
 
+@pytest.mark.soak
 def test_big_window_multi_chunk_and_repeats(tmp_path, monkeypatch):
     monkeypatch.setenv("ASGART_BIG_WINDOW", "1")
     rng = np.random.default_rng(43)
@@ -257,6 +262,7 @@ def test_big_window_multi_chunk_and_repeats(tmp_path, monkeypatch):
 
 
 @pytest.mark.parametrize("trial", range(4))
+@pytest.mark.soak
 def test_big_window_fuzz(tmp_path, trial, monkeypatch):
     monkeypatch.setenv("ASGART_BIG_WINDOW", "1")
     rng = np.random.default_rng(900 + trial)
@@ -285,6 +291,7 @@ def test_big_window_fuzz(tmp_path, trial, monkeypatch):
     assert_results_equal(host, tpu)
 
 
+@pytest.mark.soak
 def test_big_window_shards_byte_equal(tmp_path, monkeypatch):
     """--shards engine=tpu in forced big mode (the whole-human-genome
     shape: every window a BigWindowEngine): byte-equal JSON vs host."""
@@ -312,6 +319,7 @@ def test_big_window_shards_byte_equal(tmp_path, monkeypatch):
     assert host.families
 
 
+@pytest.mark.soak
 def test_one_window_many_chunks_batch(tmp_path, monkeypatch):
     """Chunk-heavy genome (many N-run splits) through the one-window
     engine: the batched stage-1 (`_window_ranges_batch`) must reproduce
@@ -353,6 +361,7 @@ def test_one_window_many_chunks_batch(tmp_path, monkeypatch):
     assert host.families
 
 
+@pytest.mark.soak
 def test_big_window_chunk_heavy_batched(tmp_path, monkeypatch):
     """6 chunks through the forced big-window engine's batched stage 1
     (one concatenated needle upload + one co-sort + grouped rebased
@@ -382,6 +391,7 @@ def _satellite_genome(rng, n=40000):
     return bytes(g)
 
 
+@pytest.mark.soak
 def test_window_engine_sliced_dispatch(tmp_path, monkeypatch):
     """Repeat-heavy trim run: stage 2 must slice into bounded windows
     with output identical to the host trim engine."""
@@ -399,6 +409,7 @@ def test_window_engine_sliced_dispatch(tmp_path, monkeypatch):
         "expected the sliced window dispatch to trigger"
 
 
+@pytest.mark.soak
 def test_big_window_sliced_dispatch(tmp_path, monkeypatch):
     """Same for the forced big-genome (window-relative) engine."""
     import asgart_tpu.device_engine as de

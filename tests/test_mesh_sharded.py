@@ -56,7 +56,9 @@ def test_mesh_engine_is_used(tmp_path, monkeypatch):
     assert r.families
 
 
-@pytest.mark.parametrize("shards", [2, 4, 8])
+@pytest.mark.parametrize("shards", [
+    2, pytest.param(4, marks=pytest.mark.soak),
+    pytest.param(8, marks=pytest.mark.soak)])
 def test_mesh_sharded_byte_equal(tmp_path, shards):
     """Every feasible mesh shape reproduces the sequential workflow's
     bytes, including duplications straddling window boundaries."""
@@ -73,6 +75,7 @@ def test_mesh_sharded_byte_equal(tmp_path, shards):
     assert host.families
 
 
+@pytest.mark.soak
 def test_mesh_sharded_rc_multi_fragment(tmp_path):
     """RC mode over two fragments with an N-run chunk split."""
     rng = np.random.default_rng(22)
@@ -89,6 +92,7 @@ def test_mesh_sharded_rc_multi_fragment(tmp_path):
     assert host.families
 
 
+@pytest.mark.soak
 def test_mesh_sharded_uneven_last_window(tmp_path):
     """A genome length not divisible by the shard count: the last
     window is shorter and is padded with sentinel keys on device."""
@@ -103,6 +107,7 @@ def test_mesh_sharded_uneven_last_window(tmp_path):
     assert host.families
 
 
+@pytest.mark.soak
 def test_mesh_sharded_repeat_heavy(tmp_path):
     """Cardinality skipping across sharded windows (matches of one probe
     spread over several windows must count per window, like separate
@@ -133,6 +138,7 @@ def test_indivisible_device_count_falls_back(tmp_path):
     assert host.families
 
 
+@pytest.mark.soak
 def test_mesh_batched_stage1_many_chunks(tmp_path):
     """Chunk-heavy mesh run (6 chunks of uneven sizes -> differing
     per-chunk b_local lane origins) through the batched SPMD stage 1:
