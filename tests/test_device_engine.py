@@ -58,6 +58,7 @@ def test_device_engine_multi_chunk_and_ns(tmp_path):
     assert sum(len(f) for f in host.families) >= 2
 
 
+@pytest.mark.soak
 def test_device_engine_repeat_heavy_cardinality(tmp_path):
     """Alu-like scatter: many matches per probe, cardinality skips, and a
     valid medium-cardinality family."""
@@ -78,6 +79,7 @@ def test_device_engine_repeat_heavy_cardinality(tmp_path):
     assert_results_equal(host, tpu)
 
 
+@pytest.mark.soak
 def test_device_engine_overflow_retry(tmp_path):
     """Forced cap/ev_cap overflow: dispatching with tiny capacities must
     retry-with-doubling in _collect_chunk and still match the host
@@ -117,6 +119,7 @@ def test_device_engine_overflow_retry(tmp_path):
 
 
 @pytest.mark.parametrize("trial", range(5))
+@pytest.mark.soak
 def test_device_engine_fuzz(tmp_path, trial):
     rng = np.random.default_rng(100 + trial)
     k = int(rng.choice([10, 14, 20]))
@@ -193,6 +196,7 @@ def test_sharded_equals_single_device(tmp_path):
     assert sum(len(f) for f in fams_single) >= 4
 
 
+@pytest.mark.soak
 def test_k21_routes_to_host_engine(tmp_path):
     """k=21 exceeds the two-int32-plane device packing (33 bits in the
     hi plane would merge distinct k-mer groups — found by review):
@@ -221,6 +225,7 @@ def test_empty_family_postprocess_no_crash():
     assert out == [[]]
 
 
+@pytest.mark.soak
 def test_device_chain_mode_matches_host(tmp_path, monkeypatch):
     """ASGART_DEVICE_CHAIN=1: the full on-device burst chain must keep
     the pipeline byte-equal to the host engine."""
@@ -318,6 +323,7 @@ def test_grouped_dispatch_many_chunks(tmp_path):
     assert host.families
 
 
+@pytest.mark.soak
 def test_grouped_overflow_retry(tmp_path):
     """A grouped dispatch with tiny capacities: overflowed chunks must
     retry through the single-chunk path inside _collect_group and the
@@ -361,6 +367,7 @@ def test_grouped_overflow_retry(tmp_path):
     assert len(tpu_fams) >= 2
 
 
+@pytest.mark.soak
 def test_sliced_dispatch_repeat_explosion(tmp_path, monkeypatch):
     """A chunk whose RAW match-window total exceeds the slice budget
     (unmasked satellite-like repeats) must scan as bounded-memory probe
@@ -404,3 +411,91 @@ def test_sliced_dispatch_repeat_explosion(tmp_path, monkeypatch):
                               engine="tpu")
     assert_results_equal(host, tpu)
     assert any(v == "sliced" for v in de._CAP_CACHE.values())
+
+
+def test_mesh_grouped_dispatch_equals_single(tmp_path, monkeypatch):
+    """Mesh parity for GROUPED dispatch (VERDICT r2 #2): a chunk-heavy
+    genome must run its same-geometry groups as `_sharded_scan_group`
+    SPMD dispatches on the 8-device mesh, byte-equal to the
+    single-device run."""
+    import jax
+
+    from asgart_tpu import device_engine as de
+    from asgart_tpu.device_engine import DeviceEngine
+    from asgart_tpu.fasta import prepare_data
+
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(41)
+    g = bytearray(random_dna(rng, 120000, b"ACGT"))
+    g[16000:17500] = bytes(g[2000:3500])
+    g[60000:61500] = bytes(g[40000:41500])
+    g[112000:113500] = bytes(g[100000:101500])
+    for i in range(5):                       # 5 N-runs -> 6 chunks
+        p = 18000 + i * 18000
+        g[p:p + 6000] = b"N" * 6000
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", bytes(g))])
+    settings = RunSettings(min_duplication_length=700)
+    _, chunks, strand = prepare_data([str(fa)], settings.skip_masked,
+                                     None)
+    assert len(chunks) >= 5
+
+    de._CAP_CACHE.clear()
+    single = DeviceEngine(strand, settings, mesh=False)
+    fams_single = single.run_chunks(chunks)
+
+    de._CAP_CACHE.clear()
+    calls = {"groups": 0}
+    orig = DeviceEngine._dispatch_group
+
+    def spy(self, group, b_pad, cap, ev_cap):
+        calls["groups"] += 1
+        return orig(self, group, b_pad, cap, ev_cap)
+
+    monkeypatch.setattr(DeviceEngine, "_dispatch_group", spy)
+    sharded = DeviceEngine(strand, settings)
+    assert sharded.mesh is not None
+    fams_sharded = sharded.run_chunks(chunks)
+    assert calls["groups"] >= 1, "mesh run must use grouped dispatch"
+    assert fams_sharded == fams_single
+    assert sum(len(f) for fams in fams_single for f in fams) >= 2
+
+
+@pytest.mark.soak
+def test_mesh_sliced_dispatch_equals_single(tmp_path, monkeypatch):
+    """Mesh parity for SLICED dispatch: a repeat-heavy chunk must scan
+    as SPMD slice rounds on the mesh, byte-equal to the single-device
+    sliced scan."""
+    import jax
+
+    from asgart_tpu import device_engine as de
+    from asgart_tpu.device_engine import DeviceEngine
+    from asgart_tpu.fasta import prepare_data
+
+    assert len(jax.devices()) == 8
+    monkeypatch.setenv("ASGART_DEVICE_SLICE_LANES", "8192")
+    rng = np.random.default_rng(42)
+    n = 40000
+    g = bytearray(random_dna(rng, n, b"ACGT"))
+    unit = random_dna(rng, 40, b"ACGT")
+    g[15000:25000] = (unit * 250)[:10000]
+    g[30000:32000] = bytes(g[2000:4000])
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", bytes(g))])
+    settings = RunSettings(min_duplication_length=500,
+                           max_cardinality=500)
+    _, chunks, strand = prepare_data([str(fa)], settings.skip_masked,
+                                     None)
+
+    de._CAP_CACHE.clear()
+    single = DeviceEngine(strand, settings, mesh=False)
+    fams_single = [single.run_chunk(c) for c in chunks]
+    assert any(v == "sliced" for v in de._CAP_CACHE.values())
+
+    de._CAP_CACHE.clear()
+    sharded = DeviceEngine(strand, settings)
+    assert sharded.mesh is not None
+    fams_sharded = [sharded.run_chunk(c) for c in chunks]
+    assert any(v == "sliced" for v in de._CAP_CACHE.values())
+    assert fams_sharded == fams_single
+    assert sum(len(f) for fams in fams_single for f in fams) >= 1
