@@ -221,11 +221,15 @@ def _scan_chunk(pos_lo_tab, pos_hi_tab, sa,
 def _core_from_ranges(lo, hi, mask, sa, self_base, dir_base, rev_t0,
                       max_match_pos, max_cardinality, j0,
                       k: int, reverse: bool, b_pad: int, cap: int,
-                      ev_cap: int):
+                      ev_cap: int, sa_gather=None):
     """Scan tail shared by the table engine and the windowed (trim)
     engine: CSR match expansion + exact filters + event compaction from
     already-masked per-probe equal ranges (`lo`/`hi` zeroed outside
     `mask`).
+
+    ``sa_gather`` (optional) replaces the direct ``sa[...]`` gather —
+    the rank-sharded window engine passes a psum-combining gather over
+    the suffix order sharded across a mesh axis (`sa` is then None).
 
     The exact filters compare match position `m` (in the SA's coordinate
     frame) against the needle-relative probe position `i`:
@@ -268,7 +272,10 @@ def _core_from_ranges(lo, hi, mask, sa, self_base, dir_base, rev_t0,
         jnp.where(seg[:cap] > 0, flat_pos, 0))
     within = flat_pos - seg_start
     flat_valid = flat_pos < jnp.minimum(total_raw, cap)
-    m = sa[jnp.clip(qlo[qid] + within, 0, sa.shape[0] - 1)]
+    if sa_gather is None:
+        m = sa[jnp.clip(qlo[qid] + within, 0, sa.shape[0] - 1)]
+    else:
+        m = sa_gather(qlo[qid] + within)
     probe_id = jnp.clip(sk_q[qid], 0, b_pad - 1)  # original probe lane
 
     i_of = (j0 + probe_id + 1) * step  # = is_[probe_id], no gather
@@ -2284,3 +2291,304 @@ class MeshWindowEngine:
                 max_gap_size=s.max_gap_size,
                 min_duplication_length=s.min_duplication_length,
                 max_cardinality=s.max_cardinality)
+
+
+# --- rank-sharded single window ------------------------------------------
+#
+# One trim window LARGER than one HBM: the window's index arrays (sorted
+# key planes, run starts, suffix order) live SHARDED across a 1-D mesh
+# axis — device d holds rows [d*Wl, (d+1)*Wl) of the sorted order, no
+# device more than ceil(W/D). Stage 1 runs the merge join per shard
+# (each shard's local [lo, hi) counts are exact for its contiguous
+# sorted-key slice; a run crossing a shard boundary restarts at local 0,
+# so local run starts clip to 0) and combines with `psum` over ICI.
+# Stage 2's flat CSR match gather combines per-shard `sa` contributions
+# the same way (every global row is owned by exactly one shard); the
+# rest of the scan tail computes replicated. This lifts both the 2^30
+# window-row cap and the one-HBM window bound of the BigWindowEngine —
+# capacity scales linearly with the mesh (HBM math: docs/sharding.md).
+
+
+def _local_run_lo(run_lo_global, d, Wl):
+    """Global slot-indexed run starts -> shard-local run starts for the
+    slice [d*Wl, (d+1)*Wl): a run that began before the slice restarts
+    at local slot 0."""
+    return jnp.maximum(run_lo_global - d * Wl, 0)
+
+
+def _sharded_window_ranges_fn(mesh, k: int, b_pad: int,
+                              axis: str = "shards"):
+    """Stage-1 SPMD: per-shard merge join + psum-combined global
+    equal ranges. ``needle_codes`` (decimated, chunk-local) and probe
+    geometry are replicated; window arrays arrive stacked [D, Wl] and
+    sharded over ``axis``."""
+    from jax.sharding import PartitionSpec as P
+
+    step = k // 2
+
+    def stepf(key_hi_sh, key_lo_sh, run_lo_sh, needle_codes,
+              chunk_len, j0):
+        d = jax.lax.axis_index(axis).astype(I32)
+        Wl = key_hi_sh.shape[-1]
+        jl = jnp.arange(b_pad, dtype=I32)
+        lane_ok = ((j0 + jl) * step) < (chunk_len - k - step)
+        phi, plo, n_mask = _pack_probe_lanes(
+            needle_codes, (j0 + 1) * step, b_pad, k)
+        mask = lane_ok & n_mask
+        lo_l, hi_l = _mj_tail(key_hi_sh[0], key_lo_sh[0],
+                              _local_run_lo(run_lo_sh[0], d, Wl),
+                              phi, plo, mask)
+        lo = jax.lax.psum(lo_l, axis)
+        hi = jax.lax.psum(hi_l, axis)
+        total = jnp.sum((hi - lo).astype(jnp.float32))
+        return lo, hi, mask, total
+
+    mapped = jax.shard_map(
+        stepf, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+def _sharded_window_core_fn(mesh, k: int, reverse: bool, b_pad: int,
+                            cap: int, ev_cap: int,
+                            axis: str = "shards"):
+    """Stage-2 SPMD: the shared scan tail with a psum-combining gather
+    over the sharded suffix order; every other intermediate computes
+    replicated, so the outputs are replicated (one download)."""
+    from jax.sharding import PartitionSpec as P
+
+    step = k // 2
+
+    def stepf(sa_sh, lo, hi, mask, chunk_len, self_base, dir_base,
+              rev_t0, max_match_pos, max_cardinality, j0):
+        d = jax.lax.axis_index(axis).astype(I32)
+        Wl = sa_sh.shape[-1]
+
+        def sa_gather(idx):
+            local = idx - d * Wl
+            own = (local >= 0) & (local < Wl)
+            v = sa_sh[0][jnp.clip(local, 0, Wl - 1)]
+            return jax.lax.psum(jnp.where(own, v + 1, 0), axis) - 1
+
+        jl = jnp.arange(b_pad, dtype=I32)
+        m = mask & (((j0 + jl) * step) < (chunk_len - k - step))
+        return _core_from_ranges(
+            jnp.where(m, lo, 0), jnp.where(m, hi, 0), m, None,
+            self_base, dir_base, rev_t0, max_match_pos,
+            max_cardinality, j0, k=k, reverse=reverse, b_pad=b_pad,
+            cap=cap, ev_cap=ev_cap, sa_gather=sa_gather)
+
+    mapped = jax.shard_map(
+        stepf, mesh=mesh,
+        in_specs=(P(axis),) + (P(),) * 10,
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    return jax.jit(mapped)
+
+
+def host_window_arrays(strand_data: np.ndarray, k: int, ws: int,
+                       we: int, n_threads: int = 0):
+    """(key_hi, key_lo, run_lo, sa_rel, W) for one trim window, built on
+    the HOST — the build path for windows larger than one HBM (the
+    device build's sorts need the whole window in one memory; the host
+    has RAM). Bit-equal to `device_index.window_arrays_from_codes` (the
+    sorted-key order of equal k-mers IS the suffix order, which both
+    builders produce exactly; pinned by tests/test_rank_sharded.py)."""
+    from .index import CODE
+    from .native import suffix_array
+
+    w_text = we - ws
+    W = w_text + 1
+    sub = np.empty(W, dtype=np.uint8)
+    sub[:w_text] = strand_data[ws:we]
+    sub[w_text] = ord("$")
+    sa = suffix_array(sub).astype(np.int32)
+    codes = np.zeros(W + k, dtype=np.uint8)
+    codes[:W] = CODE[sub]
+    codes[W - 1] = 0  # '$' rank
+    from .device_index import LO_SYMS
+
+    n_hi = max(k - LO_SYMS, 0)
+    key_hi = np.zeros(W, dtype=np.int64)
+    key_lo = np.zeros(W, dtype=np.int64)
+    for j in range(n_hi):
+        key_hi = (key_hi << 3) | codes[sa + j]
+    for j in range(n_hi, k):
+        key_lo = (key_lo << 3) | codes[sa + j]
+    key_hi = key_hi.astype(np.int32)
+    key_lo = key_lo.astype(np.int32)
+    iota = np.arange(W, dtype=np.int32)
+    neq = np.empty(W, dtype=bool)
+    neq[0] = True
+    neq[1:] = (key_hi[1:] != key_hi[:-1]) | (key_lo[1:] != key_lo[:-1])
+    run_lo = np.maximum.accumulate(np.where(neq, iota, 0))
+    return key_hi, key_lo, run_lo, sa, W
+
+
+class ShardedWindowEngine(BigWindowEngine):
+    """Rank-sharded single-window device engine: the window index lives
+    sharded across a 1-D mesh — serving capacity (and the window-row
+    cap) scale linearly with the device count. Semantics are exactly
+    the BigWindowEngine's (window-relative suffix order, host-clamped
+    rebased filters, per-chunk needle uploads); only the index residency
+    and the two SPMD stages differ. Reference analog surpassed: the
+    ``--trim`` memory bound (asgart.rs:142-148) — one window is no
+    longer limited to one device's memory."""
+
+    def __init__(self, strand, settings, trim, mesh=None,
+                 profile: dict | None = None, host_build: bool | None = None):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from .device_index import (DEVICE_MAX_K, device_window_fits,
+                                   hbm_budget_bytes)
+
+        if settings.probe_size > DEVICE_MAX_K:
+            raise ValueError(
+                f"device index supports probe_size <= {DEVICE_MAX_K}")
+        self.strand = strand
+        self.settings = settings
+        self.trim = (int(trim[0]), int(trim[1]))
+        ws, we = self.trim
+        n1 = int(len(strand.data))
+        if not (0 <= ws < we <= n1 - 1):
+            raise ValueError(f"bad trim window {self.trim}")
+        if mesh is None:
+            devs = jax.devices()
+            mesh = Mesh(np.array(devs), ("shards",))
+        self.mesh = None  # base-class dispatch paths are overridden
+        self.smesh = mesh
+        D = mesh.devices.size
+        k = settings.probe_size
+        W = we - ws + 1
+        t0 = time.time()
+        if host_build is None:
+            env = os.environ.get("ASGART_RSH_HOST_BUILD")
+            if env is not None:
+                host_build = env == "1"
+            else:
+                # the device build sorts the whole window in one HBM;
+                # use it while it fits, else build on the host
+                # (RAM-bounded)
+                host_build = not device_window_fits(n1, W, False)
+        if host_build:
+            key_hi, key_lo, run_lo, sa, W = host_window_arrays(
+                strand.data, k, ws, we)
+            to_dev = lambda x: x  # numpy slices upload per shard below
+        else:
+            from .device_index import build_window_arrays
+            from .index import CODE
+
+            codes1 = jax.device_put(CODE[strand.data])
+            key_hi, key_lo, run_lo, sa_g, W = build_window_arrays(
+                codes1, k, ws, we)
+            sa = sa_g - jnp.int32(ws)  # window-relative, like host build
+            to_dev = np.asarray  # single-device arrays -> host -> shards
+        # shard stacks [D, Wl] with sentinel padding: INT32_MAX keys
+        # sort after every real key and can never equal a probe key
+        # (probe planes use < 2^30); padded run_lo/sa rows are never
+        # addressed by real ranges
+        Wl = -(-W // D)
+        big = np.int32(2**31 - 1)
+
+        def stack(arr, fill):
+            a = to_dev(arr)
+            out = np.full((D, Wl), fill, dtype=np.int32)
+            out.reshape(-1)[:W] = np.asarray(a)[:W]
+            return out
+
+        sh = NamedSharding(mesh, P("shards"))
+        self.key_hi = jax.device_put(stack(key_hi, big), sh)
+        self.key_lo = jax.device_put(stack(key_lo, big), sh)
+        # run starts of sentinel rows: their own slot (each its own run)
+        rl = np.full((D, Wl), 0, dtype=np.int32)
+        rl.reshape(-1)[:W] = np.asarray(to_dev(run_lo))[:W]
+        tail = np.arange(W, D * Wl, dtype=np.int32)
+        rl.reshape(-1)[W:] = tail
+        self.run_lo = jax.device_put(rl, sh)
+        self.sa = jax.device_put(stack(sa, 0), sh)
+        self.W = W
+        self.Wl = Wl
+        self.first_len = n1
+        self._m_offset = ws
+        self._stage1: dict = {}
+        if profile is not None:
+            profile["device_index_s"] = round(time.time() - t0, 3)
+
+    def _cap_key(self, chunk):
+        s = self.settings
+        return ("rsh", self.first_len, self.trim, s.probe_size,
+                s.reverse, s.complement, s.max_cardinality, chunk)
+
+    def _batch_stage1(self, chunks):
+        return  # v1: per-chunk stage 1 (chunks are huge at this scale)
+
+    def _stage1_for(self, chunk):
+        st1 = self._stage1.get(chunk)
+        if st1 is None:
+            geo = self._chunk_geometry(chunk)
+            if geo is None:
+                return None
+            b_pad, _, _ = geo
+            s = self.settings
+            k = s.probe_size
+            step = k // 2
+            length = chunk[1]
+            C3 = b_pad + 7
+            codes_host = np.zeros(C3 * step, dtype=np.uint8)
+            codes_host[:length] = self._needle_codes_host(chunk)
+            needle_codes = jax.device_put(
+                np.ascontiguousarray(
+                    codes_host.reshape(C3, step).T).reshape(-1))
+            fn = _sharded_window_ranges_fn(self.smesh, k, b_pad)
+            st1 = fn(self.key_hi, self.key_lo, self.run_lo,
+                     needle_codes, jnp.int32(length), jnp.int32(0))
+            self._stage1[chunk] = st1
+        return st1
+
+    def _dispatch_chunk(self, chunk, cap=None, ev_cap=None, total=None):
+        geo = self._chunk_geometry(chunk)
+        if geo is None:
+            return None
+        b_pad, b_local, _ = geo
+        s = self.settings
+        st1 = self._stage1_for(chunk)
+        lo, hi, mask, tot = st1
+        t0 = time.time()
+        if cap is None:
+            cached = _CAP_CACHE.get(self._cap_key(chunk))
+            if cached == "sliced":
+                return self._dispatch_chunk_sliced(chunk)
+            if cached is not None:
+                cap, ev_cap = cached
+            else:
+                total_raw = int(float(tot if total is None else total))
+                t0 = self._lap(t0, f"ranges+total ({total_raw})")
+                cap = _bucket(max(total_raw + 1, MIN_CAP))
+        if cap > _slice_budget():
+            return self._dispatch_chunk_sliced(chunk)
+        if ev_cap is None:
+            ev_cap = _bucket(min(cap, b_local)) // 4
+        base_self, base_dir, rev_t0 = self._rebased(chunk)
+        core = _sharded_window_core_fn(self.smesh, s.probe_size,
+                                       s.reverse, b_pad, cap, ev_cap)
+        ev_pack, m_flat, scalars = core(
+            self.sa, lo, hi, mask, jnp.int32(chunk[1]),
+            jnp.int32(base_self), jnp.int32(base_dir),
+            jnp.int32(rev_t0), jnp.int32(self.W + 1),
+            jnp.int32(s.max_cardinality), jnp.int32(0))
+        self._lap(t0, f"rank-sharded scan dispatch (cap={cap})")
+        return {"chunk": chunk, "cap": cap, "ev_cap": ev_cap,
+                "shards": [(ev_pack, m_flat, scalars)]}
+
+    def _slice_core(self, st1s, chunk, j0, b, cap, ev_cap):
+        s = self.settings
+        lo_s, hi_s, mask_s = st1s
+        base_self, base_dir, rev_t0 = self._rebased(chunk)
+        core = _sharded_window_core_fn(self.smesh, s.probe_size,
+                                       s.reverse, b, cap, ev_cap)
+        return core(self.sa, lo_s, hi_s, mask_s, jnp.int32(chunk[1]),
+                    jnp.int32(base_self), jnp.int32(base_dir),
+                    jnp.int32(rev_t0), jnp.int32(self.W + 1),
+                    jnp.int32(s.max_cardinality), j0)

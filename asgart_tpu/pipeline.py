@@ -337,7 +337,9 @@ def _search_duplications_sharded(
         per_w = max(we - ws for ws, we in windows) + 1
         doubled = settings.reverse or settings.complement
         if 2 * total_len + 1 < (1 << 31) \
-                and not device_window_fits(total_len + 1, per_w, doubled):
+                and not device_window_fits(total_len + 1, per_w, doubled) \
+                and not rank_sharded_window_applies(
+                    total_len + 1, per_w, doubled):
             # a single window of this size + the whole-genome probe side
             # would overrun one HBM mid-run; the host engine produces
             # byte-identical windows (same trim semantics), so degrade
@@ -368,6 +370,29 @@ def _search_duplications_sharded(
         merged.families.extend(r.families)
     merged.settings = settings  # the user's settings, not a window's
     return merged
+
+
+def rank_sharded_window_applies(n1: int, W: int, doubled: bool,
+                                n_dev: int | None = None) -> bool:
+    """Whether a trim window should be served by the rank-sharded
+    engine: forced via ``ASGART_RANK_SHARDED=1``, or the window exceeds
+    a single device (rows or HBM) while a multi-device mesh can hold it
+    at ~16 B/row per shard plus bounded scan transients."""
+    import jax
+
+    from .device_index import device_window_fits, hbm_budget_bytes
+
+    if os.environ.get("ASGART_RANK_SHARDED") == "1":
+        return True
+    if n_dev is None:
+        try:
+            n_dev = len(jax.devices())
+        except RuntimeError:
+            return False
+    if n_dev < 2 or device_window_fits(n1, W, doubled):
+        return False
+    per_shard = 16 * (-(-W // n_dev)) + (1 << 28)
+    return per_shard <= hbm_budget_bytes()
 
 
 class _DeviceEngineAdapter:
@@ -401,7 +426,17 @@ class _DeviceEngineAdapter:
             doubled = (2 * n1 - 1
                        if (settings.reverse or settings.complement)
                        else n1)
-            if (doubled >= (1 << 31)
+            W = int(trim[1]) - int(trim[0]) + 1
+            if rank_sharded_window_applies(n1, W,
+                                           settings.reverse
+                                           or settings.complement):
+                # window larger than one device (rows or HBM) but a
+                # mesh is present: the index lives sharded across it
+                from .device_engine import ShardedWindowEngine
+
+                self.dev = ShardedWindowEngine(strand, settings, trim,
+                                               profile=profile)
+            elif (doubled >= (1 << 31)
                     or os.environ.get("ASGART_BIG_WINDOW") == "1"):
                 # genome beyond int32 doubled-text addressing (e.g.
                 # whole human genome -RC): window-relative engine with
