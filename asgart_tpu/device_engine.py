@@ -1567,6 +1567,11 @@ class DeviceWindowEngine(DeviceEngine):
         join (`_window_ranges_batch`): the co-sort's W side dominates
         its cost, and N-run splitting gives real genomes dozens of
         chunks — per-chunk co-sorts scale stage 1 with the chunk count.
+
+        The batched result persists ON THE (HBM-cached) WINDOW INDEX:
+        a rescan of the same genome + chunk set skips the co-sort
+        entirely — stage 1 depends only on (window, probe transform,
+        chunks), all captured by the index cache key + the chunk tuple.
         """
         s = self.settings
         k = s.probe_size
@@ -1584,6 +1589,11 @@ class DeviceWindowEngine(DeviceEngine):
         if len(specs) < 2:
             return
         w = self.widx
+        s1key = (tuple(sorted(geo_of)), k, s.reverse, s.complement)
+        cached = getattr(w, "stage1_cache", None)
+        if cached is not None and cached[0] == s1key:
+            self._g_full, self._g_off = cached[1], dict(cached[2])
+            return
         total = sum(nc for (_, _, nc) in specs) \
             + max(g[0] for g in geo_of.values()) + 8
         lo, hi, mask, totals = _window_ranges_batch(
@@ -1606,6 +1616,10 @@ class DeviceWindowEngine(DeviceEngine):
             self._g_off[c] = (off, float(tot_host[i]))
             off += nc
             i += 1
+        from .device_index import device_index_cache_enabled
+
+        if device_index_cache_enabled():
+            w.stage1_cache = (s1key, self._g_full, dict(self._g_off))
 
     def _dispatch_group(self, group, b_pad, cap, ev_cap):
         """Grouped `_scan_core_group` dispatch reading each chunk's

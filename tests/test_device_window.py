@@ -425,3 +425,44 @@ def test_big_window_sliced_dispatch(tmp_path, monkeypatch):
                               min_duplication_length=500))
     assert_results_equal(host, tpu)
     assert any(v == "sliced" for v in de._CAP_CACHE.values())
+
+
+def test_window_stage1_persists_on_cached_index(tmp_path, monkeypatch):
+    """Rescan regime (VERDICT r2 #7): a second run over the same genome
+    + trim + chunk set must reuse the batched stage-1 merge-join result
+    persisted on the HBM-cached window index — zero co-sorts — with
+    byte-identical JSON."""
+    import io
+
+    import asgart_tpu.device_engine as de
+    from asgart_tpu import device_index as di
+    from asgart_tpu.exporters import JSONExporter
+
+    rng = np.random.default_rng(83)
+    g = bytearray(random_dna(rng, 40000, b"ACGT"))
+    g[9000:11000] = bytes(g[2000:4000])
+    g[20000:26000] = b"N" * 6000          # 2 chunks
+    g[32000:33500] = bytes(g[27000:28500])
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", bytes(g))])
+    kw = dict(min_duplication_length=800, trim=(0, 39000))
+
+    di._DEVICE_INDEX_CACHE.clear()
+    r1 = search_duplications([str(fa)], RunSettings(**kw), engine="tpu")
+
+    calls = {"batch": 0}
+    orig = de._window_ranges_batch
+
+    def spy(*a, **k):
+        calls["batch"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(de, "_window_ranges_batch", spy)
+    r2 = search_duplications([str(fa)], RunSettings(**kw), engine="tpu")
+    assert calls["batch"] == 0, "rescan must reuse the persisted stage 1"
+    b1, b2 = io.StringIO(), io.StringIO()
+    JSONExporter().save(r1, b1)
+    JSONExporter().save(r2, b2)
+    assert b1.getvalue() == b2.getvalue()
+    assert r1.families
+    di._DEVICE_INDEX_CACHE.clear()
