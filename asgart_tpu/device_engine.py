@@ -63,25 +63,36 @@ B_GRAN = 1 << 20
 _J_END_ALL = np.int32(2**31 - 1)
 
 
-def table_pad_for(k: int) -> int:
+def table_pad_for(k: int, n: int | None = None) -> int:
     """Table padding so the probe-window reads of `_scan_chunk` /
     `_window_ranges` never clamp for lanes holding real probes: bucket
-    slack is at most B_GRAN + shard-divisibility roundup, and a SLICED
-    dispatch reads up to another b_slice - SLICE_GRAN (< B_GRAN) lanes
+    slack is at most one lane bucket + shard-divisibility roundup, and
+    a SLICED dispatch reads up to another b_slice - SLICE_GRAN lanes
     past the last live lane (variable-width slices share one static
     b_slice; a clamped `dynamic_slice` would shift live lanes onto
     wrong table entries). The window reshape reads up to 3 extra
-    step-rows past the last lane. ~90 MB at the 256M-row scale —
-    well inside the HBM-budget reserve."""
-    return 2 * B_GRAN * (k // 2) + 1028 * (k // 2) + k
+    step-rows past the last lane.
+
+    The lane bound scales with the text: no dispatch mode ever reads
+    past ``_bucket(ceil(n/step))`` lanes (chunks are subsets of the
+    text; slices partition a chunk's lane range and are width-capped at
+    both B_GRAN and the chunk's b_pad), so small inputs don't pay the
+    genome-scale ~21M-row fixed pad — the dominant cost of every
+    small-genome build (and of the CPU-mesh test tier). ~90 MB at the
+    256M-row scale — well inside the HBM-budget reserve."""
+    step = max(k // 2, 1)
+    lane_bound = B_GRAN
+    if n is not None:
+        lane_bound = min(B_GRAN, _bucket(-(-n // step)))
+    return 2 * lane_bound * step + 1028 * step + k
 
 
 def table_len_for(n: int, k: int) -> int:
     """Total padded table length for an n-position text: at least
     ``table_pad_for`` slack, rounded up so the decimated layout is
     exact (divisible by step)."""
-    step = k // 2
-    base = n + table_pad_for(k)
+    step = max(k // 2, 1)
+    base = n + table_pad_for(k, n)
     return ((base + step - 1) // step) * step
 
 
@@ -409,8 +420,10 @@ GROUP_LANE_BUDGET = 1 << 27
 # flat-capacity floor: low enough that small chunks (real genomes split
 # into dozens at N-runs, ~100k raw matches each) don't pay 1M-lane
 # sorts, high enough to bound the distinct-cap compile count (pow2
-# buckets from 2^17 to B_GRAN: 4 values)
-MIN_CAP = 1 << 17
+# buckets from 2^17 to B_GRAN: 4 values). Env-tunable so the CPU-mesh
+# test tier can run small cores (capacity only — outputs are exact at
+# any floor; undersized caps retry with doubling).
+MIN_CAP = int(os.environ.get("ASGART_MIN_CAP", 1 << 17))
 
 
 def _group_size_for(cap: int) -> int:

@@ -13,6 +13,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# small flat-capacity floor for the CPU tier: outputs are exact at any
+# floor (capacity only; undersized caps retry with doubling), and the
+# production 2^17 floor makes every tiny-genome core pay 131k-lane
+# sorts on the virtual mesh
+os.environ.setdefault("ASGART_MIN_CAP", "8192")
 # CPU-mesh test compiles dominate the device-path files' wall time;
 # persist them so re-runs (CI, judge re-verification) are compile-free
 jax.config.update(
