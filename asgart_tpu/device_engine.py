@@ -2153,7 +2153,7 @@ class MeshWindowEngine:
             _decimate_codes(
                 _build_text_codes(codes1, k, settings.reverse,
                                   settings.complement, L2 - k),
-                k // 2, L2),
+                k // 2, L2, n + k),
             rep)
         # per-window index arrays, padded to a common width with
         # INT32_MAX sentinel keys (sort after every real key and can

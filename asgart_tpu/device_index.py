@@ -195,7 +195,7 @@ def _flagged_sort(key_hi: jax.Array, key_lo: jax.Array,
 
 def _group_bounds_impl(skhi: jax.Array, sklo: jax.Array, sa: jax.Array,
                        direct_bound: jax.Array, flagged: bool = False,
-                       flag_n_k: int = 0, pad_to: int = 0):
+                       flag_n_k: int = 0):
     """Equal-key run boundaries over the sorted keys.
 
     Returns slot-indexed (run_lo [n], run_hi [n], tied_slot [n] bool).
@@ -254,23 +254,16 @@ def _group_bounds_impl(skhi: jax.Array, sklo: jax.Array, sa: jax.Array,
             true_lo = (sklo >> 1) if flagged else sklo
             first_sym = (true_lo >> (3 * (k - 1))) & 7
         run_lo = run_lo | jnp.where(first_sym == N_RANK, I32_SIGN, 0)
-    if pad_to > n:
-        # pre-pad for the table inversion: padding here fuses into this
-        # pass's output write, where a `concatenate` at the inversion's
-        # input would materialize a full extra copy pass per operand
-        run_lo = jnp.zeros(pad_to, I32).at[:n].set(run_lo)
-        run_hi = jnp.zeros(pad_to, I32).at[:n].set(run_hi)
     return run_lo, run_hi, tied_slot
 
 
 # build path: the sorted keys are dead after this pass — donate them
 _group_bounds = jax.jit(_group_bounds_impl,
-                        static_argnames=("flagged", "flag_n_k", "pad_to"),
+                        static_argnames=("flagged", "flag_n_k"),
                         donate_argnums=(0, 1))
 # window path: skhi/sklo stay resident (merge-join lookups) — keep them
 _group_bounds_keep = jax.jit(_group_bounds_impl,
-                             static_argnames=("flagged", "flag_n_k",
-                                              "pad_to"))
+                             static_argnames=("flagged", "flag_n_k"))
 
 
 N_RANK = 4  # 3-bit symbol rank of 'N' (CODE table)
@@ -283,23 +276,40 @@ def _dec_of(p, step: int, C: int):
     return (p % step) * C + p // step
 
 
+def _assemble_dec(vals: list, step: int, L: int, n: int):
+    """[n] streams in dec-sorted order → zero-padded [L] decimated
+    arrays via ``step`` static contiguous copies: the live entries
+    (p < n) occupy a contiguous PREFIX of each decimated row (row r
+    holds positions p ≡ r mod step in p-order), so the dec-sorted
+    stream is exactly the concatenation of the rows' live prefixes."""
+    C = L // step
+    outs = [jnp.zeros(L, v.dtype) for v in vals]
+    off = 0
+    for r in range(step):
+        live = (n - r + step - 1) // step
+        outs = [jax.lax.dynamic_update_slice(
+                    o, jax.lax.dynamic_slice(v, (off,), (live,)),
+                    (r * C,))
+                for o, v in zip(outs, vals)]
+        off += live
+    return outs
+
+
 @functools.partial(jax.jit, static_argnames=("step", "L"),
                    donate_argnums=(1, 2))
-def _invert_tables_dec(sa: jax.Array, lo_ext: jax.Array,
-                       hi_ext: jax.Array, step: int, L: int):
-    """Slot-indexed run bounds (already [L]-padded by `_group_bounds`'s
-    ``pad_to``) → DECIMATED position-indexed tables, by ONE payload sort
-    keyed on the decimation permutation of `sa`: full-size random
-    scatters run at ~25-50M elem/s on this rig (latency-bound HBM) while
-    `lax.sort` moves 128M rows in ~1s, and an explicit [C, step]
-    transpose materializes T(8,128)-padded (12.8x) — keying the
-    inversion sort by dec(sa) gets the decimated layout for free. The
-    tail rows [n, L) extend the permutation over the padded domain so
-    the sorted payloads land POSITIONALLY (zero pad values, same
-    semantics as the old zero padding). ``lo_ext``/``hi_ext`` arrive
-    [L]-sized and donated: padding them at the producer fuses into its
-    output write, and donation lets the sort alias its outputs — both
-    measured wins over the previous in-jit `concatenate` pads.
+def _invert_tables_dec(sa: jax.Array, lo: jax.Array,
+                       hi: jax.Array, step: int, L: int):
+    """Slot-indexed run bounds → DECIMATED position-indexed tables, by
+    ONE n-row payload sort keyed on the decimation permutation of `sa`
+    plus ``step`` static contiguous copies into zeroed [L] buffers
+    (`_assemble_dec`): full-size random scatters run at ~25-50M elem/s
+    on this rig (latency-bound HBM) while `lax.sort` streams, and an
+    explicit [C, step] transpose materializes T(8,128)-padded (12.8x) —
+    keying the inversion sort by dec(sa) gets the decimated layout for
+    free. Sorting only the n LIVE rows (not the [L] padded domain, as
+    round 2 did by extending the permutation over tail rows) measured
+    1.71 s vs 2.33 s at 256M rows: the ~21M-row pad pushed the sort
+    past its next power-of-2 stage.
 
     Probe reads then are contiguous row slices (`device_engine
     ._dec_read`), and the N-probe flag folded into run_lo's sign bit by
@@ -313,22 +323,25 @@ def _invert_tables_dec(sa: jax.Array, lo_ext: jax.Array,
     (8, 128) on TPU, padding the minor dim 2 up to 128 (64x memory)."""
     n = sa.shape[0]
     C = L // step
-    tail = jnp.arange(n, L, dtype=I32)
-    dec = jnp.concatenate([_dec_of(sa, step, C), _dec_of(tail, step, C)])
-    _, pos_lo, pos_hi = jax.lax.sort((dec, lo_ext, hi_ext), num_keys=1)
+    dec = _dec_of(sa, step, C)
+    _, lo_c, hi_c = jax.lax.sort((dec, lo, hi), num_keys=1)
+    pos_lo, pos_hi = _assemble_dec([lo_c, hi_c], step, L, n)
     rank = pos_lo & jnp.int32(0x7FFFFFFF)
     return pos_lo, pos_hi, rank
 
 
-@functools.partial(jax.jit, static_argnames=("step", "L"))
-def _decimate_codes(codes: jax.Array, step: int, L: int):
-    """uint8 codes [>= L] → decimated layout [L], via a payload sort
-    keyed by the decimation permutation (5 B/row in+out — an explicit
-    transpose would materialize 12.8x padded, and both strided slices
-    and gathers are latency-bound here)."""
+@functools.partial(jax.jit, static_argnames=("step", "L", "n"))
+def _decimate_codes(codes: jax.Array, step: int, L: int, n: int):
+    """uint8 codes (live prefix [n]) → decimated layout [L], via an
+    n-row payload sort keyed by the decimation permutation +
+    `_assemble_dec` (an explicit transpose would materialize 12.8x
+    padded, and both strided slices and gathers are latency-bound
+    here). Positions ≥ n read as 0 in the decimated layout, matching
+    the zero padding of `_build_text_codes`."""
     C = L // step
-    dec = _dec_of(jnp.arange(L, dtype=I32), step, C)
-    _, out = jax.lax.sort((dec, codes[:L]), num_keys=1)
+    dec = _dec_of(jnp.arange(n, dtype=I32), step, C)
+    _, out_c = jax.lax.sort((dec, codes[:n]), num_keys=1)
+    (out,) = _assemble_dec([out_c], step, L, n)
     return out
 
 
@@ -496,13 +509,11 @@ def _full_round(sa: jax.Array, rank: jax.Array, h: jax.Array,
         jnp.ones(1, bool),
         (sp[1:] != sp[:-1]) | (sf[1:] != sf[:-1]) | (ss[1:] != ss[:-1])])
     rs = jax.lax.cummax(jnp.where(nb, iota, 0))
-    if dec_step:  # inverse perm over the extended (padded) domain
+    if dec_step:  # n-row inverse perm + static assembly into [L]
         L = rank.shape[0]
-        tail = jnp.arange(n, L, dtype=I32)
-        keys = jnp.concatenate([_rank_ix(p_sorted, rank, dec_step),
-                                _rank_ix(tail, rank, dec_step)])
-        vals = jnp.concatenate([rs, jnp.zeros(L - n, I32)])
-        _, rank = jax.lax.sort((keys, vals), num_keys=1)
+        _, rs_c = jax.lax.sort(
+            (_rank_ix(p_sorted, rank, dec_step), rs), num_keys=1)
+        (rank,) = _assemble_dec([rs_c], dec_step, L, n)
     else:
         _, rank = jax.lax.sort((p_sorted, rs), num_keys=1)  # inverse perm
     nxt_same = jnp.concatenate([rs[1:] == rs[:-1], jnp.zeros(1, bool)])
@@ -708,16 +719,9 @@ class DeviceIndex:
             skhi, sklo, sa = _initial_sort(key_hi, key_lo)
         del key_hi, key_lo  # donated into the sort
         lap("sort", sa)
-        import warnings
-
-        with warnings.catch_warnings():
-            # donating skhi/sklo frees them at execution (the point);
-            # the [L]-padded outputs can't alias them, which JAX notes
-            warnings.filterwarnings(
-                "ignore", message="Some donated buffers were not usable")
-            run_lo, run_hi, tied_slot = _group_bounds(
-                skhi, sklo, sa, jnp.int32(n1), flagged=doubled,
-                flag_n_k=k, pad_to=L)
+        run_lo, run_hi, tied_slot = _group_bounds(
+            skhi, sklo, sa, jnp.int32(n1), flagged=doubled,
+            flag_n_k=k)
         del skhi, sklo  # donated into the bounds pass
         # decimated tables, padded so the engine's contiguous probe-row
         # reads never clamp (padded lanes read zero ranges,
@@ -888,7 +892,7 @@ class DeviceWindowIndex:
         L2 = table_len_for(n, k)
         text_codes = _decimate_codes(
             _build_text_codes(codes1, k, reverse, complement, L2 - k),
-            k // 2, L2)
+            k // 2, L2, n + k)
         skhi, sklo, run_lo, sa, W = build_window_arrays(
             codes1, k, ws, we, rounds_per_call=rounds_per_call,
             tied_cap=tied_cap, lap=lap)
