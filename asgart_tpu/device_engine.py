@@ -59,6 +59,23 @@ def _bucket(n: int, lo: int = 1 << 16) -> int:
 # fine enough not to waste stream lanes (old pow2 buckets wasted ~30%)
 B_GRAN = 1 << 20
 
+
+def _cap_bucket(n: int) -> int:
+    """Pow4 buckets (from the MIN_CAP floor) for flat-gather
+    capacities: coarse enough that same-scale genomes land in the SAME
+    compiled cap shape — a fresh genome whose raw totals fall in a new
+    bucket pays a full remote recompile per core shape (measured ~80 s
+    of relay compiles on a fresh 128 Mbp genome with fine pow2
+    buckets), while the ≤4x lane waste is a few MB of HBM and
+    milliseconds of sort time. Beyond B_GRAN: pow2 multiples of
+    B_GRAN."""
+    b = MIN_CAP
+    while b < n and b < B_GRAN:
+        b <<= 2
+    while b < n:
+        b <<= 1
+    return b
+
 # neutral slice-end bound (every real lane index is far below int32 max)
 _J_END_ALL = np.int32(2**31 - 1)
 
@@ -419,8 +436,8 @@ GROUP_LANE_BUDGET = 1 << 27
 
 # flat-capacity floor: low enough that small chunks (real genomes split
 # into dozens at N-runs, ~100k raw matches each) don't pay 1M-lane
-# sorts, high enough to bound the distinct-cap compile count (pow2
-# buckets from 2^17 to B_GRAN: 4 values). Env-tunable so the CPU-mesh
+# sorts, high enough to bound the distinct-cap compile count (pow4
+# buckets from here — `_cap_bucket`). Env-tunable so the CPU-mesh
 # test tier can run small cores (capacity only — outputs are exact at
 # any floor; undersized caps retry with doubling).
 MIN_CAP = int(os.environ.get("ASGART_MIN_CAP", 1 << 17))
@@ -472,15 +489,13 @@ def _slice_caps(total: float, b_slice: int, ev_scale: int):
     covered by the slack, so the overflow flag can only fire for event
     capacity. A slice past SLICE_HARD_CAP is a pathological
     single-k-mer repeat no gather capacity can serve."""
-    from .utils import pow2_ceil
-
     need = int(float(total) * 1.001) + 32
     if need > SLICE_HARD_CAP:
         raise RuntimeError(
             f"a single probe slice needs a {need}-lane match gather "
             "(pathological low-complexity repeat); run with "
             "--skip-masked or the host engine")
-    cap = pow2_ceil(max(need, MIN_CAP), 1)
+    cap = _cap_bucket(need)
     return cap, _bucket(min(cap, b_slice)) // 4 * ev_scale
 
 
@@ -1020,7 +1035,7 @@ class DeviceEngine:
                     total = self._prepass_total(chunk)
                 total_raw = int(float(total) * 1.001) + 8
                 t0 = self._lap(t0, f"raw-total pre-pass ({total_raw})")
-                cap = _bucket(max(total_raw + 1, MIN_CAP))
+                cap = _cap_bucket(total_raw + 1)
         if cap > _slice_budget():
             # repeat-heavy chunk: bounded-memory sliced dispatch
             # (SPMD slice rounds under a mesh)
@@ -1303,7 +1318,7 @@ class DeviceEngine:
             t = totals[c]
             total_raw = (int(float(t) * 1.001) + 8) if slack \
                 else int(float(t))
-            cap = _bucket(max(total_raw + 1, MIN_CAP))
+            cap = _cap_bucket(total_raw + 1)
             if cap > _slice_budget():
                 caps[c] = "sliced"  # repeat-heavy: single sliced path
                 continue
@@ -1541,7 +1556,7 @@ class DeviceWindowEngine(DeviceEngine):
                 # the merge-join total is exact, no estimation slack
                 total_raw = int(float(tot if total is None else total))
                 t0 = self._lap(t0, f"ranges+total ({total_raw})")
-                cap = _bucket(max(total_raw + 1, MIN_CAP))
+                cap = _cap_bucket(total_raw + 1)
         if cap > _slice_budget():
             return self._dispatch_chunk_sliced(chunk)
         if ev_cap is None:
@@ -1903,7 +1918,7 @@ class BigWindowEngine(DeviceEngine):
             else:
                 total_raw = int(float(tot if total is None else total))
                 t0 = self._lap(t0, f"ranges+total ({total_raw})")
-                cap = _bucket(max(total_raw + 1, MIN_CAP))
+                cap = _cap_bucket(total_raw + 1)
         if cap > _slice_budget():
             return self._dispatch_chunk_sliced(chunk)
         if ev_cap is None:
@@ -2233,7 +2248,7 @@ class MeshWindowEngine:
         off = 0
         for i, (ci, chunk, geo) in enumerate(live):
             _, b_local, P_ax = geo
-            cap = _bucket(max(int(tot[:, :, i].max()) + 1, MIN_CAP))
+            cap = _cap_bucket(int(tot[:, :, i].max()) + 1)
             ev_cap = _bucket(min(cap, b_local)) // 4
             core_fn = _mesh_window_core_off(
                 self.mesh, k, s.reverse, b_local, cap, ev_cap)
@@ -2274,7 +2289,7 @@ class MeshWindowEngine:
             jnp.int32(self.first_len))
         if cap is None:
             tot_host = np.asarray(totals)
-            cap = _bucket(max(int(tot_host.max()) + 1, MIN_CAP))
+            cap = _cap_bucket(int(tot_host.max()) + 1)
             ev_cap = _bucket(min(cap, b_local)) // 4
         while True:
             core_fn = _mesh_window_core(
@@ -2592,7 +2607,7 @@ class ShardedWindowEngine(BigWindowEngine):
             else:
                 total_raw = int(float(tot if total is None else total))
                 t0 = self._lap(t0, f"ranges+total ({total_raw})")
-                cap = _bucket(max(total_raw + 1, MIN_CAP))
+                cap = _cap_bucket(total_raw + 1)
         if cap > _slice_budget():
             return self._dispatch_chunk_sliced(chunk)
         if ev_cap is None:

@@ -376,7 +376,11 @@ def test_sliced_dispatch_repeat_explosion(tmp_path, monkeypatch):
     the device engine may not OOM on them."""
     import asgart_tpu.device_engine as de
 
-    monkeypatch.setenv("ASGART_DEVICE_SLICE_LANES", "8192")
+    monkeypatch.setattr(de, "MIN_CAP", 128)  # cap floor below
+    # the slice budget: pow4 cap buckets start at MIN_CAP, and the
+    # conftest test floor (8192) equals the budget, so slicing
+    # would never trigger
+    monkeypatch.setenv("ASGART_DEVICE_SLICE_LANES", "256")
     rng = np.random.default_rng(11)
     n = 40000
     g = bytearray(random_dna(rng, n, b"ACGT"))
@@ -386,6 +390,10 @@ def test_sliced_dispatch_repeat_explosion(tmp_path, monkeypatch):
     unit = random_dna(rng, 40, b"ACGT")
     block = (unit * 250)[:10000]
     g[15000:25000] = block
+    # an RC satellite block too: RC probes of a non-palindromic
+    # satellite otherwise match nothing (the r2 test only "sliced" in
+    # RC because the old 2^16 cap floor exceeded the budget vacuously)
+    g[5000:9000] = revcomp(bytes(g[15000:19000]))
     # plus a plain duplication elsewhere (must still be found exactly)
     g[30000:32000] = bytes(g[2000:4000])
     fa = tmp_path / "g.fa"
@@ -473,6 +481,10 @@ def test_mesh_sliced_dispatch_equals_single(tmp_path, monkeypatch):
     from asgart_tpu.fasta import prepare_data
 
     assert len(jax.devices()) == 8
+    monkeypatch.setattr(de, "MIN_CAP", 2048)  # cap floor below
+    # the slice budget: pow4 cap buckets start at MIN_CAP, and the
+    # conftest test floor (8192) equals the budget, so slicing
+    # would never trigger
     monkeypatch.setenv("ASGART_DEVICE_SLICE_LANES", "8192")
     rng = np.random.default_rng(42)
     n = 40000

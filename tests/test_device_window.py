@@ -387,6 +387,11 @@ def _satellite_genome(rng, n=40000):
     g = bytearray(random_dna(rng, n, b"ACGT"))
     unit = random_dna(rng, 40, b"ACGT")
     g[15000:25000] = (unit * 250)[:10000]    # raw-match explosion
+    # an RC satellite block too, so the raw explosion also exists for
+    # -RC runs (RC probes of a non-palindromic satellite otherwise
+    # match nothing — the r2 test only "sliced" in RC because the old
+    # 2^16 cap floor exceeded the test budget vacuously)
+    g[5000:9000] = revcomp(bytes(g[15000:19000]))
     g[30000:32000] = bytes(g[2000:4000])     # plain duplication
     return bytes(g)
 
@@ -397,6 +402,10 @@ def test_window_engine_sliced_dispatch(tmp_path, monkeypatch):
     with output identical to the host trim engine."""
     import asgart_tpu.device_engine as de
 
+    monkeypatch.setattr(de, "MIN_CAP", 2048)  # cap floor below
+    # the slice budget: pow4 cap buckets start at MIN_CAP, and the
+    # conftest test floor (8192) equals the budget, so slicing
+    # would never trigger
     monkeypatch.setenv("ASGART_DEVICE_SLICE_LANES", "8192")
     rng = np.random.default_rng(21)
     g = _satellite_genome(rng)
@@ -415,7 +424,12 @@ def test_big_window_sliced_dispatch(tmp_path, monkeypatch):
     import asgart_tpu.device_engine as de
 
     monkeypatch.setenv("ASGART_BIG_WINDOW", "1")
-    monkeypatch.setenv("ASGART_DEVICE_SLICE_LANES", "8192")
+    monkeypatch.setattr(de, "MIN_CAP", 128)  # cap floor below
+    # the slice budget: pow4 cap buckets start at MIN_CAP, and the
+    # conftest test floor (8192) equals the budget, so slicing
+    # would never trigger (this config's exact totals are smaller
+    # than the table-engine flavors', hence the lower budget too)
+    monkeypatch.setenv("ASGART_DEVICE_SLICE_LANES", "256")
     rng = np.random.default_rng(22)
     g = _satellite_genome(rng)
     de._CAP_CACHE.clear()
