@@ -325,11 +325,31 @@ def _search_duplications_sharded(
             merged.settings = settings
             return merged
 
+    # one codes upload serves every device window (the 1 B/bp transfer
+    # through the relay costs ~n1/0.06e9 s per window otherwise)
+    codes_dev = None
+    if engine == "tpu" and settings.probe_size <= DEVICE_MAX_K:
+        try:
+            from .device_index import DeviceIndex
+
+            codes_dev = DeviceIndex.upload_codes(strand.data)
+        except RuntimeError as e:
+            if not _is_backend_unavailable(e):
+                raise
+            log.warning("device backend unavailable (%s); running the "
+                        "sharded windows on the host engine", e)
+            engine = "host"
+
     def run_window(w):
         import dataclasses
 
         s = dataclasses.replace(settings, trim=w)
-        return search_duplications(strands_files, s, engine=engine)
+        # the strand is already parsed (window planning above): windows
+        # reuse it instead of re-reading the FASTA per window (read-only
+        # numpy, safe across the window threads)
+        return search_duplications(strands_files, s, engine=engine,
+                                   _prepared=(to_process, strand),
+                                   _codes_device=codes_dev)
 
     if engine == "tpu" and windows:
         from .device_index import device_window_fits
@@ -472,6 +492,8 @@ def search_duplications(
     profile: Optional[dict] = None,
     index_cache: Optional[str] = None,
     shards: int = 1,
+    _prepared=None,
+    _codes_device=None,
 ) -> RunResult:
     """The full pipeline (asgart.rs:731-822).
 
@@ -499,8 +521,14 @@ def search_duplications(
     prof = profile if profile is not None else {}
     log.info("Preprocessing data")
     t0 = time.time()
-    trim, to_process, strand = prepare_data(
-        strands_files, settings.skip_masked, settings.trim)
+    if _prepared is not None:
+        # sharded runs parse once and hand each window the strand
+        # (settings.trim windows are pre-validated by the planner)
+        to_process, strand = _prepared
+        trim = settings.trim
+    else:
+        trim, to_process, strand = prepare_data(
+            strands_files, settings.skip_masked, settings.trim)
     prof["prepare_s"] = round(time.time() - t0, 3)
 
     # checkpoint journal: header identifies the run; completed chunks are
@@ -558,7 +586,8 @@ def search_duplications(
         # device, event chaining on host (device_engine module docstring)
         try:
             se = _DeviceEngineAdapter(strand, settings, profile=prof,
-                                      trim=trim)
+                                      trim=trim,
+                                      codes_device=_codes_device)
         except RuntimeError as e:
             # device runtime down/unreachable: degrade to the host
             # engine (byte-equal output) instead of failing the run
