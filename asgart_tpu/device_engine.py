@@ -1622,6 +1622,7 @@ class DeviceWindowEngine(DeviceEngine):
         if cached is not None and cached[0] == s1key:
             self._g_full, self._g_off = cached[1], dict(cached[2])
             return
+        t0 = time.time()
         total = sum(nc for (_, _, nc) in specs) \
             + max(g[0] for g in geo_of.values()) + 8
         lo, hi, mask, totals = _window_ranges_batch(
@@ -1632,6 +1633,7 @@ class DeviceWindowEngine(DeviceEngine):
         # ONE totals fetch (a per-chunk device scalar read would cost a
         # relay round trip per chunk when sizing the cores)
         tot_host = np.asarray(totals)
+        self._lap(t0, f"batched stage 1 ({len(specs)} chunks)")
         self._g_full = (lo, hi, mask)
         self._g_off = {}
         off = 0
