@@ -753,6 +753,33 @@ class DeviceIndex:
         return np.asarray(self.sa), np.stack([lo, hi], axis=1)
 
 
+# one-entry cache of the decimated doubled probe codes: identical for
+# every window of a sharded run (keyed by strand content + transform),
+# and its n-row decimation sort is the window build's largest pass
+_DEC_CODES_CACHE: dict = {}
+
+
+def _shared_decimated_codes(codes1: jax.Array, strand_data: np.ndarray,
+                            k: int, reverse: bool, complement: bool,
+                            n: int) -> jax.Array:
+    from .device_engine import table_len_for
+
+    L2 = table_len_for(n, k)
+    key = None
+    if device_index_cache_enabled():
+        key = (_strand_fingerprint(strand_data), k, reverse, complement)
+        hit = _DEC_CODES_CACHE.get(key)
+        if hit is not None:
+            return hit
+    out = _decimate_codes(
+        _build_text_codes(codes1, k, reverse, complement, L2 - k),
+        k // 2, L2, n + k)
+    if key is not None:
+        _DEC_CODES_CACHE.clear()
+        _DEC_CODES_CACHE[key] = out
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("w_text", "k"))
 def _window_codes(codes1: jax.Array, win_start, w_text: int, k: int):
     """Symbol codes of the window text ``strand[ws:we] + '$'`` with k
@@ -885,14 +912,15 @@ class DeviceWindowIndex:
             codes1 = jax.device_put(CODE[strand_data])
         lap("upload", codes1)
 
-        from .device_engine import table_len_for
-
         # probe-side: the needle-addressable doubled text in DECIMATED
-        # layout (probes pack by k contiguous row reads — `_dec_read`)
-        L2 = table_len_for(n, k)
-        text_codes = _decimate_codes(
-            _build_text_codes(codes1, k, reverse, complement, L2 - k),
-            k // 2, L2, n + k)
+        # layout (probes pack by k contiguous row reads — `_dec_read`).
+        # IDENTICAL for every window of a sharded run, and its n-row
+        # decimation sort costs ~5.6 s at 1G rows (512 Mbp -RC) — so it
+        # is cached once per (content, k, transform) and SHARED across
+        # the windows' builds (HBM: one copy instead of one per window)
+        text_codes = _shared_decimated_codes(
+            codes1, strand_data, k, reverse, complement, n)
+        lap("decimated codes", text_codes)
         skhi, sklo, run_lo, sa, W = build_window_arrays(
             codes1, k, ws, we, rounds_per_call=rounds_per_call,
             tied_cap=tied_cap, lap=lap)
