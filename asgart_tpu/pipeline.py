@@ -569,10 +569,33 @@ def search_duplications(
             len(strand.data), settings.reverse, settings.complement) \
             and not device_window_whole_fits(len(strand.data)):
         # beyond even the one-window merge-join strategy (which the
-        # adapter below auto-selects): degrade to the host engine (same
-        # JSON) instead of crashing, and point at the sharded TPU path
-        # (the reference's own answer to memory-bounded runs is the
-        # manual --trim workflow, asgart.rs:142-148)
+        # adapter below auto-selects): AUTO-SHARD into the smallest
+        # window count whose windows fit (the automated form of the
+        # reference's --trim workflow, asgart.rs:142-148) — byte-equal
+        # to the sequential trim+merge; degrade to the host engine only
+        # when no shard count fits (then the sharded path's own guards
+        # pick byte-equal host windows anyway)
+        if checkpoint is None and _prepared is None:
+            n1 = int(len(strand.data))
+            total_len = n1 - 1
+            doubled = settings.reverse or settings.complement
+            from .device_index import device_window_fits
+
+            S = 2
+            while S <= 256 and not device_window_fits(
+                    n1, (total_len + S - 1) // S + 1, doubled):
+                S += 1
+            if S <= 256:
+                log.warning(
+                    "genome too large for a one-HBM device index; "
+                    "auto-sharding into %d trim windows — output is "
+                    "byte-equal to the reference's --trim + merge "
+                    "workflow (families never span windows); run with "
+                    "engine=host for whole-genome trim-free semantics",
+                    S)
+                return _search_duplications_sharded(
+                    strands_files, settings, S, engine="tpu",
+                    profile=profile)
         log.warning(
             "genome too large for a one-HBM device index; falling "
             "back to the host engine (use --shards N for the "

@@ -592,3 +592,41 @@ def test_shards_backend_down_falls_back_to_host(tmp_path, monkeypatch):
     JSONExporter().save(host, bh)
     JSONExporter().save(fell_back, bf)
     assert bh.getvalue() == bf.getvalue()
+
+
+def test_auto_shards_when_past_window_budget(tmp_path, monkeypatch,
+                                             caplog):
+    """engine=tpu on a genome past even the one-window HBM budget
+    auto-shards into the smallest fitting window count, byte-equal to
+    the explicit --shards run (round 3; previously degraded to the
+    host whole-genome engine). The fit predicates are monkeypatched —
+    this pins the ROUTING; the real HBM formulas are calibration
+    constants pinned elsewhere."""
+    import logging
+
+    import asgart_tpu.device_index as di
+
+    rng = np.random.default_rng(88)
+    g = plant_duplication(rng, 30000, 1500, 2000, 20000, noise=0.0)
+    p = tmp_path / "genome.fa"
+    write_fasta(p, [("chrT", g)])
+    settings = default_settings(min_duplication_length=800)
+    n1 = 30002
+
+    explicit = search_duplications([str(p)], settings, engine="tpu",
+                                   shards=3)
+
+    monkeypatch.setattr(di, "device_index_fits", lambda *a: False)
+    monkeypatch.setattr(di, "device_window_whole_fits", lambda *a: False)
+    # windows fit only at 1/3 of the genome or smaller -> S = 3
+    monkeypatch.setattr(di, "device_window_fits",
+                        lambda _n1, W, d: W <= (n1 - 1 + 2) // 3 + 1)
+    with caplog.at_level(logging.WARNING, logger="asgart"):
+        auto = search_duplications([str(p)], settings, engine="tpu")
+    assert any("auto-sharding into 3" in r.message
+               for r in caplog.records)
+    ba, be = io.StringIO(), io.StringIO()
+    JSONExporter().save(auto, ba)
+    JSONExporter().save(explicit, be)
+    assert ba.getvalue() == be.getvalue()
+    assert auto.families
