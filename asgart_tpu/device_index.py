@@ -330,18 +330,44 @@ def _invert_tables_dec(sa: jax.Array, lo: jax.Array,
     return pos_lo, pos_hi, rank
 
 
+# decimation block: bounds the sort transients at genome scale (a
+# single-sort decimate of 2G rows needs ~29 GB; per-block sorts keep
+# the peak at ~B x 10 B x 2.9)
+_DECIMATE_BLOCK = 1 << 28
+
+
 @functools.partial(jax.jit, static_argnames=("step", "L", "n"))
 def _decimate_codes(codes: jax.Array, step: int, L: int, n: int):
-    """uint8 codes (live prefix [n]) → decimated layout [L], via an
-    n-row payload sort keyed by the decimation permutation +
-    `_assemble_dec` (an explicit transpose would materialize 12.8x
-    padded, and both strided slices and gathers are latency-bound
-    here). Positions ≥ n read as 0 in the decimated layout, matching
-    the zero padding of `_build_text_codes`."""
+    """uint8 codes (live prefix [n]) → decimated layout [L], in
+    position BLOCKS: block positions [b0, b0+B) land, per residue r, in
+    a contiguous column run [b0/step, (b0+B)/step) of decimated row r —
+    so each block is one small payload sort keyed by its in-block
+    decimation + `step` static contiguous copies (an explicit transpose
+    would materialize 12.8x padded, and both strided slices and gathers
+    are latency-bound here). Positions ≥ n read as 0 in the decimated
+    layout, matching the zero padding of `_build_text_codes`."""
     C = L // step
-    dec = _dec_of(jnp.arange(n, dtype=I32), step, C)
-    _, out_c = jax.lax.sort((dec, codes[:n]), num_keys=1)
-    (out,) = _assemble_dec([out_c], step, L, n)
+    out = jnp.zeros(L, dtype=codes.dtype)
+    # block size: a multiple of step so every block starts at column
+    # b0/step with residue 0
+    B = (_DECIMATE_BLOCK // step) * step
+    b0 = 0
+    while b0 < n:
+        nb = min(B, n - b0)
+        blk = codes[b0: b0 + nb]
+        # in-block decimation: local rows of length ceil(nb/step)
+        Cb = -(-nb // step)
+        dec = _dec_of(jnp.arange(nb, dtype=I32), step, Cb)
+        _, blk_c = jax.lax.sort((dec, blk), num_keys=1)
+        q0 = b0 // step
+        off = 0
+        for r in range(step):
+            live = (nb - r + step - 1) // step
+            out = jax.lax.dynamic_update_slice(
+                out, jax.lax.dynamic_slice(blk_c, (off,), (live,)),
+                (r * C + q0,))
+            off += live
+        b0 += nb
     return out
 
 

@@ -214,3 +214,30 @@ def test_device_index_cache_pipeline_rescan(tmp_path):
     assert b1.getvalue() == b2.getvalue()
     assert r1.families
     di._DEVICE_INDEX_CACHE.clear()
+
+
+def test_decimate_codes_blocked(monkeypatch):
+    """The blocked decimation (bounds sort transients at genome scale)
+    is exact across block boundaries, non-multiple tails, and pad
+    zeros."""
+    import jax
+
+    from asgart_tpu import device_index as di
+    from asgart_tpu.device_engine import table_len_for
+
+    # force several blocks (unique (step, L, n) statics per case, so
+    # the jit retraces under the patched block size)
+    monkeypatch.setattr(di, "_DECIMATE_BLOCK", 1 << 10)
+    rng = np.random.default_rng(55)
+    for k, n in [(20, 10237), (8, 4096), (14, 777)]:
+        step = k // 2
+        L = table_len_for(n, k)
+        codes = np.zeros(L, dtype=np.uint8)
+        codes[:n] = rng.integers(1, 6, n, dtype=np.uint8)
+        out = np.asarray(di._decimate_codes(
+            jax.device_put(codes), step, L, n))
+        C = L // step
+        expect = np.zeros(L, dtype=np.uint8)
+        p = np.arange(n)
+        expect[(p % step) * C + p // step] = codes[:n]
+        np.testing.assert_array_equal(out, expect, err_msg=f"k={k} n={n}")
