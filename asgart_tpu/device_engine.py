@@ -1210,7 +1210,11 @@ class DeviceEngine:
             if max_ev > ev_cap:
                 ev_cap = _bucket(max_ev + 1)
             else:
-                cap *= 2  # exact raw total exceeded the estimate
+                # exact raw total exceeded the estimate: jump to the NEXT cap
+                # bucket (an off-bucket cap*2 shape would compile
+                # fresh on every genome whose totals overflow a
+                # cached cap — ~10 s per fresh genome, measured)
+                cap = _cap_bucket(cap + 1)
             log.debug("device scan retry: cap=%d ev_cap=%d", cap, ev_cap)
             st = self._dispatch_chunk(st["chunk"], cap=cap, ev_cap=ev_cap)
 
@@ -1389,7 +1393,7 @@ class DeviceEngine:
                 if max_ev > ev_cap:
                     ev_cap = _bucket(max_ev + 1)
                 else:
-                    cap *= 2
+                    cap = _cap_bucket(cap + 1)
                 log.debug("group scan retry: cap=%d ev_cap=%d",
                           cap, ev_cap)
                 out[chunk] = self._collect_chunk(
@@ -2270,7 +2274,7 @@ class MeshWindowEngine:
                 if max_ev > ev_cap:
                     ev_cap = _bucket(max_ev + 1)
                 else:
-                    cap *= 2
+                    cap = _cap_bucket(cap + 1)
                 log.debug("mesh batched retry: cap=%d ev_cap=%d",
                           cap, ev_cap)
                 self._run_one(ci, chunk, geo, cap, ev_cap, out)
@@ -2306,7 +2310,7 @@ class MeshWindowEngine:
             if max_ev > ev_cap:
                 ev_cap = _bucket(max_ev + 1)
             else:
-                cap *= 2
+                cap = _cap_bucket(cap + 1)
             log.debug("mesh scan retry: cap=%d ev_cap=%d", cap, ev_cap)
         self._chain_cells(ci, chunk, P_ax, ev, mf, sc_host, out)
 
