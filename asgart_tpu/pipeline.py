@@ -581,9 +581,13 @@ def search_duplications(
             doubled = settings.reverse or settings.complement
             from .device_index import device_window_fits
 
+            # past int32 doubled addressing the windows run on the
+            # BigWindowEngine, which never holds doubled codes resident
+            # (needle-local batches) — size S accordingly
+            doubled_resident = doubled and (2 * n1 - 1) < (1 << 31)
             S = 2
             while S <= 256 and not device_window_fits(
-                    n1, (total_len + S - 1) // S + 1, doubled):
+                    n1, (total_len + S - 1) // S + 1, doubled_resident):
                 S += 1
             if S <= 256:
                 log.warning(
