@@ -925,6 +925,75 @@ def _merge_shard_events(shard_events):
 _CAP_CACHE: dict = {}
 
 
+@jax.jit
+def _gather_flat(arr: jax.Array, idx: jax.Array):
+    """Flat gather for the packed-event download (indices are tiny —
+    live events are KBs while the stacked group buffers are tens of
+    MB; the wire runs at 1-60 MB/s on this rig)."""
+    return arr.reshape(-1)[idx]
+
+
+# past this many packed bytes the plain bulk download wins (one fetch,
+# no index upload / gather dispatch)
+_PACK_BYTES_MAX = 1 << 22
+
+
+def _packed_group_download(ev, m, live):
+    """Download only the LIVE events/matches of a dispatched group.
+
+    ``live``: list of (sh, g, n_events, total_kept). Builds host index
+    arrays into the flattened [S?, G, 3, ev_cap] / [S?, G, cap] stacks,
+    gathers on device, downloads the packed result, and returns
+    {(sh, g): (ev [3, n_events], m [total_kept])}.
+    """
+    ev_shape = ev.shape  # [..., 3, ev_cap]
+    ev_cap = ev_shape[-1]
+    cap = m.shape[-1]
+    G = m.shape[-2]
+    from .utils import pow2_ceil
+
+    ev_idx, m_idx, ev_off, m_off = [], [], {}, {}
+    e0 = m0 = 0
+    for (sh, g, ne, tk) in live:
+        base = (sh * G + g) if len(ev_shape) == 4 else g
+        if ne:
+            cols = np.arange(ne, dtype=np.int64)
+            ev_idx.append(((base * 3 + np.arange(3)[:, None]) * ev_cap
+                           + cols[None, :]).reshape(-1))
+        ev_off[(sh, g)] = (e0, ne)
+        e0 += ne
+        if tk:
+            m_idx.append(base * cap + np.arange(tk, dtype=np.int64))
+        m_off[(sh, g)] = (m0, tk)
+        m0 += tk
+    out = {}
+    if e0 == 0 and m0 == 0:
+        for (sh, g, ne, tk) in live:
+            out[(sh, g)] = (np.zeros((3, 0), np.int32),
+                            np.zeros(0, np.int32))
+        return out
+    # pow2-padded index buffers bound the gather's compile count
+    def padded(parts, total):
+        idx = np.zeros(pow2_ceil(max(total, 1), 256), np.int64)
+        if parts:
+            idx[:total] = np.concatenate(parts)
+        return idx
+
+    ev_pack = np.asarray(_gather_flat(ev, jnp.asarray(
+        padded(ev_idx, e0 * 3))))
+    m_pack = np.asarray(_gather_flat(m, jnp.asarray(padded(m_idx, m0))))
+    e_cursor = 0
+    for (sh, g, ne, tk) in live:
+        e_start = ev_off[(sh, g)][0]
+        # each chunk's ev indices were laid out [3, ne] row-major
+        ev_c = ev_pack[3 * e_start: 3 * e_start + 3 * ne].reshape(3, ne) \
+            if ne else np.zeros((3, 0), np.int32)
+        m_start, _ = m_off[(sh, g)]
+        out[(sh, g)] = (ev_c, m_pack[m_start: m_start + tk])
+        e_cursor += ne
+    return out
+
+
 class DeviceEngine:
     """On-device search over one prepared strand (the ``engine="tpu"``
     production path). With more than one visible device, the probe axis
@@ -1362,12 +1431,6 @@ class DeviceEngine:
         return {"chunks": list(group), "ev": ev, "m": m, "sc": sc,
                 "cap": cap, "ev_cap": ev_cap, "n_shards": n_shards}
 
-    # bulk-download breakeven: each live chunk's per-slice download
-    # costs ~2 relay round trips (~50 ms ~= 3 MB at the measured
-    # 0.06 GB/s), so the full stacked ev/m arrays come down in 2 bulk
-    # fetches only when their size is under that saving
-    GROUP_FETCH_PER_CHUNK = 3 << 20
-
     def _collect_group(self, gst):
         """{chunk: families} for one dispatched group: ONE stacked
         scalars fetch, bulk (or per-chunk) event downloads, host
@@ -1380,12 +1443,9 @@ class DeviceEngine:
         if S == 1 and sc.ndim == 2:
             sc = sc[None]  # [S, G, 4] uniformly
         t0 = self._lap(t0, "group scalars fetch")
-        full_bytes = 4 * (gst["ev"].size + gst["m"].size)
-        ev_h = m_h = None
-        if full_bytes <= len(gst["chunks"]) * self.GROUP_FETCH_PER_CHUNK:
-            ev_h = np.asarray(gst["ev"]).reshape((S,) + gst["ev"].shape[-3:])
-            m_h = np.asarray(gst["m"]).reshape((S,) + gst["m"].shape[-2:])
         out = {}
+        retried = set()
+        live = []
         for g, chunk in enumerate(gst["chunks"]):
             if sc[:, g, 3].any():
                 cap, ev_cap = gst["cap"], gst["ev_cap"]
@@ -1398,22 +1458,39 @@ class DeviceEngine:
                           cap, ev_cap)
                 out[chunk] = self._collect_chunk(
                     self._dispatch_chunk(chunk, cap=cap, ev_cap=ev_cap))
+                retried.add(g)
                 continue
             _CAP_CACHE[self._cap_key(chunk)] = (gst["cap"],
                                                 gst["ev_cap"])
+            for sh in range(S):
+                n_events, total_kept = (int(sc[sh, g, 0]),
+                                        int(sc[sh, g, 1]))
+                live.append((sh, g, n_events, total_kept))
+        packed_bytes = 4 * sum(3 * ne + tk for (_, _, ne, tk) in live)
+        if packed_bytes <= _PACK_BYTES_MAX:
+            # live events are KBs; the stacked cap-sized buffers are
+            # tens of MB over a 1-60 MB/s wire — gather-pack on device
+            # and download only the live bytes
+            got = _packed_group_download(gst["ev"], gst["m"], live)
+            ev_h = m_h = None
+        else:
+            got = None
+            ev_h = np.asarray(gst["ev"]).reshape(
+                (S,) + gst["ev"].shape[-3:])
+            m_h = np.asarray(gst["m"]).reshape((S,) + gst["m"].shape[-2:])
+        for g, chunk in enumerate(gst["chunks"]):
+            if g in retried:
+                continue
             parts = []
             for sh in range(S):
                 n_events, total_kept, z_trail, _ = (
                     int(v) for v in sc[sh, g])
-                if ev_h is not None:
+                if got is not None:
+                    ev_c, m_c = got[(sh, g)]
+                    parts.append((ev_c, m_c, z_trail))
+                else:
                     parts.append((ev_h[sh, g][:, :n_events],
                                   m_h[sh, g][:total_kept], z_trail))
-                else:
-                    ev_d = gst["ev"][sh] if S > 1 else gst["ev"]
-                    m_d = gst["m"][sh] if S > 1 else gst["m"]
-                    parts.append((np.asarray(ev_d[g][:, :n_events]),
-                                  np.asarray(m_d[g][:total_kept]),
-                                  z_trail))
             out[chunk] = self._chain_merged(parts)
         self._lap(t0, f"group collect ({len(gst['chunks'])})")
         return out
