@@ -1781,6 +1781,12 @@ class DeviceWindowEngine(DeviceEngine):
         return [results.get(c, []) for c in chunks]
 
 
+# cross-window cache of batched needle-codes uploads (big-genome runs;
+# see BigWindowEngine._needle_batch_codes). Byte-bounded.
+_NEEDLE_CODES_CACHE: dict = {}
+_NEEDLE_CACHE_BYTES = 4 << 30
+
+
 class BigWindowEngine(DeviceEngine):
     """Windowed (``--trim``) device engine for genomes whose DOUBLED
     text exceeds int32 addressing (> ~1 Gbp genomes with -R/-C/-RC —
@@ -1925,13 +1931,7 @@ class BigWindowEngine(DeviceEngine):
             bases[c] = off
             specs.append((int(c[0]), int(c[1]), nc))
             off += (b_pad + 4) * step
-        codes_host = np.zeros(off, dtype=np.uint8)
-        for c in geo_of:
-            codes_host[bases[c]: bases[c] + c[1]] = \
-                self._needle_codes_host(c)
-        # host-side decimation of the whole buffer as one matrix
-        codes_dec = jax.device_put(np.ascontiguousarray(
-            codes_host.reshape(off // step, step).T).reshape(-1))
+        codes_dec = self._needle_batch_codes(geo_of, bases, off, step)
         x0s = tuple(bases[c] + step for c in geo_of)
         total = sum(sp[2] for sp in specs) \
             + max(g[0] for g in geo_of.values()) + 8
@@ -1947,6 +1947,42 @@ class BigWindowEngine(DeviceEngine):
         for i, c in enumerate(geo_of):
             self._g_off[c] = (lane_off, float(tot_host[i]))
             lane_off += specs[i][2]
+
+    def _needle_batch_codes(self, geo_of, bases, off: int, step: int):
+        """Device handle of one batch's concatenated, decimated needle
+        codes. The batch's content is WINDOW-INDEPENDENT (the needles
+        are the transformed genome chunks), so a sharded big-genome run
+        caches the uploaded buffers across its windows — per-window
+        re-uploads of the whole genome's codes are the dominant wire
+        cost at whole-human scale (S windows x n bytes)."""
+        from .device_index import (_DEC_CODES_CACHE,  # noqa: F401
+                                   _strand_fingerprint,
+                                   device_index_cache_enabled)
+
+        s = self.settings
+        key = None
+        if device_index_cache_enabled():
+            key = ("needle", _strand_fingerprint(self.strand.data),
+                   s.probe_size, s.reverse, s.complement,
+                   tuple(sorted(geo_of)))
+            hit = _NEEDLE_CODES_CACHE.get(key)
+            if hit is not None:
+                return hit
+        codes_host = np.zeros(off, dtype=np.uint8)
+        for c in geo_of:
+            codes_host[bases[c]: bases[c] + c[1]] = \
+                self._needle_codes_host(c)
+        # host-side decimation of the whole buffer as one matrix
+        codes_dec = jax.device_put(np.ascontiguousarray(
+            codes_host.reshape(off // step, step).T).reshape(-1))
+        if key is not None:
+            # bound the cache by bytes, not entries: batches of one run
+            # are distinct keys and must all stay resident
+            total = sum(v.nbytes for v in _NEEDLE_CODES_CACHE.values())
+            if total + codes_dec.nbytes > _NEEDLE_CACHE_BYTES:
+                _NEEDLE_CODES_CACHE.clear()
+            _NEEDLE_CODES_CACHE[key] = codes_dec
+        return codes_dec
 
     def _rebased(self, chunk):
         """Host-clamped rebased filter constants (outcome-preserving —
