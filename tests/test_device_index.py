@@ -184,6 +184,29 @@ def test_device_index_cache(monkeypatch):
     di._DEVICE_INDEX_CACHE.clear()
 
 
+def test_strand_fingerprint_sliced():
+    """The cache key's content hash runs the per-slice threaded path
+    above 32 MB: deterministic across calls, sensitive to single-byte
+    changes anywhere (incl. inside a non-first slice), and distinct
+    between the small (single-hash) and sliced key shapes."""
+    from asgart_tpu.device_index import _strand_fingerprint
+
+    rng = np.random.default_rng(5)
+    big = rng.integers(0, 5, 70 << 20, dtype=np.uint8)  # 3 slices
+    f = _strand_fingerprint(big)
+    assert f == _strand_fingerprint(big.copy())
+    flip = big.copy()
+    flip[40 << 20] ^= 1  # second slice
+    assert _strand_fingerprint(flip) != f
+    tail = big.copy()
+    tail[-1] ^= 1  # ragged last slice
+    assert _strand_fingerprint(tail) != f
+    small = big[:1000]
+    fs = _strand_fingerprint(small)
+    assert fs == _strand_fingerprint(np.ascontiguousarray(small))
+    assert len(fs) != len(f), "small and sliced key shapes must differ"
+
+
 def test_device_index_cache_pipeline_rescan(tmp_path):
     """engine=tpu rescan of the same genome through the public pipeline:
     identical JSON with the index served from the HBM cache."""
