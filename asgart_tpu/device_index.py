@@ -46,6 +46,51 @@ INT32_MAX = np.int32(2**31 - 1)
 # 3-bit symbol rank complement: $->$, A<->T, C<->G, N->N
 COMP_CODE = np.array([0, 5, 3, 2, 4, 1], dtype=np.uint8)
 
+# --- packed codes upload ------------------------------------------------
+# The host->device tunnel moves ~0.06 GB/s on this rig, so a 1 B/bp codes
+# upload costs ~2 s at 128 Mbp. ACGT (the overwhelming bulk of any
+# genome) fits 2 bits; everything else ($ separators, N bases, stray
+# IUPAC bytes) travels as a sparse (position, code) exception list and is
+# scattered over the unpacked stream on device. 4x less wire for the
+# common case, bit-exact for every case (reference analog: the 1 B/bp
+# `Sequence` the reference feeds libdivsufsort, src/bin/asgart.rs).
+_PACK2 = np.zeros(256, dtype=np.uint8)
+for _i, _ch in enumerate(b"ACGT"):
+    _PACK2[_ch] = _i
+_IS_EXC = np.ones(256, dtype=bool)
+for _ch in b"ACGT":
+    _IS_EXC[_ch] = False
+# 2-bit value -> 3-bit symbol rank (A,C,G,T ranks in the CODE table)
+_UNPACK2 = np.array([1, 2, 3, 5], dtype=np.uint8)
+
+
+def pack_codes_host(strand_data: np.ndarray):
+    """2-bit-pack the strand on the host. Returns ``(packed, exc_pos,
+    exc_code, n1)`` or ``None`` when exceptions are so dense that the
+    packed form would not beat the plain 1 B/bp upload."""
+    n1 = int(len(strand_data))
+    exc_pos = np.flatnonzero(_IS_EXC[strand_data]).astype(np.int32)
+    # 5 B/exception on the wire; bail out past ~1/8 of the plain upload
+    if exc_pos.size * 5 > max(n1 // 8, 64):
+        return None
+    exc_code = CODE[strand_data[exc_pos]]
+    pad = (-n1) % 4
+    b2 = _PACK2[strand_data]
+    if pad:
+        b2 = np.concatenate([b2, np.zeros(pad, dtype=np.uint8)])
+    packed = (b2[0::4] | (b2[1::4] << 2) | (b2[2::4] << 4)
+              | (b2[3::4] << 6))
+    return packed, exc_pos, exc_code, n1
+
+
+@functools.partial(jax.jit, static_argnames=("n1",), donate_argnums=(0,))
+def _unpack_codes(packed: jax.Array, exc_pos: jax.Array,
+                  exc_code: jax.Array, n1: int) -> jax.Array:
+    shifts = jnp.array([0, 2, 4, 6], dtype=jnp.uint8)
+    two = (packed[:, None] >> shifts[None, :]) & jnp.uint8(3)
+    codes = jnp.asarray(_UNPACK2)[two.reshape(-1)[:n1]]
+    return codes.at[exc_pos].set(exc_code, mode="drop")
+
 LO_SYMS = 10  # symbols in the low plane (30 bits)
 # two int32 planes hold 20 symbols (10 each); k=21 would push 33 bits
 # into the hi plane and silently merge distinct k-mer groups
@@ -702,8 +747,15 @@ class DeviceIndex:
         caller that knows the strand early — e.g. while input parsing or
         other host-side work is still running — can overlap the
         ~0.06 GB/s tunnel transfer and pass the handle to
-        :meth:`build` via ``codes_device``."""
-        return jax.device_put(CODE[strand_data])
+        :meth:`build` via ``codes_device``. ACGT travels 2-bit packed
+        (4x less wire) with a sparse exception scatter for $/N/other;
+        the returned array is the exact 1 B/bp code stream either way."""
+        packed = pack_codes_host(strand_data)
+        if packed is None:  # exception-dense: plain upload wins
+            return jax.device_put(CODE[strand_data])
+        p, exc_pos, exc_code, n1 = packed
+        return _unpack_codes(jax.device_put(p), jax.device_put(exc_pos),
+                             jax.device_put(exc_code), n1)
 
     @classmethod
     def build(cls, strand_data: np.ndarray, k: int, reverse: bool = False,
@@ -744,7 +796,7 @@ class DeviceIndex:
         if codes_device is not None:
             codes1 = codes_device
         else:
-            codes1 = jax.device_put(CODE[strand_data])  # the bulk upload
+            codes1 = cls.upload_codes(strand_data)  # the bulk upload
         lap("upload", codes1)
 
         from .device_engine import table_len_for
@@ -954,7 +1006,7 @@ class DeviceWindowIndex:
         if codes_device is not None:
             codes1 = codes_device
         else:
-            codes1 = jax.device_put(CODE[strand_data])
+            codes1 = DeviceIndex.upload_codes(strand_data)
         lap("upload", codes1)
 
         # probe-side: the needle-addressable doubled text in DECIMATED

@@ -264,3 +264,38 @@ def test_decimate_codes_blocked(monkeypatch):
         p = np.arange(n)
         expect[(p % step) * C + p // step] = codes[:n]
         np.testing.assert_array_equal(out, expect, err_msg=f"k={k} n={n}")
+
+
+def test_packed_codes_upload_exact():
+    """The 2-bit packed upload (+ sparse exception scatter) reproduces
+    CODE[strand] bit-exactly across mixed alphabets, N runs, '$'
+    separators and non-multiple-of-4 tails; exception-dense strands
+    fall back to the plain 1 B/bp path."""
+    from asgart_tpu.device_index import pack_codes_host
+    from asgart_tpu.index import CODE
+
+    rng = np.random.default_rng(77)
+    alphabet = np.frombuffer(b"ACGTN$acgtXW-", dtype=np.uint8)
+    w = np.array([10, 10, 10, 10, 1.0, 0.2, 0.1, 0.1, 0.1,
+                  0.05, 0.02, 0.02, 0.02])
+    for _ in range(10):
+        n = int(rng.integers(1, 5000))
+        s = rng.choice(alphabet, n, p=w / w.sum())
+        np.testing.assert_array_equal(
+            np.asarray(DeviceIndex.upload_codes(s)), CODE[s])
+    # N-run heavy strand (chunk-boundary shape) stays exact
+    s = np.frombuffer(random_dna(rng, 3000), dtype=np.uint8).copy()
+    s[500:1200] = ord("N")
+    s[2000] = ord("$")
+    np.testing.assert_array_equal(
+        np.asarray(DeviceIndex.upload_codes(s)), CODE[s])
+    # all-N: packing refuses (exceptions would exceed the plain upload)
+    s = np.full(999, ord("N"), np.uint8)
+    assert pack_codes_host(s) is None
+    np.testing.assert_array_equal(
+        np.asarray(DeviceIndex.upload_codes(s)), CODE[s])
+    # tail sizes around the 4-lane packing
+    for n in (1, 2, 3, 4, 5, 7, 8):
+        s = np.frombuffer(random_dna(rng, n), dtype=np.uint8).copy()
+        np.testing.assert_array_equal(
+            np.asarray(DeviceIndex.upload_codes(s)), CODE[s])
