@@ -2638,10 +2638,9 @@ class ShardedWindowEngine(BigWindowEngine):
                 strand.data, k, ws, we)
             to_dev = lambda x: x  # numpy slices upload per shard below
         else:
-            from .device_index import build_window_arrays
-            from .index import CODE
+            from .device_index import DeviceIndex, build_window_arrays
 
-            codes1 = jax.device_put(CODE[strand.data])
+            codes1 = DeviceIndex.upload_codes(strand.data)
             key_hi, key_lo, run_lo, sa_g, W = build_window_arrays(
                 codes1, k, ws, we)
             sa = sa_g - jnp.int32(ws)  # window-relative, like host build
