@@ -2262,7 +2262,7 @@ class MeshWindowEngine:
                  profile: dict | None = None):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from .device_index import CODE as DCODE, build_window_arrays, \
+        from .device_index import build_window_arrays, \
             _build_text_codes, _decimate_codes
 
         self.strand = strand
@@ -2280,7 +2280,10 @@ class MeshWindowEngine:
             raise ValueError("genome too large for int32 probe addressing")
         self.first_len = n1
 
-        codes1 = jax.device_put(DCODE[strand.data])
+        from .device_index import DeviceIndex
+        # packed upload (4x less wire than 1 B/bp); lands on the default
+        # device — the mesh-sharded device_puts below re-place it
+        codes1 = DeviceIndex.upload_codes(strand.data)
         rep = NamedSharding(mesh, P())
         L2 = table_len_for(n, k)
         self.codes = jax.device_put(

@@ -69,6 +69,12 @@ def pack_codes_host(strand_data: np.ndarray):
     exc_code, n1)`` or ``None`` when exceptions are so dense that the
     packed form would not beat the plain 1 B/bp upload."""
     n1 = int(len(strand_data))
+    if n1 >= 2**31:
+        # exc_pos is int32 on the wire; a >=2 GB strand would wrap the
+        # exception positions (the engines re-check this with an error,
+        # but upload_codes is a public early-upload entry point that can
+        # run first — mirror their guard by declining to pack)
+        return None
     exc_pos = np.flatnonzero(_IS_EXC[strand_data]).astype(np.int32)
     # 5 B/exception on the wire; bail out past ~1/8 of the plain upload
     if exc_pos.size * 5 > max(n1 // 8, 64):
@@ -87,7 +93,7 @@ def pack_codes_host(strand_data: np.ndarray):
     return packed, exc_pos, exc_code, n1
 
 
-@functools.partial(jax.jit, static_argnames=("n1",), donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("n1",))
 def _unpack_codes(packed: jax.Array, exc_pos: jax.Array,
                   exc_code: jax.Array, n1: int) -> jax.Array:
     shifts = jnp.array([0, 2, 4, 6], dtype=jnp.uint8)
