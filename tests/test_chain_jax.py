@@ -261,3 +261,55 @@ def test_burst_chain_capacity_retry():
     got = chain_events_device(cfg, pe, zb, offs, flat, z_trail)
     assert got == want
     assert sum(len(f) for f in want) > 4
+
+
+def test_arm_slot_overflow_drops_then_retries_exactly():
+    """> 256 live arms in one step (VERDICT r3 #9): a probe whose k-mer
+    has more matches than free arm slots must (a) report the drop
+    loudly via ``n_dropped`` on the raw scan, and (b) still produce the
+    exact native result through ``chain_device``'s doubling retry —
+    the reference's arm vector is unbounded within a step
+    (automaton.rs:145-163; its 200-arm prune runs only between steps).
+    """
+    from asgart_tpu.chain_jax import chain_scan, prepare_probe_stream_host
+
+    rng = np.random.default_rng(9)
+    k = 10
+    seed = b"ACGTACGGTA"
+    unit, n_units = 50, 280  # 280 identical seeds > 256 arm slots
+    g = bytearray()
+    for _ in range(n_units):
+        g += seed + random_dna(rng, unit - k, b"ACGT")
+    text = bytes(g) + b"$"
+    # gap must survive the 8 quiet probes between seeds (8*step = 40)
+    settings = dict(probe_size=k, step_size=k // 2, max_gap_size=60,
+                    min_duplication_length=300, max_cardinality=500)
+    idx = GenomeIndex.build(np.frombuffer(text, dtype=np.uint8), k)
+    arr = np.frombuffer(text[:-1], dtype=np.uint8)
+    is_ = probe_positions(arr, k)
+    codes = np.zeros(len(arr) + k, dtype=np.uint8)
+    codes[:len(arr)] = CODE[arr]
+    pk = _pack_probe_kmers(codes, is_, k)
+    lo, hi = idx.lookup(pk)
+    assert int((hi - lo).max()) >= n_units  # the seed k-mer group
+
+    # (a) the raw scan at the default 256-slot capacity MUST report
+    # dropped arms — silent divergence is the failure mode being pinned
+    cfg = ChainConfig(max_arms=256, max_matches=512, out_cap=4096,
+                      **settings)
+    pis, matches, valid = prepare_probe_stream_host(
+        idx.sa, is_, lo, hi, needle_offset=0, needle_len=len(arr),
+        reverse=False, max_cardinality=500, max_matches=512)
+    import jax.numpy as jnp
+    _, _, _, n_dropped = chain_scan(cfg, jnp.asarray(pis),
+                                    jnp.asarray(matches),
+                                    jnp.asarray(valid))
+    assert int(n_dropped) > 0
+
+    # (b) the wrapper retries with doubled slots to the exact result
+    want = native.chain(idx.sa, is_, lo, hi, needle_offset=0,
+                        needle_len=len(arr), reverse=False, **settings)
+    got = chain_device(cfg, idx.sa, is_, lo, hi, needle_offset=0,
+                       needle_len=len(arr), reverse=False)
+    assert got == want
+    assert want  # the tandem array chains into real families
