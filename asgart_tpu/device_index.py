@@ -3,7 +3,7 @@
 TPU-native replacement of the host C++ index builder for the TPU engine
 (reference analog: libdivsufsort's ``divsufsort64``, src/divsufsort.rs:10,
 driven from asgart.rs:473-479). Motivation, measured on this rig
-(scripts/tpu_probe.py): host->device transfers run at ~0.06 GB/s through
+(docs/perf.md): host->device transfers run at ~0.06 GB/s through
 the axon tunnel, so shipping a prebuilt index (~12 B/bp) to the chip costs
 tens of seconds — while ``jax.lax.sort`` sorts 128M two-plane keys in
 ~1 s. The only upload is therefore the 3-bit symbol codes (1 B/bp); the
@@ -110,7 +110,7 @@ DEVICE_MAX_K = 20
 # donation/early-free structure: the flagged initial sort and the table
 # inversion are 3-operand full sorts (12 B in + 12 B out) and XLA's TPU
 # sort needs ~45% of in+out again as scratch (measured: 384M-row
-# 3-operand sorts run, 448M OOM a 15.75 GB HBM — scripts/sort_probe.py),
+# 3-operand sorts run, 448M OOM a 15.75 GB HBM — docs/perf.md),
 # plus codes/padding — ~42 B/row end to end.
 BUILD_PEAK_BYTES_PER_ROW = 42
 
