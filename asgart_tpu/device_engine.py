@@ -614,7 +614,7 @@ def _scan_core_based(lo, hi, mask, sa, chunk_len, self_base, dir_base,
 
 @functools.partial(jax.jit, static_argnames=("k", "reverse", "complement",
                                              "b_pad"))
-def _window_ranges(key_hi, key_lo, run_lo, codes,
+def _window_ranges(key_hi, key_lo, codes,
                    chunk_start, chunk_len, first_len, j0,
                    k: int, reverse: bool, complement: bool, b_pad: int):
     """Per-probe equal ranges against a windowed index by merge join.
@@ -624,7 +624,8 @@ def _window_ranges(key_hi, key_lo, run_lo, codes,
     co-sorted with the window's W sorted keys: with the window/probe tag
     as the last sort key, a probe entry's sorted position directly yields
     its `hi` bound (count of window keys sorting before it), and `lo`
-    follows from the slot-indexed run starts. One O((W+B) log) sort
+    from the run structure of the co-sorted stream (`_mj_tail`). One
+    O((W+B) log) sort
     replaces per-probe binary search — sorts stream at ~190M rows/s on
     this rig while random HBM gathers are latency-bound.
 
@@ -634,7 +635,7 @@ def _window_ranges(key_hi, key_lo, run_lo, codes,
     """
     x0 = _probe_x0(chunk_start, chunk_len, first_len, k, reverse,
                    complement) + j0 * (k // 2)
-    return _merge_join_core(key_hi, key_lo, run_lo, codes, x0, j0,
+    return _merge_join_core(key_hi, key_lo, codes, x0, j0,
                             chunk_len, k=k, b_pad=b_pad)
 
 
@@ -663,16 +664,25 @@ def _pack_probe_lanes(codes_dec, x0, nc: int, k: int):
     return phi, plo, sym(0) != N_CODE
 
 
-def _mj_tail(key_hi, key_lo, run_lo, phi, plo, mask):
+def _mj_tail(key_hi, key_lo, phi, plo, mask):
     """The merge join itself: per-lane [lo, hi) window equal-ranges of
     already-packed probe keys. The probe/window tag rides in the id
     operand's low bit (3 sort operands, not 4 — the co-sort is the peak
-    HBM user of the windowed path): probe entries sort after equal
-    window keys, so a probe's sorted position has exactly hi window
-    entries before it; lo follows from the slot-indexed run starts.
-    One O((W+B) log) sort replaces per-probe binary search — sorts
-    stream at ~190M rows/s on this rig while random HBM gathers are
-    latency-bound."""
+    HBM user of the windowed path): within an equal-key run, probe
+    entries sort after the run's window entries, so for a probe at
+    sorted position t
+
+      hi = #window entries at positions <= t           (one cumsum)
+      lo = #window entries before t's run START        (one cummax)
+
+    — both pure scans over the co-sorted stream (a run's window entries
+    are exactly the window slots holding the probe's key, so lo lands
+    on the window equal-range start; a run with no window entries gives
+    lo == hi, the empty window). One O((W+B) log) sort replaces
+    per-probe binary search — sorts stream at ~190M rows/s on this rig
+    while random HBM gathers are latency-bound, which is also why the
+    r3 formulation (gathering key_hi/key_lo/run_lo at hi-1 to detect
+    key equality) lost seconds per window: 3 x b_pad random gathers."""
     W = key_hi.shape[0]
     b_pad = phi.shape[0]
     jl = jnp.arange(b_pad, dtype=I32)
@@ -681,25 +691,30 @@ def _mj_tail(key_hi, key_lo, run_lo, phi, plo, mask):
     cklo = jnp.concatenate([key_lo, plo])
     ids_tagged = jnp.concatenate(
         [jnp.zeros(W, I32), (jl << 1) | jnp.int32(1)])
-    _, _, sidt = jax.lax.sort((ckhi, cklo, ids_tagged), num_keys=3)
+    skhi, sklo, sidt = jax.lax.sort((ckhi, cklo, ids_tagged), num_keys=3)
     stag = sidt & 1
-    sid = sidt >> 1
-    hi_all = jnp.arange(tot, dtype=I32) + 1 - jnp.cumsum(stag)
+    t = jnp.arange(tot, dtype=I32)
+    cw = t + 1 - jnp.cumsum(stag)  # window entries at positions <= t
+    neq = jnp.concatenate([
+        jnp.ones(1, bool),
+        (skhi[1:] != skhi[:-1]) | (sklo[1:] != sklo[:-1])])
+    # window entries strictly before each run start, spread over the
+    # run by cummax (the value is monotone in t)
+    wbs = jax.lax.cummax(jnp.where(neq, cw - (1 - stag), -1))
     # back to probe-lane order (sort again: cheaper than a full-size
-    # scatter on this rig)
-    lane_key = jnp.where(stag == 1, sid, tot)
-    _, hi_sorted = jax.lax.sort((lane_key, hi_all), num_keys=1)
-    hi_lane = hi_sorted[:b_pad]
-    prev = jnp.clip(hi_lane - 1, 0, W - 1)
-    key_eq = (key_hi[prev] == phi) & (key_lo[prev] == plo) & (hi_lane > 0)
-    lo_lane = jnp.where(key_eq, run_lo[prev], hi_lane)
-
-    lo_lane = jnp.where(mask, lo_lane, 0)
-    hi_lane = jnp.where(mask, hi_lane, 0)
+    # scatter on this rig); barrier: computing sort operands inline
+    # fuses the scans into the sort's comparator path (~40% slower,
+    # docs/perf.md)
+    lane_key = jnp.where(stag == 1, sidt >> 1, tot)
+    lane_key, cw, wbs = jax.lax.optimization_barrier((lane_key, cw, wbs))
+    _, hi_sorted, lo_sorted = jax.lax.sort((lane_key, cw, wbs),
+                                           num_keys=1)
+    lo_lane = jnp.where(mask, lo_sorted[:b_pad], 0)
+    hi_lane = jnp.where(mask, hi_sorted[:b_pad], 0)
     return lo_lane, hi_lane
 
 
-def _merge_join_core(key_hi, key_lo, run_lo, codes_dec, x0, j0, chunk_len,
+def _merge_join_core(key_hi, key_lo, codes_dec, x0, j0, chunk_len,
                      k: int, b_pad: int):
     """Single-chunk merge-join equal ranges (probe pack + `_mj_tail`),
     shared by the resident windowed engine (probe codes read from the
@@ -712,14 +727,14 @@ def _merge_join_core(key_hi, key_lo, run_lo, codes_dec, x0, j0, chunk_len,
     lane_ok = ((j0 + jl) * step) < bound
     phi, plo, n_mask = _pack_probe_lanes(codes_dec, x0, b_pad, k)
     mask = lane_ok & n_mask
-    lo_lane, hi_lane = _mj_tail(key_hi, key_lo, run_lo, phi, plo, mask)
+    lo_lane, hi_lane = _mj_tail(key_hi, key_lo, phi, plo, mask)
     total = jnp.sum((hi_lane - lo_lane).astype(jnp.float32))
     return lo_lane, hi_lane, mask, total
 
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "reverse", "complement", "first_len", "specs", "total", "x0s"))
-def _window_ranges_batch(key_hi, key_lo, run_lo, codes_dec, j0s,
+def _window_ranges_batch(key_hi, key_lo, codes_dec, j0s,
                          k: int, reverse: bool, complement: bool,
                          first_len: int, specs: tuple, total: int,
                          x0s: tuple | None = None):
@@ -766,7 +781,7 @@ def _window_ranges_batch(key_hi, key_lo, run_lo, codes_dec, j0s,
     phi = jnp.concatenate(phis + [big])
     plo = jnp.concatenate(plos + [big])
     mask = jnp.concatenate(masks + [jnp.zeros(pad, bool)])
-    lo, hi = _mj_tail(key_hi, key_lo, run_lo, phi, plo, mask)
+    lo, hi = _mj_tail(key_hi, key_lo, phi, plo, mask)
     counts = (hi - lo).astype(jnp.float32)
     off = 0
     totals = []
@@ -788,7 +803,7 @@ def _slice_lanes(lo, hi, mask, off: int, b_pad: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "b_pad"))
-def _needle_ranges(key_hi, key_lo, run_lo, needle_codes, chunk_len, j0,
+def _needle_ranges(key_hi, key_lo, needle_codes, chunk_len, j0,
                    k: int, b_pad: int):
     """Per-probe equal ranges against a window index from NEEDLE-LOCAL
     codes (the big-genome path: the host transforms the chunk and
@@ -796,7 +811,7 @@ def _needle_ranges(key_hi, key_lo, run_lo, needle_codes, chunk_len, j0,
     addressing is needed). Probe lane j reads
     ``needle[(j+1)*step .. +k]``."""
     step = k // 2
-    return _merge_join_core(key_hi, key_lo, run_lo, needle_codes,
+    return _merge_join_core(key_hi, key_lo, needle_codes,
                             (j0 + 1) * step, j0, chunk_len,
                             k=k, b_pad=b_pad)
 
@@ -1606,7 +1621,7 @@ class DeviceWindowEngine(DeviceEngine):
                 s = self.settings
                 w = self.widx
                 st1 = _window_ranges(
-                    w.key_hi, w.key_lo, w.run_lo, w.codes,
+                    w.key_hi, w.key_lo, w.codes,
                     jnp.int32(chunk[0]), jnp.int32(chunk[1]),
                     jnp.int32(w.first_len), jnp.int32(0),
                     k=s.probe_size, reverse=s.reverse,
@@ -1707,7 +1722,7 @@ class DeviceWindowEngine(DeviceEngine):
         total = sum(nc for (_, _, nc) in specs) \
             + max(g[0] for g in geo_of.values()) + 8
         lo, hi, mask, totals = _window_ranges_batch(
-            w.key_hi, w.key_lo, w.run_lo, w.codes,
+            w.key_hi, w.key_lo, w.codes,
             jnp.zeros(len(specs), I32),
             k, s.reverse, s.complement, int(w.first_len),
             tuple(specs), total)
@@ -1842,8 +1857,9 @@ class BigWindowEngine(DeviceEngine):
         k = settings.probe_size
         win_codes = np.zeros(W + k, dtype=np.uint8)
         win_codes[:w_text] = CODE[strand.data[ws:we]]
-        self.key_hi, self.key_lo, self.run_lo, self.sa = \
+        self.key_hi, self.key_lo, _run_lo, self.sa = \
             window_arrays_from_codes(jax.device_put(win_codes), k, W)
+        del _run_lo  # the merge join derives lo from the co-sorted runs
         self.W = W
         self.first_len = n1
         self._m_offset = ws
@@ -1898,7 +1914,7 @@ class BigWindowEngine(DeviceEngine):
                     np.ascontiguousarray(
                         codes_host.reshape(C3, step).T).reshape(-1))
                 st1 = _needle_ranges(
-                    self.key_hi, self.key_lo, self.run_lo, needle_codes,
+                    self.key_hi, self.key_lo, needle_codes,
                     jnp.int32(length), jnp.int32(0),
                     k=k, b_pad=b_pad)
             self._stage1[chunk] = st1
@@ -1936,7 +1952,7 @@ class BigWindowEngine(DeviceEngine):
         total = sum(sp[2] for sp in specs) \
             + max(g[0] for g in geo_of.values()) + 8
         lo, hi, mask, totals = _window_ranges_batch(
-            self.key_hi, self.key_lo, self.run_lo, codes_dec,
+            self.key_hi, self.key_lo, codes_dec,
             jnp.zeros(len(specs), I32),
             k, s.reverse, s.complement, int(self.first_len),
             tuple(specs), total, x0s=x0s)
@@ -2138,12 +2154,12 @@ def _mesh_window_ranges(mesh, k: int, reverse: bool, complement: bool,
     index layout); genome codes are replicated."""
     from jax.sharding import PartitionSpec as P
 
-    def stepf(key_hi, key_lo, run_lo, codes, chunk_start, chunk_len,
+    def stepf(key_hi, key_lo, codes, chunk_start, chunk_len,
               first_len):
         p = jax.lax.axis_index("probes").astype(I32)
         j0 = p * b_local
         lo, hi, mask, total = _window_ranges(
-            key_hi[0], key_lo[0], run_lo[0], codes,
+            key_hi[0], key_lo[0], codes,
             chunk_start, chunk_len, first_len, j0,
             k=k, reverse=reverse, complement=complement, b_pad=b_local)
         return (lo[None, None], hi[None, None], mask[None, None],
@@ -2151,7 +2167,7 @@ def _mesh_window_ranges(mesh, k: int, reverse: bool, complement: bool,
 
     mapped = jax.shard_map(
         stepf, mesh=mesh,
-        in_specs=(P("windows"), P("windows"), P("windows"),
+        in_specs=(P("windows"), P("windows"),
                   P(), P(), P(), P()),
         out_specs=(P("windows", "probes"),) * 4,
         check_vma=False)
@@ -2171,18 +2187,18 @@ def _mesh_ranges_batch(mesh, k: int, reverse: bool, complement: bool,
 
     bl = np.array(b_locals, dtype=np.int32)
 
-    def stepf(key_hi, key_lo, run_lo, codes):
+    def stepf(key_hi, key_lo, codes):
         p = jax.lax.axis_index("probes").astype(I32)
         j0s = p * jnp.asarray(bl)
         lo, hi, mask, totals = _window_ranges_batch(
-            key_hi[0], key_lo[0], run_lo[0], codes, j0s,
+            key_hi[0], key_lo[0], codes, j0s,
             k, reverse, complement, first_len, specs, total)
         return (lo[None, None], hi[None, None], mask[None, None],
                 totals[None, None])
 
     mapped = jax.shard_map(
         stepf, mesh=mesh,
-        in_specs=(P("windows"), P("windows"), P("windows"), P()),
+        in_specs=(P("windows"), P("windows"), P()),
         out_specs=(P("windows", "probes"),) * 4,
         check_vma=False)
     return jax.jit(mapped)
@@ -2309,7 +2325,8 @@ class MeshWindowEngine:
         sh = NamedSharding(mesh, P("windows"))
         self.key_hi = jax.device_put(padded(0, big), sh)
         self.key_lo = jax.device_put(padded(1, big), sh)
-        self.run_lo = jax.device_put(padded(2, jnp.int32(0)), sh)
+        # run_lo (parts[2]) is build-internal: the merge join derives
+        # lo from the co-sorted run structure (_mj_tail)
         self.sa = jax.device_put(padded(3, jnp.int32(0)), sh)
         self.W = [p[4] for p in parts]
         if profile is not None:
@@ -2364,7 +2381,7 @@ class MeshWindowEngine:
             self.mesh, k, s.reverse, s.complement, int(self.first_len),
             specs, total, b_locals)
         lo, hi, mask, totals = ranges_fn(
-            self.key_hi, self.key_lo, self.run_lo, self.codes)
+            self.key_hi, self.key_lo, self.codes)
         tot = np.asarray(totals)  # [S, P, C] — ONE fetch for all chunks
         states = []
         off = 0
@@ -2406,7 +2423,7 @@ class MeshWindowEngine:
         ranges_fn = _mesh_window_ranges(
             self.mesh, k, s.reverse, s.complement, b_local)
         lo, hi, mask, totals = ranges_fn(
-            self.key_hi, self.key_lo, self.run_lo, self.codes,
+            self.key_hi, self.key_lo, self.codes,
             jnp.int32(chunk[0]), jnp.int32(chunk[1]),
             jnp.int32(self.first_len))
         if cap is None:
@@ -2473,13 +2490,6 @@ class MeshWindowEngine:
 # capacity scales linearly with the mesh (HBM math: docs/sharding.md).
 
 
-def _local_run_lo(run_lo_global, d, Wl):
-    """Global slot-indexed run starts -> shard-local run starts for the
-    slice [d*Wl, (d+1)*Wl): a run that began before the slice restarts
-    at local slot 0."""
-    return jnp.maximum(run_lo_global - d * Wl, 0)
-
-
 def _sharded_window_ranges_fn(mesh, k: int, b_pad: int,
                               axis: str = "shards"):
     """Stage-1 SPMD: per-shard merge join + psum-combined global
@@ -2490,17 +2500,17 @@ def _sharded_window_ranges_fn(mesh, k: int, b_pad: int,
 
     step = k // 2
 
-    def stepf(key_hi_sh, key_lo_sh, run_lo_sh, needle_codes,
+    def stepf(key_hi_sh, key_lo_sh, needle_codes,
               chunk_len, j0):
-        d = jax.lax.axis_index(axis).astype(I32)
-        Wl = key_hi_sh.shape[-1]
         jl = jnp.arange(b_pad, dtype=I32)
         lane_ok = ((j0 + jl) * step) < (chunk_len - k - step)
         phi, plo, n_mask = _pack_probe_lanes(
             needle_codes, (j0 + 1) * step, b_pad, k)
         mask = lane_ok & n_mask
+        # per-shard local counts are exact for a contiguous sorted-key
+        # slice (a run crossing the shard boundary restarts at local
+        # count 0 in _mj_tail's formulation); psum composes them
         lo_l, hi_l = _mj_tail(key_hi_sh[0], key_lo_sh[0],
-                              _local_run_lo(run_lo_sh[0], d, Wl),
                               phi, plo, mask)
         lo = jax.lax.psum(lo_l, axis)
         hi = jax.lax.psum(hi_l, axis)
@@ -2509,7 +2519,7 @@ def _sharded_window_ranges_fn(mesh, k: int, b_pad: int,
 
     mapped = jax.shard_map(
         stepf, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
+        in_specs=(P(axis), P(axis), P(), P(), P()),
         out_specs=(P(), P(), P(), P()),
         check_vma=False)
     return jax.jit(mapped)
@@ -2664,12 +2674,10 @@ class ShardedWindowEngine(BigWindowEngine):
         sh = NamedSharding(mesh, P("shards"))
         self.key_hi = jax.device_put(stack(key_hi, big), sh)
         self.key_lo = jax.device_put(stack(key_lo, big), sh)
-        # run starts of sentinel rows: their own slot (each its own run)
-        rl = np.full((D, Wl), 0, dtype=np.int32)
-        rl.reshape(-1)[:W] = np.asarray(to_dev(run_lo))[:W]
-        tail = np.arange(W, D * Wl, dtype=np.int32)
-        rl.reshape(-1)[W:] = tail
-        self.run_lo = jax.device_put(rl, sh)
+        # run_lo is build-internal (doubling rank seed): the merge join
+        # derives lo from the co-sorted run structure (_mj_tail), so it
+        # never ships to the shards — 12 B/row per shard, not 16
+        del run_lo
         self.sa = jax.device_put(stack(sa, 0), sh)
         self.W = W
         self.Wl = Wl
@@ -2705,7 +2713,7 @@ class ShardedWindowEngine(BigWindowEngine):
                 np.ascontiguousarray(
                     codes_host.reshape(C3, step).T).reshape(-1))
             fn = _sharded_window_ranges_fn(self.smesh, k, b_pad)
-            st1 = fn(self.key_hi, self.key_lo, self.run_lo,
+            st1 = fn(self.key_hi, self.key_lo,
                      needle_codes, jnp.int32(length), jnp.int32(0))
             self._stage1[chunk] = st1
         return st1

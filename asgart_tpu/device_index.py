@@ -80,16 +80,17 @@ def pack_codes_host(strand_data: np.ndarray):
     if exc_pos.size * 5 > max(n1 // 8, 64):
         return None
     exc_code = CODE[strand_data[exc_pos]]
-    pad = (-n1) % 4
-    if pad:
-        b2 = np.zeros(n1 + pad, dtype=np.uint8)
-        b2[:n1] = _PACK2[strand_data]
-    else:
-        b2 = _PACK2[strand_data]
-    # strided byte folds measure fastest on this host (0.44 s at 128 M;
-    # a uint32-view fold is 2.1 s, a 16-bit pair LUT 1.2 s)
-    packed = (b2[0::4] | (b2[1::4] << 2) | (b2[2::4] << 4)
-              | (b2[3::4] << 6))
+    n4 = -(-n1 // 4)
+    b2 = np.zeros(4 * n4, dtype=np.uint8)
+    b2[:n1] = _PACK2[strand_data]
+    # PLANAR packing: byte j carries strand positions j, n4+j, 2*n4+j,
+    # 3*n4+j (contiguous quarters, not interleaved nibbles) — the
+    # device unpack is then a [4, n4] -> flat reshape. The interleaved
+    # layout's [n4, 4] u8 intermediate tiled to (8, 128) on TPU, a 32x
+    # padding blowup that OOMed at 512 Mbp; [4, n4] pads 2x. Contiguous
+    # host slices also fold faster than the old strided ones.
+    packed = (b2[:n4] | (b2[n4: 2 * n4] << 2) | (b2[2 * n4: 3 * n4] << 4)
+              | (b2[3 * n4:] << 6))
     return packed, exc_pos, exc_code, n1
 
 
@@ -97,7 +98,7 @@ def pack_codes_host(strand_data: np.ndarray):
 def _unpack_codes(packed: jax.Array, exc_pos: jax.Array,
                   exc_code: jax.Array, n1: int) -> jax.Array:
     shifts = jnp.array([0, 2, 4, 6], dtype=jnp.uint8)
-    two = (packed[:, None] >> shifts[None, :]) & jnp.uint8(3)
+    two = (packed[None, :] >> shifts[:, None]) & jnp.uint8(3)  # [4, n4]
     codes = jnp.asarray(_UNPACK2)[two.reshape(-1)[:n1]]
     return codes.at[exc_pos].set(exc_code, mode="drop")
 
@@ -135,7 +136,7 @@ def device_index_fits(n1: int, reverse: bool, complement: bool) -> bool:
 
 
 # Windowed (merge-join) strategy high-water mark per WINDOW row: the
-# resident index arrays (sorted keys + run_lo + sa, 16 B) + decimated
+# resident index arrays (sorted keys + sa, 12 B) + decimated
 # doubled codes (~2 B) + the 3-operand co-sort's in+out over W + b_pad
 # rows (24 B + 24 B) minus what the scheduler overlaps — measured safe
 # at 44 B/row.
@@ -643,7 +644,10 @@ def _resolve_ties(sa, rank, tied_slot, n: int, k: int,
             # host sync is a relay round trip)
             if cap <= (1 << 17):
                 rounds = max(rounds_per_call, 8)
-            elif cap <= (1 << 20):
+            elif cap <= (1 << 22):
+                # a 4M-row subset sort is ~ms-scale; four rounds per
+                # call halves the host round trips (each ~0.05-0.3 s
+                # through the relay) vs two
                 rounds = max(rounds_per_call, 4)
             else:
                 rounds = rounds_per_call
@@ -955,7 +959,6 @@ class DeviceWindowIndex:
       * ``key_hi``/``key_lo`` [W]: sorted two-plane k-mer keys of every
         window position (aligned with ``sa`` — doubling permutes only
         within equal-key runs);
-      * ``run_lo`` [W]: slot-indexed equal-run starts (lo bound lookup);
       * ``sa`` [W]: suffix order, positions already global;
       * ``codes``: the needle-addressable (doubled) genome codes in
         decimated layout, used to pack probe keys by contiguous row
@@ -964,7 +967,6 @@ class DeviceWindowIndex:
 
     key_hi: jax.Array
     key_lo: jax.Array
-    run_lo: jax.Array
     sa: jax.Array        # [W] int32 global positions, suffix order
     codes: jax.Array     # [n + pad] uint8 doubled text codes
     k: int
@@ -1031,7 +1033,9 @@ class DeviceWindowIndex:
         skhi, sklo, run_lo, sa, W = build_window_arrays(
             codes1, k, ws, we, rounds_per_call=rounds_per_call,
             tied_cap=tied_cap, lap=lap)
-        return cls(key_hi=skhi, key_lo=sklo, run_lo=run_lo, sa=sa,
+        del run_lo  # build-internal (doubling rank seed); the merge
+        # join derives lo from the co-sorted run structure (_mj_tail)
+        return cls(key_hi=skhi, key_lo=sklo, sa=sa,
                    codes=text_codes, k=k, n=n, first_len=n1, W=W,
                    win_start=ws, win_end=we, reverse=reverse,
                    complement=complement)

@@ -397,7 +397,7 @@ def rank_sharded_window_applies(n1: int, W: int, doubled: bool,
     """Whether a trim window should be served by the rank-sharded
     engine: forced via ``ASGART_RANK_SHARDED=1``, or the window exceeds
     a single device (rows or HBM) while a multi-device mesh can hold it
-    at ~16 B/row per shard plus bounded scan transients."""
+    at ~12 B/row per shard plus bounded scan transients."""
     import jax
 
     from .device_index import device_window_fits, hbm_budget_bytes
@@ -411,7 +411,7 @@ def rank_sharded_window_applies(n1: int, W: int, doubled: bool,
             return False
     if n_dev < 2 or device_window_fits(n1, W, doubled):
         return False
-    per_shard = 16 * (-(-W // n_dev)) + (1 << 28)
+    per_shard = 12 * (-(-W // n_dev)) + (1 << 28)
     return per_shard <= hbm_budget_bytes()
 
 

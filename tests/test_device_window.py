@@ -187,7 +187,7 @@ def test_window_index_matches_host_index():
 
         b_pad = _bucket(len(is_), lo=1 << 8)
         lo_d, hi_d, mask, total = _window_ranges(
-            widx.key_hi, widx.key_lo, widx.run_lo, widx.codes,
+            widx.key_hi, widx.key_lo, widx.codes,
             jnp.int32(0), jnp.int32(len(needle)),
             jnp.int32(widx.first_len), jnp.int32(0),
             k=k, reverse=False, complement=False, b_pad=b_pad)
