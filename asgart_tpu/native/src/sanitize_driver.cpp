@@ -72,7 +72,8 @@ int main() {
 
   // --- parallel position-index builder vs single-threaded ------------
   std::vector<int64_t> sa1(n), saT(n), keys1(n), keysT(n);
-  std::vector<int32_t> lo1(n), loT(n);
+  // pos_lo is an interleaved [n][2] (lo, hi) table -> 2n int32
+  std::vector<int32_t> lo1(2 * n), loT(2 * n);
   asgart_build_position_index_codes2(codes.data(), n, k, sa1.data(),
                                      lo1.data(), keys1.data(), 1);
   asgart_build_position_index_codes2(codes.data(), n, k, saT.data(),
