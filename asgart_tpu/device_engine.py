@@ -764,6 +764,24 @@ def _window_ranges_batch(key_hi, key_lo, codes_dec, j0s,
     per-chunk exact raw-match sums for capacity sizing; per-chunk lanes
     start at offset sum(n_lanes of earlier chunks).
     """
+    phi, plo, mask = _pack_batch_probe_keys(
+        codes_dec, j0s, k, reverse, complement, first_len, specs, total,
+        x0s=x0s)
+    return _mj_ranges_from_keys(key_hi, key_lo, phi, plo, mask,
+                                specs=specs)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "reverse", "complement", "first_len", "specs", "total", "x0s"))
+def _pack_batch_probe_keys(codes_dec, j0s, k: int, reverse: bool,
+                           complement: bool, first_len: int,
+                           specs: tuple, total: int,
+                           x0s: tuple | None = None):
+    """The probe side of `_window_ranges_batch`: every chunk's packed
+    probe key planes + masks, back-to-back with sentinel padding.
+    WINDOW-INDEPENDENT — a sharded run's windows all join the same
+    probe keys, so `DeviceWindowEngine` caches this output across
+    windows (one pack instead of one per window)."""
     step = k // 2
     phis, plos, masks = [], [], []
     for i, (cs, cl, nc) in enumerate(specs):
@@ -781,6 +799,13 @@ def _window_ranges_batch(key_hi, key_lo, codes_dec, j0s,
     phi = jnp.concatenate(phis + [big])
     plo = jnp.concatenate(plos + [big])
     mask = jnp.concatenate(masks + [jnp.zeros(pad, bool)])
+    return phi, plo, mask
+
+
+@functools.partial(jax.jit, static_argnames=("specs",))
+def _mj_ranges_from_keys(key_hi, key_lo, phi, plo, mask, specs: tuple):
+    """The window side: one `_mj_tail` co-sort of already-packed probe
+    keys + per-chunk exact totals."""
     lo, hi = _mj_tail(key_hi, key_lo, phi, plo, mask)
     counts = (hi - lo).astype(jnp.float32)
     off = 0
@@ -1721,11 +1746,25 @@ class DeviceWindowEngine(DeviceEngine):
         t0 = time.time()
         total = sum(nc for (_, _, nc) in specs) \
             + max(g[0] for g in geo_of.values()) + 8
-        lo, hi, mask, totals = _window_ranges_batch(
-            w.key_hi, w.key_lo, w.codes,
-            jnp.zeros(len(specs), I32),
-            k, s.reverse, s.complement, int(w.first_len),
-            tuple(specs), total)
+        # the packed probe keys are WINDOW-INDEPENDENT (same genome,
+        # same chunks): cache them across a sharded run's windows so
+        # only the first window pays the pack
+        from .device_index import (_strand_fingerprint,
+                                   device_index_cache_enabled)
+
+        pkey = ("probe-keys", _strand_fingerprint(self.strand.data),
+                k, s.reverse, s.complement, tuple(specs), total)
+        keys = _PROBE_KEYS_CACHE.get(pkey) \
+            if device_index_cache_enabled() else None
+        if keys is None:
+            keys = _pack_batch_probe_keys(
+                w.codes, jnp.zeros(len(specs), I32), k, s.reverse,
+                s.complement, int(w.first_len), tuple(specs), total)
+            if device_index_cache_enabled():
+                _PROBE_KEYS_CACHE.clear()
+                _PROBE_KEYS_CACHE[pkey] = keys
+        lo, hi, mask, totals = _mj_ranges_from_keys(
+            w.key_hi, w.key_lo, *keys, specs=tuple(specs))
         # ONE totals fetch (a per-chunk device scalar read would cost a
         # relay round trip per chunk when sizing the cores)
         tot_host = np.asarray(totals)
@@ -1799,6 +1838,11 @@ class DeviceWindowEngine(DeviceEngine):
 # cross-window cache of batched needle-codes uploads (big-genome runs;
 # see BigWindowEngine._needle_batch_codes). Byte-bounded.
 _NEEDLE_CODES_CACHE: dict = {}
+
+# one-entry cache of the batched stage-1 probe KEY planes: identical for
+# every window of a sharded run (keyed by strand content + chunk specs
+# + transform) — windows after the first skip the pack entirely
+_PROBE_KEYS_CACHE: dict = {}
 _NEEDLE_CACHE_BYTES = 4 << 30
 
 

@@ -96,3 +96,38 @@ def test_header_with_only_whitespace():
         map_, total = read_fasta(p, skip_masked=False)
         assert [m.name for m in map_] == ["", "chr2"]
         assert total.tobytes() == b"ACGTGGGG"
+
+
+def test_read_fasta_real_world_quirks(tmp_path):
+    """Ragged multiFASTA as produced by real tools: CRLF endings, ragged
+    line widths within one record, blank lines between records, tab-
+    separated header descriptions, a zero-length record, and the full
+    IUPAC ambiguity set (mapped to N like the reference's
+    any-non-ACGTN rule, asgart.rs:291-301)."""
+    p = tmp_path / "ragged.fa"
+    with open(p, "wb") as fh:
+        fh.write(b">chr1\tassembly=GRCh38\tlen=ragged\r\n")
+        fh.write(b"ACGTACGTAC\r\n")       # width 10
+        fh.write(b"gtRYSWKMBDHVacn\r\n")  # width 15, soft-masked + IUPAC
+        fh.write(b"\r\n")                 # blank line inside the record
+        fh.write(b"AC\r\n")               # width 2
+        fh.write(b">empty_rec\r\n")       # zero-length record
+        fh.write(b">chr2 plain description\n")
+        fh.write(b"ACGT\nACGTN\n\n")      # mixed widths + trailing blank
+    fmap, seq = read_fasta(str(p), skip_masked=False)
+    assert [s.name for s in fmap] == ["chr1", "empty_rec", "chr2"]
+    assert [(s.position, s.length) for s in fmap] == \
+        [(0, 27), (27, 0), (27, 9)]
+    # chr1: uppercase + every non-ACGT byte -> N
+    assert seq[:27].tobytes() == b"ACGTACGTACGTNNNNNNNNNNACNAC"
+    assert seq[27:].tobytes() == b"ACGTACGTN"
+
+    # skip-masked: soft-masked (lowercase) bases -> N instead
+    _, seq_m = read_fasta(str(p), skip_masked=True)
+    assert seq_m[:27].tobytes() == b"ACGTACGTACNNNNNNNNNNNNNNNAC"
+
+    bad = tmp_path / "headerless.fa"
+    bad.write_bytes(b"ACGTACGT\n")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_fasta(str(bad), skip_masked=False)
