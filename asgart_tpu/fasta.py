@@ -60,41 +60,54 @@ def read_fasta(filename: str, skip_masked: bool) -> tuple[list[Start], np.ndarra
     (asgart.rs:278-313). Record ids are the first whitespace-delimited token
     of the header (rust-bio's ``record.id()``)."""
     table = _NORM_MASKED if skip_masked else _NORM_PLAIN
+
+    # Bulk parse: one read + vectorized newline handling. Real-width
+    # FASTA (60-80 bp lines) has millions of lines per chromosome; a
+    # per-line Python loop costs tens of seconds at whole-genome scale
+    # while this path is two passes over the bytes.
+    data = np.fromfile(filename, dtype=np.uint8)
+    if data.size and data[-1] != ord("\n"):
+        data = np.concatenate(
+            [data, np.frombuffer(b"\n", dtype=np.uint8)])
+    nl_pos = np.flatnonzero(data == ord("\n"))
+    line_starts = np.concatenate(
+        [np.zeros(1, dtype=np.int64), nl_pos[:-1] + 1]) \
+        if nl_pos.size else np.zeros(0, dtype=np.int64)
+    is_header = data[line_starts] == ord(">") if line_starts.size \
+        else np.zeros(0, dtype=bool)
+    header_idx = np.flatnonzero(is_header)
+    if header_idx.size == 0:
+        # non-blank sequence-only content is an error with a distinct
+        # message (matching the loop reader's two failure modes)
+        keep = (data != ord("\n")) & (data != ord("\r"))
+        if bool(keep.any()):
+            raise ValueError(f"Unable to parse `{filename}`: "
+                             "sequence data before first header")
+        raise ValueError(f"Unable to read FASTA file `{filename}`")
+    first_h = line_starts[header_idx[0]]
+    if first_h != 0:
+        pre = data[:first_h]
+        if bool(((pre != ord("\n")) & (pre != ord("\r"))).any()):
+            raise ValueError(f"Unable to parse `{filename}`: "
+                             "sequence data before first header")
+
     map_: list[Start] = []
     seqs: list[np.ndarray] = []
     counter = 0
-
-    name: Optional[str] = None
-    parts: list[bytes] = []
-
-    def flush():
-        nonlocal counter, name, parts
-        if name is None:
-            return
-        raw = np.frombuffer(b"".join(parts), dtype=np.uint8)
-        seq = table[raw]
+    h_starts = line_starts[header_idx]
+    h_ends = nl_pos[header_idx]  # the header line's own newline
+    bounds = np.concatenate([h_starts[1:],
+                             np.asarray([data.size], dtype=np.int64)])
+    for hs, he, be in zip(h_starts, h_ends, bounds):
+        header = bytes(data[hs + 1: he]).rstrip(b"\r")
+        toks = header.split(None, 1)
+        name = toks[0].decode() if toks else ""
+        body = data[he + 1: be]
+        keep = (body != ord("\n")) & (body != ord("\r"))
+        seq = table[body[keep]]
         map_.append(Start(name=name, position=counter, length=len(seq)))
         counter += len(seq)
         seqs.append(seq)
-        name, parts = None, []
-
-    with open(filename, "rb") as fh:
-        saw_header = False
-        for line in fh:
-            line = line.rstrip(b"\r\n")
-            if line.startswith(b">"):
-                flush()
-                saw_header = True
-                toks = line[1:].split(None, 1)
-                name = toks[0].decode() if toks else ""
-            elif line:
-                if not saw_header:
-                    raise ValueError(f"Unable to parse `{filename}`: "
-                                     "sequence data before first header")
-                parts.append(line)
-        flush()
-    if not saw_header:
-        raise ValueError(f"Unable to read FASTA file `{filename}`")
     total = (np.concatenate(seqs) if seqs
              else np.zeros(0, dtype=np.uint8))
     return map_, total
