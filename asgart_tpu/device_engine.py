@@ -707,8 +707,13 @@ def _mj_tail(key_hi, key_lo, phi, plo, mask):
     # docs/perf.md)
     lane_key = jnp.where(stag == 1, sidt >> 1, tot)
     lane_key, cw, wbs = jax.lax.optimization_barrier((lane_key, cw, wbs))
-    _, hi_sorted, lo_sorted = jax.lax.sort((lane_key, cw, wbs),
-                                           num_keys=1)
+    # TWO 2-operand back-sorts, not one 3-operand: a sort's transients
+    # run ~45% scratch on top of in+out, and the 3-op variant's extra
+    # 12 B/row RESOURCE_EXHAUSTED a 15.75 GB HBM at the 1 Gbp scale
+    # (tot ~ 280M rows next to the resident window index + codes); the
+    # split keeps the peak at 2-op size for ~0.6 s/window extra
+    _, hi_sorted = jax.lax.sort((lane_key, cw), num_keys=1)
+    _, lo_sorted = jax.lax.sort((lane_key, wbs), num_keys=1)
     lo_lane = jnp.where(mask, lo_sorted[:b_pad], 0)
     hi_lane = jnp.where(mask, hi_sorted[:b_pad], 0)
     return lo_lane, hi_lane
