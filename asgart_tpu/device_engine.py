@@ -483,6 +483,56 @@ def _slice_budget() -> int:
     return int(env) if env else (1 << 26)
 
 
+# The merge-join co-sort's peak HBM per row: 3 int32 operands (12 B)
+# x in + out + ~45% sort scratch (docs/perf.md "lax.sort").
+_MJ_SORT_PEAK_PER_ROW = 35
+
+
+def _hbm_free_bytes() -> int | None:
+    """Free HBM on the scan device right now, or None when the backend
+    doesn't expose allocator stats (CPU meshes, some relay setups)."""
+    try:
+        st = jax.local_devices()[0].memory_stats()
+        if st and "bytes_limit" in st and "bytes_in_use" in st:
+            return int(st["bytes_limit"]) - int(st["bytes_in_use"])
+    except Exception:
+        pass
+    return None
+
+
+def _plan_mj_groups(specs, b_max: int):
+    """Split the batched stage-1 probe side into groups of <= ``b_max``
+    lanes, at PIECE granularity: a chunk whose lane count exceeds the
+    room left in the current group is split into (spec, j0) pieces —
+    `_pack_batch_probe_keys` packs lanes [j0, j0+nc) of a chunk, and
+    consecutive pieces of one chunk concatenate to exactly its full
+    contiguous lane range, so the grouped join is lane-for-lane equal
+    to the single-shot one (each lane's equal range against the window
+    is independent of every other lane).
+
+    ``specs``: [(chunk_start, chunk_len, n_lanes)]; returns a list of
+    groups, each a list of (chunk_start, chunk_len, nc_piece, j0)."""
+    groups: list[list[tuple]] = []
+    cur: list[tuple] = []
+    cur_b = 0
+    for (cs, cl, nc) in specs:
+        j0 = 0
+        while nc > 0:
+            room = b_max - cur_b
+            if room <= 0:
+                groups.append(cur)
+                cur, cur_b = [], 0
+                room = b_max
+            take = min(nc, room)
+            cur.append((cs, cl, take, j0))
+            cur_b += take
+            j0 += take
+            nc -= take
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 def _slice_caps(total: float, b_slice: int, ev_scale: int):
     """(cap, ev_cap) for one probe slice. Granule sums are exact raw
     totals up to f32 rounding (<= 16 absolute below the hard cap) —
@@ -711,7 +761,9 @@ def _mj_tail(key_hi, key_lo, phi, plo, mask):
     # run ~45% scratch on top of in+out, and the 3-op variant's extra
     # 12 B/row RESOURCE_EXHAUSTED a 15.75 GB HBM at the 1 Gbp scale
     # (tot ~ 280M rows next to the resident window index + codes); the
-    # split keeps the peak at 2-op size for ~0.6 s/window extra
+    # split keeps the peak at 2-op size for ~0.6 s/window extra. (An
+    # i64-packed (hi, lo) single payload sort would move 12 B/row once,
+    # but device x64 is off repo-wide.)
     _, hi_sorted = jax.lax.sort((lane_key, cw), num_keys=1)
     _, lo_sorted = jax.lax.sort((lane_key, wbs), num_keys=1)
     lo_lane = jnp.where(mask, lo_sorted[:b_pad], 0)
@@ -807,10 +859,7 @@ def _pack_batch_probe_keys(codes_dec, j0s, k: int, reverse: bool,
     return phi, plo, mask
 
 
-@functools.partial(jax.jit, static_argnames=("specs",))
-def _mj_ranges_from_keys(key_hi, key_lo, phi, plo, mask, specs: tuple):
-    """The window side: one `_mj_tail` co-sort of already-packed probe
-    keys + per-chunk exact totals."""
+def _mj_ranges_impl(key_hi, key_lo, phi, plo, mask, specs: tuple):
     lo, hi = _mj_tail(key_hi, key_lo, phi, plo, mask)
     counts = (hi - lo).astype(jnp.float32)
     off = 0
@@ -820,6 +869,24 @@ def _mj_ranges_from_keys(key_hi, key_lo, phi, plo, mask, specs: tuple):
                                                     (nc,))))
         off += nc
     return lo, hi, mask, jnp.stack(totals)
+
+
+@functools.partial(jax.jit, static_argnames=("specs",))
+def _mj_ranges_from_keys(key_hi, key_lo, phi, plo, mask, specs: tuple):
+    """The window side: one `_mj_tail` co-sort of already-packed probe
+    keys + per-chunk exact totals."""
+    return _mj_ranges_impl(key_hi, key_lo, phi, plo, mask, specs)
+
+
+@functools.partial(jax.jit, static_argnames=("specs",),
+                   donate_argnums=(2, 3))
+def _mj_ranges_from_keys_donated(key_hi, key_lo, phi, plo, mask,
+                                 specs: tuple):
+    """`_mj_ranges_from_keys` with the probe key planes donated — the
+    HBM-projected grouped stage 1 (`DeviceWindowEngine._batch_stage1`)
+    packs each group's planes afresh, so XLA may reuse their bytes
+    inside the join instead of holding them beside the co-sort."""
+    return _mj_ranges_impl(key_hi, key_lo, phi, plo, mask, specs)
 
 
 @functools.partial(jax.jit, static_argnames=("off", "b_pad"))
@@ -1749,30 +1816,102 @@ class DeviceWindowEngine(DeviceEngine):
             self._g_full, self._g_off = cached[1], dict(cached[2])
             return
         t0 = time.time()
-        total = sum(nc for (_, _, nc) in specs) \
-            + max(g[0] for g in geo_of.values()) + 8
-        # the packed probe keys are WINDOW-INDEPENDENT (same genome,
-        # same chunks): cache them across a sharded run's windows so
-        # only the first window pays the pack
+        tail_pad = max(g[0] for g in geo_of.values()) + 8
+        total = sum(nc for (_, _, nc) in specs) + tail_pad
         from .device_index import (_strand_fingerprint,
-                                   device_index_cache_enabled)
+                                   device_index_cache_enabled,
+                                   hbm_budget_bytes)
 
-        pkey = ("probe-keys", _strand_fingerprint(self.strand.data),
-                k, s.reverse, s.complement, tuple(specs), total)
-        keys = _PROBE_KEYS_CACHE.get(pkey) \
-            if device_index_cache_enabled() else None
-        if keys is None:
-            keys = _pack_batch_probe_keys(
-                w.codes, jnp.zeros(len(specs), I32), k, s.reverse,
-                s.complement, int(w.first_len), tuple(specs), total)
-            if device_index_cache_enabled():
-                _PROBE_KEYS_CACHE.clear()
-                _PROBE_KEYS_CACHE[pkey] = keys
-        lo, hi, mask, totals = _mj_ranges_from_keys(
-            w.key_hi, w.key_lo, *keys, specs=tuple(specs))
-        # ONE totals fetch (a per-chunk device scalar read would cost a
-        # relay round trip per chunk when sizing the cores)
-        tot_host = np.asarray(totals)
+        # HBM projection: the co-sort peaks at ~35 B/(W + B) row next
+        # to whatever is already resident (window index, codes, the
+        # pipeline's shared codes). When one join + the cross-window
+        # caches don't fit, fall back first to an uncached single join,
+        # then to probe-side GROUPS — exact (each lane's equal range is
+        # independent), costing one extra W-side sort pass per group.
+        W = int(w.key_hi.shape[0])
+        env_bmax = os.environ.get("ASGART_MJ_B_MAX")
+        if env_bmax:  # test hook: force a probe-side group width
+            b_max = int(env_bmax)
+            fits_single = total <= b_max
+            cacheable = device_index_cache_enabled() and fits_single
+        else:
+            env_free = os.environ.get("ASGART_MJ_FREE_BYTES")
+            free = int(env_free) if env_free else _hbm_free_bytes()
+            if free is None:
+                free = hbm_budget_bytes() - int(w.codes.nbytes) - 16 * W
+            avail = free - (1 << 29) - 9 * total  # margin + outputs
+            fits_single = avail >= _MJ_SORT_PEAK_PER_ROW * (W + total)
+            # the cross-window caches (probe key planes now + the
+            # stage-1 result across windows) each hold ~9-18 B/lane
+            # NEXT to later windows' joins — only keep them with that
+            # much slack
+            cacheable = device_index_cache_enabled() and \
+                avail >= _MJ_SORT_PEAK_PER_ROW * (W + total) + 18 * total
+            b_max = max(int(avail) // _MJ_SORT_PEAK_PER_ROW - W, 1 << 24)
+        if not cacheable:
+            # an earlier window's cached planes would otherwise stay
+            # resident next to this join
+            _PROBE_KEYS_CACHE.clear()
+        if fits_single:
+            # the packed probe keys are WINDOW-INDEPENDENT (same
+            # genome, same chunks): cache them across a sharded run's
+            # windows so only the first window pays the pack
+            pkey = ("probe-keys", _strand_fingerprint(self.strand.data),
+                    k, s.reverse, s.complement, tuple(specs), total)
+            keys = _PROBE_KEYS_CACHE.get(pkey) if cacheable else None
+            if keys is None:
+                keys = _pack_batch_probe_keys(
+                    w.codes, jnp.zeros(len(specs), I32), k, s.reverse,
+                    s.complement, int(w.first_len), tuple(specs), total)
+                if cacheable:
+                    _PROBE_KEYS_CACHE.clear()
+                    _PROBE_KEYS_CACHE[pkey] = keys
+            if cacheable:
+                lo, hi, mask, totals = _mj_ranges_from_keys(
+                    w.key_hi, w.key_lo, *keys, specs=tuple(specs))
+            else:
+                lo, hi, mask, totals = _mj_ranges_from_keys_donated(
+                    w.key_hi, w.key_lo, *keys, specs=tuple(specs))
+                del keys
+            # ONE totals fetch (a per-chunk device scalar read would
+            # cost a relay round trip per chunk when sizing the cores)
+            tot_host = np.asarray(totals)
+        else:
+            groups = _plan_mj_groups(specs, b_max)
+            log.info("batched stage 1 over %d probe-side groups "
+                     "(%d lanes vs %d-lane HBM room)", len(groups),
+                     total, b_max)
+            los, his, ms, piece_tots, pieces = [], [], [], [], []
+            for grp in groups:
+                specs_g = tuple((cs, cl, nc) for (cs, cl, nc, _) in grp)
+                j0s_g = jnp.asarray([j0 for (_, _, _, j0) in grp], I32)
+                tot_g = sum(nc for (_, _, nc, _) in grp)
+                phi, plo, m = _pack_batch_probe_keys(
+                    w.codes, j0s_g, k, s.reverse, s.complement,
+                    int(w.first_len), specs_g, tot_g)
+                lo_g, hi_g, m_g, totals_g = _mj_ranges_from_keys_donated(
+                    w.key_hi, w.key_lo, phi, plo, m, specs=specs_g)
+                # sync per group: serializes the joins so only one
+                # group's sort transients are live at a time
+                piece_tots.append(np.asarray(totals_g))
+                pieces.extend(grp)
+                los.append(lo_g)
+                his.append(hi_g)
+                ms.append(m_g)
+            zi = jnp.zeros(tail_pad, I32)
+            lo = jnp.concatenate(los + [zi])
+            hi = jnp.concatenate(his + [zi])
+            mask = jnp.concatenate(ms + [jnp.zeros(tail_pad, bool)])
+            del los, his, ms
+            flat = np.concatenate(piece_tots)
+            tot_host = np.zeros(len(specs), np.float64)
+            pi = 0
+            for i, (_, _, nc) in enumerate(specs):
+                acc = 0
+                while acc < nc:
+                    tot_host[i] += float(flat[pi])
+                    acc += pieces[pi][2]
+                    pi += 1
         self._lap(t0, f"batched stage 1 ({len(specs)} chunks)")
         self._g_full = (lo, hi, mask)
         self._g_off = {}
@@ -1786,9 +1925,7 @@ class DeviceWindowEngine(DeviceEngine):
             self._g_off[c] = (off, float(tot_host[i]))
             off += nc
             i += 1
-        from .device_index import device_index_cache_enabled
-
-        if device_index_cache_enabled():
+        if cacheable:
             w.stage1_cache = (s1key, self._g_full, dict(self._g_off))
 
     def _dispatch_group(self, group, b_pad, cap, ev_cap):

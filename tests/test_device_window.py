@@ -480,3 +480,48 @@ def test_window_stage1_persists_on_cached_index(tmp_path, monkeypatch):
     assert b1.getvalue() == b2.getvalue()
     assert r1.families
     di._DEVICE_INDEX_CACHE.clear()
+
+
+def test_batched_stage1_grouped_joins(tmp_path, monkeypatch):
+    """HBM-projected probe-side grouping of the batched stage-1 merge
+    join (the 1 Gbp OOM fix): forcing a tiny group width splits chunks
+    into (spec, j0) pieces across several donated joins — output must
+    stay byte-identical to the single-shot join and the host engine."""
+    import io
+
+    from asgart_tpu import device_index as di
+    from asgart_tpu.device_engine import _plan_mj_groups
+    from asgart_tpu.exporters import JSONExporter
+
+    # piece planner: chunk split across groups, exact coverage
+    groups = _plan_mj_groups([(0, 100, 7), (100, 50, 3)], 4)
+    assert groups == [[(0, 100, 4, 0)], [(0, 100, 3, 4), (100, 50, 1, 0)],
+                      [(100, 50, 2, 1)]]
+    assert sum(nc for g in groups for (_, _, nc, _) in g) == 10
+
+    rng = np.random.default_rng(97)
+    g = bytearray(random_dna(rng, 90000, b"ACGT"))
+    g[30000:32000] = bytes(g[4000:6000])
+    g[76000:77500] = revcomp(bytes(g[50000:51500]))
+    for nstart in (15000, 40000, 60000):
+        g[nstart:nstart + 6000] = b"N" * 6000
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", bytes(g))])
+    for kw in ({}, dict(reverse=True, complement=True)):
+        settings = RunSettings(min_duplication_length=800,
+                               trim=(0, 89000), **kw)
+        host = search_duplications([str(fa)], settings, engine="host")
+        di._DEVICE_INDEX_CACHE.clear()
+        single = search_duplications([str(fa)], settings, engine="tpu")
+        # ~1000-lane groups force several joins + intra-chunk pieces
+        monkeypatch.setenv("ASGART_MJ_B_MAX", "1000")
+        di._DEVICE_INDEX_CACHE.clear()
+        grouped = search_duplications([str(fa)], settings, engine="tpu")
+        monkeypatch.delenv("ASGART_MJ_B_MAX")
+        bh, bs, bg = io.StringIO(), io.StringIO(), io.StringIO()
+        JSONExporter().save(host, bh)
+        JSONExporter().save(single, bs)
+        JSONExporter().save(grouped, bg)
+        assert bg.getvalue() == bs.getvalue() == bh.getvalue(), kw
+    assert host.families
+    di._DEVICE_INDEX_CACHE.clear()
