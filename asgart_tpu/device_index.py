@@ -379,7 +379,9 @@ def _invert_tables_dec(sa: jax.Array, lo: jax.Array,
     (8, 128) on TPU, padding the minor dim 2 up to 128 (64x memory)."""
     n = sa.shape[0]
     C = L // step
-    dec = _dec_of(sa, step, C)
+    # materialize the computed key: an inline operand fuses into the
+    # sort's comparator data path (~40% slower — docs/perf.md)
+    dec = jax.lax.optimization_barrier(_dec_of(sa, step, C))
     _, lo_c, hi_c = jax.lax.sort((dec, lo, hi), num_keys=1)
     pos_lo, pos_hi = _assemble_dec([lo_c, hi_c], step, L, n)
     rank = pos_lo & jnp.int32(0x7FFFFFFF)
@@ -413,7 +415,9 @@ def _decimate_codes(codes: jax.Array, step: int, L: int, n: int):
         blk = codes[b0: b0 + nb]
         # in-block decimation: local rows of length ceil(nb/step)
         Cb = -(-nb // step)
-        dec = _dec_of(jnp.arange(nb, dtype=I32), step, Cb)
+        # materialized (input-fusion trap, docs/perf.md)
+        dec, blk = jax.lax.optimization_barrier(
+            (_dec_of(jnp.arange(nb, dtype=I32), step, Cb), blk))
         _, blk_c = jax.lax.sort((dec, blk), num_keys=1)
         q0 = b0 // step
         off = 0
