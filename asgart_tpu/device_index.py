@@ -717,6 +717,14 @@ def _strand_fingerprint(data: np.ndarray) -> tuple:
     return (h.hexdigest(), slice_bytes, int(n))
 
 
+# Optional stage-completion callback for perf tools: called with a
+# short label after each synced build stage, so an external watchdog
+# (bench.py's phase heartbeats) can localize WHERE a relay stall sits
+# inside the multi-second index build instead of seeing one opaque
+# 'index' phase. None in production (stages then run fully async).
+_STAGE_HOOK = None
+
+
 def device_index_cache_enabled() -> bool:
     import os
 
@@ -787,19 +795,25 @@ class DeviceIndex:
         import time
 
         prof = os.environ.get("ASGART_DEVICE_PROFILE")
+        hook = _STAGE_HOOK  # perf-tool phase reporting (bench.py)
         t0 = time.time()
+        if hook is not None:
+            hook("didx:start")
 
         def lap(what, *sync):
             nonlocal t0
-            if not prof:
+            if not prof and hook is None:
                 return
             for x in sync:
                 # a tiny fetch forces real completion (block_until_ready
                 # returns early through the axon relay)
                 np.asarray(x.ravel()[:1])
-            now = time.time()
-            print(f"[didx] {what}: {now - t0:.2f}s", flush=True)
-            t0 = now
+            if hook is not None:
+                hook(f"didx:{what}-done")
+            if prof:
+                now = time.time()
+                print(f"[didx] {what}: {now - t0:.2f}s", flush=True)
+                t0 = now
 
         check_probe_size(k)
         if k > DEVICE_MAX_K:

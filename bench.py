@@ -240,12 +240,21 @@ class DeviceWorker:
         self.phase_t = time.time()
 
     def _pass(self, strand, chunks, settings, codes_device, tag):
+        from asgart_tpu import device_index
         from asgart_tpu.pipeline import _DeviceEngineAdapter
 
         self._set_phase(f"{tag}:index")
+        # localize relay stalls INSIDE the build: each synced build
+        # stage re-stamps the phase, so heartbeats show e.g.
+        # 'small0:index[didx:upload-done]' instead of 15 opaque minutes
+        device_index._STAGE_HOOK = (
+            lambda s: self._set_phase(f"{tag}:index[{s}]"))
         t0 = time.time()
-        dev = _DeviceEngineAdapter(strand, settings,
-                                   codes_device=codes_device)
+        try:
+            dev = _DeviceEngineAdapter(strand, settings,
+                                       codes_device=codes_device)
+        finally:
+            device_index._STAGE_HOOK = None
         ti = time.time() - t0
         self._set_phase(f"{tag}:scan")
         t0 = time.time()
