@@ -1925,7 +1925,10 @@ class DeviceWindowEngine(DeviceEngine):
             self._g_off[c] = (off, float(tot_host[i]))
             off += nc
             i += 1
-        if cacheable:
+        if device_index_cache_enabled():
+            # persisting adds NO allocation (g_full already lives for
+            # this window's scans) and the index cache's live-stats LRU
+            # eviction frees it with the window index under pressure
             w.stage1_cache = (s1key, self._g_full, dict(self._g_off))
 
     def _dispatch_group(self, group, b_pad, cap, ev_cap):

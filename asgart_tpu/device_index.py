@@ -675,10 +675,14 @@ def _resolve_ties(sa, rank, tied_slot, n: int, k: int,
 # A warm service rescanning a genome it has already indexed skips the
 # build entirely: the index arrays stay resident in HBM between runs,
 # keyed by a content fingerprint of the strand (plus every build
-# parameter). ONE entry only — a v5e HBM cannot hold two genome-scale
-# indexes next to a build's transients — and the old entry is evicted
-# BEFORE a new build so its buffers are freed when the build's sorts
-# allocate. `ASGART_DEVICE_INDEX_CACHE=0` disables.
+# parameter). MULTI-entry with live-allocator-stats LRU eviction: a
+# sharded genome's window indexes (and their persisted stage-1 joins)
+# all stay resident while the next build's projected transient peak
+# still fits, so a service rescan of a --shards run skips every window
+# build AND every stage-1 co-sort. Entries are evicted (oldest first)
+# BEFORE a new build so their buffers are freed when the build's sorts
+# allocate; without allocator stats (CPU meshes) the conservative
+# one-entry policy stands. `ASGART_DEVICE_INDEX_CACHE=0` disables.
 #
 # The on-disk analog is `--index-cache` (host engine); this is its HBM
 # counterpart for the TPU engine, where a device->host snapshot would
@@ -731,12 +735,43 @@ def device_index_cache_enabled() -> bool:
     return os.environ.get("ASGART_DEVICE_INDEX_CACHE", "1") != "0"
 
 
+def _hbm_free_bytes_local():
+    """Free HBM on the build device, or None without allocator stats."""
+    try:
+        st = jax.local_devices()[0].memory_stats()
+        if st and "bytes_limit" in st and "bytes_in_use" in st:
+            return int(st["bytes_limit"]) - int(st["bytes_in_use"])
+    except Exception:
+        pass
+    return None
+
+
+def _build_peak_bytes(builder, strand_data, kwargs) -> int:
+    """Projected transient HBM peak of one index build (used to decide
+    how much cache to evict before building)."""
+    n1 = int(len(strand_data))
+    trim = kwargs.get("trim")
+    if trim is not None:
+        W = int(trim[1]) - int(trim[0]) + 1
+        return WINDOW_PEAK_BYTES_PER_ROW * W + 2 * n1
+    doubled = kwargs.get("reverse") or kwargs.get("complement")
+    n = 2 * n1 - 1 if doubled else n1
+    return BUILD_PEAK_BYTES_PER_ROW * n
+
+
 def cached_build(builder, strand_data: np.ndarray, params: tuple,
                  **kwargs):
     """Build-or-reuse a device index. ``builder`` is the classmethod
     (``DeviceIndex.build`` / ``DeviceWindowIndex.build``); ``params``
     must capture every build-affecting argument; ``kwargs`` pass through
-    to the builder on a miss."""
+    to the builder on a miss.
+
+    The cache is MULTI-entry with LRU eviction driven by live allocator
+    stats: a warm service rescanning a ``--shards`` genome keeps every
+    window's index (and its persisted stage-1 join) resident as long as
+    the next build's projected transient peak still fits — window 2's
+    build no longer unconditionally evicts window 1. Without allocator
+    stats (CPU meshes) the conservative one-entry behavior stands."""
     if not device_index_cache_enabled():
         return builder(strand_data, *params, **kwargs)
     key = (builder.__qualname__, _strand_fingerprint(strand_data),
@@ -745,8 +780,22 @@ def cached_build(builder, strand_data: np.ndarray, params: tuple,
                if k not in ("codes_device",))))
     hit = _DEVICE_INDEX_CACHE.get(key)
     if hit is not None:
+        # LRU freshness: re-insert at the end
+        _DEVICE_INDEX_CACHE.pop(key, None)
+        _DEVICE_INDEX_CACHE[key] = hit
         return hit
-    _DEVICE_INDEX_CACHE.clear()  # evict before allocating the build
+    free = _hbm_free_bytes_local()
+    if free is None:
+        _DEVICE_INDEX_CACHE.clear()  # evict before allocating the build
+    else:
+        need = _build_peak_bytes(builder, strand_data, kwargs) + (1 << 29)
+        while _DEVICE_INDEX_CACHE and free < need:
+            _DEVICE_INDEX_CACHE.pop(next(iter(_DEVICE_INDEX_CACHE)))
+            f = _hbm_free_bytes_local()
+            if f is None:
+                _DEVICE_INDEX_CACHE.clear()
+                break
+            free = f
     idx = builder(strand_data, *params, **kwargs)
     _DEVICE_INDEX_CACHE[key] = idx
     return idx

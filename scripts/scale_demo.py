@@ -59,6 +59,20 @@ with tempfile.TemporaryDirectory() as td:
         return res, dt
 
     res_t, dt_t = run("tpu", SHARDS)
+    if os.environ.get("SCALE_RESCAN") == "1":
+        # warm-service regime: the multi-entry HBM index cache keeps
+        # every window's index + persisted stage-1 join resident, so a
+        # rescan runs scan + chain only
+        res_r, dt_r = run("tpu", SHARDS)
+        import io
+
+        def _js(r):
+            buf = io.StringIO()
+            JSONExporter().save(r, buf)
+            return buf.getvalue()
+
+        print(f"rescan JSON byte-equal: {_js(res_r) == _js(res_t)}",
+              flush=True)
     if os.environ.get("SCALE_HOST") == "1":
         res_h, dt_h = run("host", SHARDS)
         import io

@@ -299,3 +299,32 @@ def test_packed_codes_upload_exact():
         s = np.frombuffer(random_dna(rng, n), dtype=np.uint8).copy()
         np.testing.assert_array_equal(
             np.asarray(DeviceIndex.upload_codes(s)), CODE[s])
+
+
+def test_device_index_cache_multi_entry(monkeypatch):
+    """With live allocator stats, the cache is MULTI-entry LRU: windows
+    of a sharded rescan stay resident while the next build's projected
+    peak fits, and evict oldest-first when it doesn't."""
+    from asgart_tpu import device_index as di
+
+    rng = np.random.default_rng(22)
+    data = np.frombuffer(random_dna(rng, 3000, b"ACGT") + b"$", np.uint8)
+    data2 = np.frombuffer(random_dna(rng, 3000, b"ACGT") + b"$", np.uint8)
+    data3 = np.frombuffer(random_dna(rng, 3000, b"ACGT") + b"$", np.uint8)
+
+    di._DEVICE_INDEX_CACHE.clear()
+    monkeypatch.setattr(di, "_hbm_free_bytes_local", lambda: 1 << 40)
+    a = di.cached_build(di.DeviceIndex.build, data, (10,))
+    b = di.cached_build(di.DeviceIndex.build, data2, (10,))
+    assert len(di._DEVICE_INDEX_CACHE) == 2, "roomy stats keep both"
+    assert di.cached_build(di.DeviceIndex.build, data, (10,)) is a
+    assert di.cached_build(di.DeviceIndex.build, data2, (10,)) is b
+
+    # tight stats: evicts oldest (a — b was refreshed above... a was
+    # re-hit after b, so LRU order is [b, a]; b goes first)
+    monkeypatch.setattr(di, "_hbm_free_bytes_local", lambda: 1 << 10)
+    c = di.cached_build(di.DeviceIndex.build, data3, (10,))
+    assert c is not None
+    assert len(di._DEVICE_INDEX_CACHE) == 1, "tight stats evict all"
+
+    di._DEVICE_INDEX_CACHE.clear()
