@@ -1835,19 +1835,43 @@ class DeviceWindowEngine(DeviceEngine):
             fits_single = total <= b_max
             cacheable = device_index_cache_enabled() and fits_single
         else:
-            env_free = os.environ.get("ASGART_MJ_FREE_BYTES")
-            free = int(env_free) if env_free else _hbm_free_bytes()
-            if free is None:
-                free = hbm_budget_bytes() - int(w.codes.nbytes) - 16 * W
-            avail = free - (1 << 29) - 9 * total  # margin + outputs
+            def _avail():
+                env_free = os.environ.get("ASGART_MJ_FREE_BYTES")
+                free = int(env_free) if env_free else _hbm_free_bytes()
+                if free is None:
+                    free = hbm_budget_bytes() - int(w.codes.nbytes) \
+                        - 16 * W
+                # the (lo, hi, mask) outputs materialize during the
+                # back-sorts, after the co-sort's peak buffers free —
+                # they are NOT additive with the 35 B/row peak, so the
+                # margin is the only reserve
+                return free - (1 << 27)
+
+            avail = _avail()
             fits_single = avail >= _MJ_SORT_PEAK_PER_ROW * (W + total)
+            if not fits_single:
+                # other resident cache entries (earlier windows kept
+                # for the rescan regime) are worth less than a
+                # single-shot join: evict them and re-project
+                from .device_index import evict_cache_entries
+
+                if evict_cache_entries(keep=w):
+                    avail = _avail()
+                    fits_single = avail >= \
+                        _MJ_SORT_PEAK_PER_ROW * (W + total)
             # the cross-window caches (probe key planes now + the
             # stage-1 result across windows) each hold ~9-18 B/lane
             # NEXT to later windows' joins — only keep them with that
             # much slack
             cacheable = device_index_cache_enabled() and \
                 avail >= _MJ_SORT_PEAK_PER_ROW * (W + total) + 18 * total
-            b_max = max(int(avail) // _MJ_SORT_PEAK_PER_ROW - W, 1 << 24)
+            # floor the group width at total/3: every group re-pays the
+            # full W side of the co-sort, so many narrow groups cost
+            # multiples of the single-shot join — past ~3 groups it is
+            # better to run closer to the projection than to multiply
+            # the W-side sorts
+            b_max = max(int(avail) // _MJ_SORT_PEAK_PER_ROW - W,
+                        (total + 2) // 3, 1 << 24)
         if not cacheable:
             # an earlier window's cached planes would otherwise stay
             # resident next to this join
@@ -2485,10 +2509,11 @@ class MeshWindowEngine:
             raise ValueError("genome too large for int32 probe addressing")
         self.first_len = n1
 
-        from .device_index import DeviceIndex
-        # packed upload (4x less wire than 1 B/bp); lands on the default
-        # device — the mesh-sharded device_puts below re-place it
-        codes1 = DeviceIndex.upload_codes(strand.data)
+        from .device_index import upload_codes_cached
+        # packed upload (4x less wire than 1 B/bp), fingerprint-cached
+        # across runs; lands on the default device — the mesh-sharded
+        # device_puts below re-place it
+        codes1 = upload_codes_cached(strand.data)
         rep = NamedSharding(mesh, P())
         L2 = table_len_for(n, k)
         self.codes = jax.device_put(
@@ -2840,9 +2865,10 @@ class ShardedWindowEngine(BigWindowEngine):
                 strand.data, k, ws, we)
             to_dev = lambda x: x  # numpy slices upload per shard below
         else:
-            from .device_index import DeviceIndex, build_window_arrays
+            from .device_index import (build_window_arrays,
+                                       upload_codes_cached)
 
-            codes1 = DeviceIndex.upload_codes(strand.data)
+            codes1 = upload_codes_cached(strand.data)
             key_hi, key_lo, run_lo, sa_g, W = build_window_arrays(
                 codes1, k, ws, we)
             sa = sa_g - jnp.int32(ws)  # window-relative, like host build

@@ -330,9 +330,9 @@ def _search_duplications_sharded(
     codes_dev = None
     if engine == "tpu" and settings.probe_size <= DEVICE_MAX_K:
         try:
-            from .device_index import DeviceIndex
+            from .device_index import upload_codes_cached
 
-            codes_dev = DeviceIndex.upload_codes(strand.data)
+            codes_dev = upload_codes_cached(strand.data)
         except RuntimeError as e:
             if not _is_backend_unavailable(e):
                 raise

@@ -3,7 +3,11 @@ single-HBM table engine, exercising the scale ladder's `--shards` rung
 (windowed merge-join device indexes, reference trim semantics).
 
 Usage: python scripts/scale_demo.py [MBP] [SHARDS]
+       python scripts/scale_demo.py build [MBP]   # index-build laps only
 Env:   SCALE_HOST=1 also runs the host engine and compares JSON bytes.
+       SCALE_RESCAN=1 runs a second (warm-service) tpu pass.
+The `build` mode (with ASGART_DEVICE_PROFILE=1) profiles the on-device
+whole-genome index build at bench scale: 3 passes, per-stage laps.
 """
 import os
 import sys
@@ -19,6 +23,30 @@ jax.config.update("jax_compilation_cache_dir",
                       os.path.abspath(__file__))), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+if len(sys.argv) > 1 and sys.argv[1] == "build":
+    # index-build profiling mode (ex scripts/didx_profile.py)
+    from bench import synthetic_genome
+    from asgart_tpu.device_index import DeviceIndex
+
+    mbp = float(sys.argv[2]) if len(sys.argv) > 2 else 128.0
+    n = int(mbp * 1e6)
+    rng = np.random.default_rng(1234)
+    t0 = time.time()
+    g = synthetic_genome(n, rng)
+    data = np.concatenate([g, np.frombuffer(b"$", dtype=np.uint8)])
+    print(f"genome {mbp:.0f} Mbp: {time.time()-t0:.1f}s", flush=True)
+    codes = DeviceIndex.upload_codes(data)
+    np.asarray(codes[:1])  # force
+    print("uploaded", flush=True)
+    for p in range(3):
+        t0 = time.time()
+        idx = DeviceIndex.build(data, 20, reverse=True, complement=True,
+                                codes_device=codes)
+        np.asarray(idx.sa[:1])
+        print(f"pass {p}: {time.time()-t0:.2f}s", flush=True)
+        del idx
+    sys.exit(0)
 
 MBP = float(sys.argv[1]) if len(sys.argv) > 1 else 512.0
 SHARDS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
