@@ -1849,10 +1849,14 @@ class DeviceWindowEngine(DeviceEngine):
 
             avail = _avail()
             fits_single = avail >= _MJ_SORT_PEAK_PER_ROW * (W + total)
-            if not fits_single:
-                # other resident cache entries (earlier windows kept
-                # for the rescan regime) are worth less than a
-                # single-shot join: evict them and re-project
+            if not fits_single and avail < _MJ_SORT_PEAK_PER_ROW * \
+                    (W + (total + 2) // 3):
+                # not even a 3-group join fits: evict other resident
+                # cache entries (earlier windows kept for the rescan
+                # regime) and re-project. A 2-3-group join, by
+                # contrast, costs ~one extra W-side sort pass and is
+                # worth LESS than the siblings' rescan value — keep
+                # them and group instead.
                 from .device_index import evict_cache_entries
 
                 if evict_cache_entries(keep=w):
