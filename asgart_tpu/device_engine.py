@@ -488,16 +488,13 @@ def _slice_budget() -> int:
 _MJ_SORT_PEAK_PER_ROW = 35
 
 
-def _hbm_free_bytes() -> int | None:
-    """Free HBM on the scan device right now, or None when the backend
-    doesn't expose allocator stats (CPU meshes, some relay setups)."""
-    try:
-        st = jax.local_devices()[0].memory_stats()
-        if st and "bytes_limit" in st and "bytes_in_use" in st:
-            return int(st["bytes_limit"]) - int(st["bytes_in_use"])
-    except Exception:
-        pass
-    return None
+def _hbm_free_bytes() -> int:
+    """Free HBM on the scan device: live allocator stats when exposed,
+    else budget minus the persistent caches' tracked bytes (the axon
+    relay exposes no memory_stats — `device_index.hbm_free_estimate`)."""
+    from .device_index import hbm_free_estimate
+
+    return hbm_free_estimate()
 
 
 def _plan_mj_groups(specs, b_max: int):
@@ -1819,8 +1816,7 @@ class DeviceWindowEngine(DeviceEngine):
         tail_pad = max(g[0] for g in geo_of.values()) + 8
         total = sum(nc for (_, _, nc) in specs) + tail_pad
         from .device_index import (_strand_fingerprint,
-                                   device_index_cache_enabled,
-                                   hbm_budget_bytes)
+                                   device_index_cache_enabled)
 
         # HBM projection: the co-sort peaks at ~35 B/(W + B) row next
         # to whatever is already resident (window index, codes, the
@@ -1838,9 +1834,6 @@ class DeviceWindowEngine(DeviceEngine):
             def _avail():
                 env_free = os.environ.get("ASGART_MJ_FREE_BYTES")
                 free = int(env_free) if env_free else _hbm_free_bytes()
-                if free is None:
-                    free = hbm_budget_bytes() - int(w.codes.nbytes) \
-                        - 16 * W
                 # the (lo, hi, mask) outputs materialize during the
                 # back-sorts, after the co-sort's peak buffers free —
                 # they are NOT additive with the 35 B/row peak, so the
@@ -2017,6 +2010,12 @@ _NEEDLE_CODES_CACHE: dict = {}
 # + transform) — windows after the first skip the pack entirely
 _PROBE_KEYS_CACHE: dict = {}
 _NEEDLE_CACHE_BYTES = 4 << 30
+
+# account the plane + needle caches in the free-HBM estimate
+from .device_index import _TRACKED_CACHES  # noqa: E402
+
+_TRACKED_CACHES.append(_PROBE_KEYS_CACHE)
+_TRACKED_CACHES.append(_NEEDLE_CODES_CACHE)
 
 
 class BigWindowEngine(DeviceEngine):

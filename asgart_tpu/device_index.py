@@ -689,7 +689,12 @@ def _resolve_ties(sa, rank, tied_slot, n: int, k: int,
 # cost more than the rebuild (the axon tunnel moves ~0.06 GB/s while
 # the build sorts in seconds).
 
+# caches whose device arrays `hbm_free_estimate` accounts for; the
+# engine module registers its own (probe-key planes) at import
+_TRACKED_CACHES: list = []
+
 _DEVICE_INDEX_CACHE: dict = {}
+_TRACKED_CACHES.append(_DEVICE_INDEX_CACHE)
 
 
 def _strand_fingerprint(data: np.ndarray) -> tuple:
@@ -755,6 +760,7 @@ def evict_cache_entries(keep=None) -> bool:
 # warm service rescanning a sharded genome skips the (tunnel-bound)
 # wire transfer even when window indexes had to be evicted
 _CODES_CACHE: dict = {}
+_TRACKED_CACHES.append(_CODES_CACHE)
 
 
 def upload_codes_cached(strand_data: np.ndarray):
@@ -771,7 +777,9 @@ def upload_codes_cached(strand_data: np.ndarray):
 
 
 def _hbm_free_bytes_local():
-    """Free HBM on the build device, or None without allocator stats."""
+    """Free HBM on the build device, or None without allocator stats
+    (axon relays and CPU meshes return None — see
+    :func:`hbm_free_estimate` for the accounting fallback)."""
     try:
         st = jax.local_devices()[0].memory_stats()
         if st and "bytes_limit" in st and "bytes_in_use" in st:
@@ -781,14 +789,69 @@ def _hbm_free_bytes_local():
     return None
 
 
+def _tracked_cache_bytes() -> int:
+    """Total device bytes reachable from the registered caches (index
+    entries incl. their persisted stage-1 joins, codes uploads, probe
+    planes), deduplicated by array identity — shared objects (e.g. the
+    decimated doubled codes every window index references) count once."""
+    seen: set = set()
+    total = 0
+
+    def walk(o, depth=0):
+        nonlocal total
+        if isinstance(o, jax.Array):
+            if id(o) not in seen:
+                seen.add(id(o))
+                try:
+                    total += o.nbytes
+                except Exception:
+                    pass
+            return
+        if depth > 4:
+            return
+        if isinstance(o, (list, tuple)):
+            for v in o:
+                walk(v, depth + 1)
+        elif isinstance(o, dict):
+            for v in o.values():
+                walk(v, depth + 1)
+        elif hasattr(o, "__dict__"):
+            for v in vars(o).values():
+                walk(v, depth + 1)
+
+    for cache in _TRACKED_CACHES:
+        walk(cache)
+    return total
+
+
+def hbm_free_estimate() -> int:
+    """Best available free-HBM figure: live allocator stats when the
+    backend exposes them, else budget minus the bytes the persistent
+    caches are known to hold. The axon relay exposes NO memory_stats
+    (measured: None on TPU v5 lite), so the accounting path is the
+    production one — it sees everything long-lived (cached indexes,
+    stage-1 joins, codes, probe planes); per-run transients are the
+    projection's own subject."""
+    live = _hbm_free_bytes_local()
+    if live is not None:
+        return live
+    return hbm_budget_bytes() - _tracked_cache_bytes()
+
+
 def _build_peak_bytes(builder, strand_data, kwargs) -> int:
     """Projected transient HBM peak of one index build (used to decide
-    how much cache to evict before building)."""
+    how much cache to evict before building). Deliberately EXCLUDES the
+    genome codes: they are tracked by `hbm_free_estimate` once any
+    cache entry exists (the decimated doubled codes ride on cached
+    window indexes, the plain codes in the upload cache), and when
+    nothing is cached yet the eviction decision is vacuous — counting
+    them here double-charged window builds and thrashed the rescan
+    regime's residency."""
     n1 = int(len(strand_data))
     trim = kwargs.get("trim")
     if trim is not None:
         W = int(trim[1]) - int(trim[0]) + 1
-        return WINDOW_PEAK_BYTES_PER_ROW * W + 2 * n1
+        return WINDOW_PEAK_BYTES_PER_ROW * W
     doubled = kwargs.get("reverse") or kwargs.get("complement")
     n = 2 * n1 - 1 if doubled else n1
     return BUILD_PEAK_BYTES_PER_ROW * n
@@ -819,18 +882,9 @@ def cached_build(builder, strand_data: np.ndarray, params: tuple,
         _DEVICE_INDEX_CACHE.pop(key, None)
         _DEVICE_INDEX_CACHE[key] = hit
         return hit
-    free = _hbm_free_bytes_local()
-    if free is None:
-        _DEVICE_INDEX_CACHE.clear()  # evict before allocating the build
-    else:
-        need = _build_peak_bytes(builder, strand_data, kwargs) + (1 << 29)
-        while _DEVICE_INDEX_CACHE and free < need:
-            _DEVICE_INDEX_CACHE.pop(next(iter(_DEVICE_INDEX_CACHE)))
-            f = _hbm_free_bytes_local()
-            if f is None:
-                _DEVICE_INDEX_CACHE.clear()
-                break
-            free = f
+    need = _build_peak_bytes(builder, strand_data, kwargs) + (1 << 29)
+    while _DEVICE_INDEX_CACHE and hbm_free_estimate() < need:
+        _DEVICE_INDEX_CACHE.pop(next(iter(_DEVICE_INDEX_CACHE)))
     idx = builder(strand_data, *params, **kwargs)
     _DEVICE_INDEX_CACHE[key] = idx
     return idx

@@ -152,8 +152,9 @@ def test_extract_tied_blocked(pattern):
 def test_device_index_cache(monkeypatch):
     """HBM-resident index cache: same strand + params reuses the built
     index (a warm service skips the build); any param or content change
-    rebuilds and EVICTS the old entry (one-entry policy — two
-    genome-scale indexes never share an HBM with a build's transients);
+    rebuilds. Entries are retained while the next build's projected
+    peak fits the free-HBM estimate (budget minus tracked cache bytes —
+    tiny test indexes all fit) and evicted oldest-first otherwise;
     ASGART_DEVICE_INDEX_CACHE=0 disables."""
     from asgart_tpu import device_index as di
 
@@ -170,7 +171,11 @@ def test_device_index_cache(monkeypatch):
     c = di.cached_build(di.DeviceIndex.build, data, (10,),
                         reverse=False, complement=False)
     assert c is not a
-    assert len(di._DEVICE_INDEX_CACHE) == 1, "one-entry eviction policy"
+    assert len(di._DEVICE_INDEX_CACHE) == 2, \
+        "tiny entries are retained under byte accounting"
+    assert di.cached_build(di.DeviceIndex.build, data, (10,),
+                           reverse=True, complement=True) is a, \
+        "the earlier entry is still served"
     d = di.cached_build(di.DeviceIndex.build, data2, (10,),
                         reverse=False, complement=False)
     assert d is not c, "content change must rebuild"
