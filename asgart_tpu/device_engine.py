@@ -1842,20 +1842,14 @@ class DeviceWindowEngine(DeviceEngine):
 
             avail = _avail()
             fits_single = avail >= _MJ_SORT_PEAK_PER_ROW * (W + total)
-            if not fits_single and avail < _MJ_SORT_PEAK_PER_ROW * \
-                    (W + (total + 2) // 3):
-                # not even a 3-group join fits: evict other resident
-                # cache entries (earlier windows kept for the rescan
-                # regime) and re-project. A 2-3-group join, by
-                # contrast, costs ~one extra W-side sort pass and is
-                # worth LESS than the siblings' rescan value — keep
-                # them and group instead.
-                from .device_index import evict_cache_entries
-
-                if evict_cache_entries(keep=w):
-                    avail = _avail()
-                    fits_single = avail >= \
-                        _MJ_SORT_PEAK_PER_ROW * (W + total)
+            # NB: no eviction here. A 2-3-group join (the total/3 width
+            # floor below) costs ~one extra W-side sort pass; evicting
+            # resident sibling windows would save that but destroy the
+            # rescan regime's residency (measured: a knife-edge
+            # eviction at the last window's join wiped the whole cache
+            # + the codes upload, turning a 15 s rescan into a 37 s
+            # full rebuild). Transient-hungry BUILDS still evict via
+            # cached_build's pre-build check.
             # the cross-window caches (probe key planes now + the
             # stage-1 result across windows) each hold ~9-18 B/lane
             # NEXT to later windows' joins — only keep them with that
