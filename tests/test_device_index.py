@@ -333,3 +333,28 @@ def test_device_index_cache_multi_entry(monkeypatch):
     assert len(di._DEVICE_INDEX_CACHE) == 1, "tight stats evict all"
 
     di._DEVICE_INDEX_CACHE.clear()
+
+
+def test_tracked_cache_bytes_dedups_shared_arrays():
+    """`hbm_free_estimate`'s accounting counts an array shared between
+    cache entries (e.g. the decimated doubled codes every window index
+    references) exactly once."""
+    import jax.numpy as jnp
+
+    from asgart_tpu import device_index as di
+
+    class Holder:
+        def __init__(self, a, b):
+            self.a = a
+            self.b = b
+
+    shared = jnp.zeros(1024, jnp.int32)
+    own1 = jnp.zeros(256, jnp.int32)
+    own2 = jnp.zeros(512, jnp.int32)
+    di._DEVICE_INDEX_CACHE.clear()
+    base = di._tracked_cache_bytes()
+    di._DEVICE_INDEX_CACHE["x"] = Holder(shared, own1)
+    di._DEVICE_INDEX_CACHE["y"] = Holder(shared, (own2, {"k": shared}))
+    got = di._tracked_cache_bytes() - base
+    assert got == (1024 + 256 + 512) * 4, got
+    di._DEVICE_INDEX_CACHE.clear()
