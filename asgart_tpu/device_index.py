@@ -884,7 +884,15 @@ def cached_build(builder, strand_data: np.ndarray, params: tuple,
         return hit
     need = _build_peak_bytes(builder, strand_data, kwargs) + (1 << 29)
     while _DEVICE_INDEX_CACHE and hbm_free_estimate() < need:
-        _DEVICE_INDEX_CACHE.pop(next(iter(_DEVICE_INDEX_CACHE)))
+        # MRU eviction: the dominant multi-entry pattern is a sharded
+        # run's windows accessed CYCLICALLY (w1..wS, then again on the
+        # next service scan), where LRU is the worst possible policy
+        # (it evicts exactly the entry needed soonest; a 1024 Mbp
+        # rescan rebuilt all 6 windows). The most-recently-used entry
+        # is the one whose next cyclic access is furthest away —
+        # Belady's choice for this pattern. Hits re-insert at the dict
+        # end, so the victim is the LAST key.
+        _DEVICE_INDEX_CACHE.pop(next(reversed(_DEVICE_INDEX_CACHE)))
     idx = builder(strand_data, *params, **kwargs)
     _DEVICE_INDEX_CACHE[key] = idx
     return idx

@@ -325,8 +325,8 @@ def test_device_index_cache_multi_entry(monkeypatch):
     assert di.cached_build(di.DeviceIndex.build, data, (10,)) is a
     assert di.cached_build(di.DeviceIndex.build, data2, (10,)) is b
 
-    # tight stats: evicts oldest (a — b was refreshed above... a was
-    # re-hit after b, so LRU order is [b, a]; b goes first)
+    # tight stats: MRU eviction pops most-recent-first until the build
+    # fits (here: never — everything goes)
     monkeypatch.setattr(di, "_hbm_free_bytes_local", lambda: 1 << 10)
     c = di.cached_build(di.DeviceIndex.build, data3, (10,))
     assert c is not None
