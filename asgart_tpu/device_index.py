@@ -174,6 +174,21 @@ def device_window_fits(n1: int, W: int, doubled: bool) -> bool:
     return peak <= hbm_budget_bytes()
 
 
+def device_window_join_single(n1: int, W: int, doubled: bool) -> bool:
+    """Whether a window's batched stage-1 merge join can run as ONE
+    co-sort (~35 B/row in+out+scratch) next to the window index
+    (12 B/row) and the resident codes. A stricter bar than
+    :func:`device_window_fits` (which only guarantees the window RUNS,
+    possibly with grouped joins): the auto-shard search prefers the
+    smallest window count that also keeps stage 1 single-shot — at
+    512 Mbp -RC this picks 3 windows over 2, whose joins would pay the
+    co-sort's W side three times per window."""
+    step = 10
+    b = n1 // step + (1 << 21)
+    codes = (2 * n1 if doubled else n1) + n1
+    return 35 * (W + b) + 12 * W + codes <= hbm_budget_bytes()
+
+
 def _bucket_pow2(n: int) -> int:
     from .utils import pow2_ceil
 

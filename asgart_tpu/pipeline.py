@@ -585,10 +585,22 @@ def search_duplications(
             # BigWindowEngine, which never holds doubled codes resident
             # (needle-local batches) — size S accordingly
             doubled_resident = doubled and (2 * n1 - 1) < (1 << 31)
+            from .device_index import device_window_join_single
+
             S = 2
             while S <= 256 and not device_window_fits(
                     n1, (total_len + S - 1) // S + 1, doubled_resident):
                 S += 1
+            # prefer the smallest S whose stage-1 joins also run
+            # single-shot (each grouped join re-pays the co-sort's W
+            # side): e.g. 512 Mbp -RC picks 3 windows over 2
+            S2 = S
+            while S2 < min(4 * S, 256) and not device_window_join_single(
+                    n1, (total_len + S2 - 1) // S2 + 1, doubled_resident):
+                S2 += 1
+            if device_window_join_single(
+                    n1, (total_len + S2 - 1) // S2 + 1, doubled_resident):
+                S = S2
             if S <= 256:
                 log.warning(
                     "genome too large for a one-HBM device index; "
