@@ -755,22 +755,6 @@ def device_index_cache_enabled() -> bool:
     return os.environ.get("ASGART_DEVICE_INDEX_CACHE", "1") != "0"
 
 
-def evict_cache_entries(keep=None) -> bool:
-    """Drop cached indexes other than ``keep``; True if any were
-    dropped. Used by engines to trade rescan residency for transient
-    headroom (e.g. before a stage-1 join that would otherwise have to
-    run in probe-side groups)."""
-    removed = False
-    for k in list(_DEVICE_INDEX_CACHE):
-        if _DEVICE_INDEX_CACHE[k] is not keep:
-            del _DEVICE_INDEX_CACHE[k]
-            removed = True
-    if _CODES_CACHE:
-        _CODES_CACHE.clear()  # a live run holds its own reference
-        removed = True
-    return removed
-
-
 # one-entry fingerprint-keyed cache of the uploaded genome codes: a
 # warm service rescanning a sharded genome skips the (tunnel-bound)
 # wire transfer even when window indexes had to be evicted
