@@ -104,8 +104,12 @@ def _unpack_codes(packed: jax.Array, exc_pos: jax.Array,
 
 LO_SYMS = 10  # symbols in the low plane (30 bits)
 # two int32 planes hold 20 symbols (10 each); k=21 would push 33 bits
-# into the hi plane and silently merge distinct k-mer groups
+# into the hi plane and silently merge distinct k-mer groups. The
+# TABLE engine (whole-genome per-position tables) adds a third plane
+# for k = 21..30 — the windowed/merge-join engines stay 2-plane and
+# route wider probes to the byte-exact host engine.
 DEVICE_MAX_K = 20
+DEVICE_MAX_K_TABLE = 30
 
 # Build high-water mark per (doubled-)text row, with the HBM-diet
 # donation/early-free structure: the flagged initial sort and the table
@@ -233,6 +237,25 @@ def _pack_planes_all(codes_padded: jax.Array, k: int, n: int):
     return hi, lo
 
 
+@functools.partial(jax.jit, static_argnames=("k", "n"))
+def _pack_planes3_all(codes_padded: jax.Array, k: int, n: int):
+    """(top, hi, lo) int32 planes for k in 21..30 (table engine): top
+    holds the first k-20 symbols, hi the next 10, lo the last 10 —
+    lexicographic over the plane tuple, like the 2-plane layout."""
+    c = codes_padded.astype(I32)
+    n_top = k - 2 * LO_SYMS
+    top = jnp.zeros(n, dtype=I32)
+    hi = jnp.zeros(n, dtype=I32)
+    lo = jnp.zeros(n, dtype=I32)
+    for j in range(n_top):
+        top = (top << 3) | jax.lax.dynamic_slice(c, (j,), (n,))
+    for j in range(n_top, n_top + LO_SYMS):
+        hi = (hi << 3) | jax.lax.dynamic_slice(c, (j,), (n,))
+    for j in range(n_top + LO_SYMS, k):
+        lo = (lo << 3) | jax.lax.dynamic_slice(c, (j,), (n,))
+    return top, hi, lo
+
+
 # NB (HBM diet): the build-path jits donate their large dead inputs
 # (key planes into the sorts, sorted keys into the bounds pass, run
 # bounds into the inversions, sa/rank/slot buffers through the doubling
@@ -264,9 +287,29 @@ def _flagged_sort(key_hi: jax.Array, key_lo: jax.Array,
     return skhi, sklo, sa
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _initial_sort3(key_top: jax.Array, key_hi: jax.Array,
+                   key_lo: jax.Array):
+    n = key_top.shape[0]
+    return jax.lax.sort(
+        (key_top, key_hi, key_lo, jnp.arange(n, dtype=I32)), num_keys=3)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _flagged_sort3(key_top: jax.Array, key_hi: jax.Array,
+                   key_lo: jax.Array, direct_bound: jax.Array):
+    """3-plane `_flagged_sort` (k = 21..30 table builds); the appended
+    flag rides in the LOW plane's spare bit exactly as in the 2-plane
+    layout."""
+    n = key_top.shape[0]
+    iota = jnp.arange(n, dtype=I32)
+    flagged = (key_lo << 1) | (iota >= direct_bound).astype(I32)
+    return jax.lax.sort((key_top, key_hi, flagged, iota), num_keys=3)
+
+
 def _group_bounds_impl(skhi: jax.Array, sklo: jax.Array, sa: jax.Array,
                        direct_bound: jax.Array, flagged: bool = False,
-                       flag_n_k: int = 0):
+                       flag_n_k: int = 0, sktop: jax.Array | None = None):
     """Equal-key run boundaries over the sorted keys.
 
     Returns slot-indexed (run_lo [n], run_hi [n], tied_slot [n] bool).
@@ -291,16 +334,18 @@ def _group_bounds_impl(skhi: jax.Array, sklo: jax.Array, sa: jax.Array,
     """
     n = skhi.shape[0]
     iota = jnp.arange(n, dtype=I32)
+    top_neq = (jnp.zeros(n - 1, bool) if sktop is None
+               else (sktop[1:] != sktop[:-1]))
     neq_full = jnp.concatenate([
         jnp.ones(1, bool),
-        (skhi[1:] != skhi[:-1]) | (sklo[1:] != sklo[:-1])])
+        top_neq | (skhi[1:] != skhi[:-1]) | (sklo[1:] != sklo[:-1])])
     run_lo_full = jax.lax.cummax(jnp.where(neq_full, iota, 0))
     nxt = jnp.concatenate([neq_full[1:], jnp.ones(1, bool)])
     if flagged:
         tk = sklo >> 1  # true (unflagged) low plane
         neq_true = jnp.concatenate([
             jnp.ones(1, bool),
-            (skhi[1:] != skhi[:-1]) | (tk[1:] != tk[:-1])])
+            top_neq | (skhi[1:] != skhi[:-1]) | (tk[1:] != tk[:-1])])
         run_lo = jax.lax.cummax(jnp.where(neq_true, iota, 0))
         direct = sa < direct_bound
         # every probe table read in doubled mode lands at an APPENDED
@@ -319,7 +364,9 @@ def _group_bounds_impl(skhi: jax.Array, sklo: jax.Array, sa: jax.Array,
         tied_slot = (run_hi - run_lo) > 1
     if flag_n_k:
         k = flag_n_k
-        if k > LO_SYMS:
+        if sktop is not None:  # 3-plane layout: first symbol on top
+            first_sym = (sktop >> (3 * (k - 2 * LO_SYMS - 1))) & 7
+        elif k > LO_SYMS:
             first_sym = (skhi >> (3 * (k - LO_SYMS - 1))) & 7
         else:
             true_lo = (sklo >> 1) if flagged else sklo
@@ -332,6 +379,11 @@ def _group_bounds_impl(skhi: jax.Array, sklo: jax.Array, sa: jax.Array,
 _group_bounds = jax.jit(_group_bounds_impl,
                         static_argnames=("flagged", "flag_n_k"),
                         donate_argnums=(0, 1))
+# 3-plane build path (k = 21..30): the top plane is dead too
+_group_bounds3 = jax.jit(_group_bounds_impl,
+                         static_argnames=("flagged", "flag_n_k"),
+                         donate_argnums=(0, 1),
+                         donate_argnames=("sktop",))
 # window path: skhi/sklo stay resident (merge-join lookups) — keep them
 _group_bounds_keep = jax.jit(_group_bounds_impl,
                              static_argnames=("flagged", "flag_n_k"))
@@ -960,11 +1012,11 @@ class DeviceIndex:
                 print(f"[didx] {what}: {now - t0:.2f}s", flush=True)
                 t0 = now
 
-        check_probe_size(k)
-        if k > DEVICE_MAX_K:
+        if not (1 <= k <= DEVICE_MAX_K_TABLE):
             raise ValueError(
-                f"device index supports probe_size <= {DEVICE_MAX_K} "
-                "(two int32 key planes); use the host engine")
+                f"device table index supports probe_size 1.."
+                f"{DEVICE_MAX_K_TABLE} (three int32 key planes); use "
+                "the host engine for wider probes")
         n1 = int(len(strand_data))
         n = 2 * n1 - 1 if (reverse or complement) else n1
         if n >= (1 << 31):
@@ -981,22 +1033,41 @@ class DeviceIndex:
         L = table_len_for(n, k)  # padded table length, step*SLABS-exact
         text_codes = _build_text_codes(codes1, k, reverse, complement, L)
         lap("text", text_codes)
-        key_hi, key_lo = _pack_planes_all(text_codes, k, n)
-        lap("pack", key_hi)
         doubled = n != n1
-        if doubled:
-            # appended-half flag in the low plane's spare bit: windows
-            # cover only matchable (first-half) entries and ties resolve
-            # only among them (see _group_bounds_impl)
-            skhi, sklo, sa = _flagged_sort(key_hi, key_lo, jnp.int32(n1))
+        if k > DEVICE_MAX_K:
+            # k = 21..30: third key plane; tables/doubling/scan are
+            # k-generic past the grouping
+            key_top, key_hi, key_lo = _pack_planes3_all(text_codes, k, n)
+            lap("pack", key_hi)
+            if doubled:
+                sktop, skhi, sklo, sa = _flagged_sort3(
+                    key_top, key_hi, key_lo, jnp.int32(n1))
+            else:
+                sktop, skhi, sklo, sa = _initial_sort3(
+                    key_top, key_hi, key_lo)
+            del key_top, key_hi, key_lo  # donated into the sort
+            lap("sort", sa)
+            run_lo, run_hi, tied_slot = _group_bounds3(
+                skhi, sklo, sa, jnp.int32(n1), flagged=doubled,
+                flag_n_k=k, sktop=sktop)
+            del sktop, skhi, sklo  # donated into the bounds pass
         else:
-            skhi, sklo, sa = _initial_sort(key_hi, key_lo)
-        del key_hi, key_lo  # donated into the sort
-        lap("sort", sa)
-        run_lo, run_hi, tied_slot = _group_bounds(
-            skhi, sklo, sa, jnp.int32(n1), flagged=doubled,
-            flag_n_k=k)
-        del skhi, sklo  # donated into the bounds pass
+            key_hi, key_lo = _pack_planes_all(text_codes, k, n)
+            lap("pack", key_hi)
+            if doubled:
+                # appended-half flag in the low plane's spare bit:
+                # windows cover only matchable (first-half) entries and
+                # ties resolve only among them (see _group_bounds_impl)
+                skhi, sklo, sa = _flagged_sort(key_hi, key_lo,
+                                               jnp.int32(n1))
+            else:
+                skhi, sklo, sa = _initial_sort(key_hi, key_lo)
+            del key_hi, key_lo  # donated into the sort
+            lap("sort", sa)
+            run_lo, run_hi, tied_slot = _group_bounds(
+                skhi, sklo, sa, jnp.int32(n1), flagged=doubled,
+                flag_n_k=k)
+            del skhi, sklo  # donated into the bounds pass
         # decimated tables, padded so the engine's contiguous probe-row
         # reads never clamp (padded lanes read zero ranges,
         # probe-masked away), with the N-probe flag in pos_lo's sign bit

@@ -442,6 +442,15 @@ class _DeviceEngineAdapter:
                      "using the one-window merge-join device engine")
             trim = (0, int(len(strand.data)) - 1)
         if trim is not None:
+            from .device_index import DEVICE_MAX_K
+
+            if settings.probe_size > DEVICE_MAX_K:
+                # windowed engines are 2-plane (k <= 20); the pipeline
+                # routes wider probes to the host engine before ever
+                # building an adapter — this guards direct construction
+                raise ValueError(
+                    f"device window engines support probe_size <= "
+                    f"{DEVICE_MAX_K}; use the host engine")
             n1 = int(len(strand.data))
             doubled = (2 * n1 - 1
                        if (settings.reverse or settings.complement)
@@ -561,10 +570,19 @@ def search_duplications(
     # [1/N] proto-duplication search
     log.info("[1] Looking for proto-duplications...")
     t0 = time.time()
-    from .device_index import (DEVICE_MAX_K, device_index_fits,
+    from .device_index import (DEVICE_MAX_K, DEVICE_MAX_K_TABLE,
+                               device_index_fits,
                                device_window_whole_fits)
 
-    use_device = engine == "tpu" and settings.probe_size <= DEVICE_MAX_K
+    # k <= 20 rides every device strategy; k = 21..30 only the
+    # whole-genome 3-plane TABLE engine (windowed/merge-join engines
+    # are 2-plane — wider probes there keep the byte-equal host path)
+    use_device = engine == "tpu" and (
+        settings.probe_size <= DEVICE_MAX_K
+        or (trim is None
+            and settings.probe_size <= DEVICE_MAX_K_TABLE
+            and device_index_fits(len(strand.data), settings.reverse,
+                                  settings.complement)))
     if use_device and trim is None and not device_index_fits(
             len(strand.data), settings.reverse, settings.complement) \
             and not device_window_whole_fits(len(strand.data)):

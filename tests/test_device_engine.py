@@ -197,11 +197,12 @@ def test_sharded_equals_single_device(tmp_path):
 
 
 @pytest.mark.soak
-def test_k21_routes_to_host_engine(tmp_path):
-    """k=21 exceeds the two-int32-plane device packing (33 bits in the
-    hi plane would merge distinct k-mer groups — found by review):
-    DeviceIndex must reject it and the pipeline must route engine=tpu
-    k=21 through the host engine with identical output."""
+def test_wide_probe_bounds(tmp_path):
+    """k=21 exceeds the two-int32-plane packing (33 bits in the hi
+    plane would merge distinct k-mer groups — found by review); round 4
+    adds a THIRD plane to the table build for k = 21..30, and k > 30
+    must still be rejected with the host engine producing identical
+    output through the pipeline's routing."""
     import pytest
 
     from asgart_tpu.device_index import DeviceIndex
@@ -211,11 +212,15 @@ def test_k21_routes_to_host_engine(tmp_path):
     data = np.concatenate([np.frombuffer(text, np.uint8),
                            np.frombuffer(b"$", np.uint8)])
     with pytest.raises(ValueError, match="probe_size"):
-        DeviceIndex.build(data, 21)
-
+        DeviceIndex.build(data, 31)
+    # k=21 now builds on device (3-plane) — equality pinned here and in
+    # test_device_engine_wide_probes
     host, tpu = run_both(tmp_path, text, dict(probe_size=21))
     assert_results_equal(host, tpu)
     assert host.families
+    # k=31+ routes through the host (ByteIndex) path, byte-equal
+    host31, tpu31 = run_both(tmp_path, text, dict(probe_size=31))
+    assert_results_equal(host31, tpu31)
 
 
 def test_empty_family_postprocess_no_crash():
@@ -511,3 +516,54 @@ def test_mesh_sliced_dispatch_equals_single(tmp_path, monkeypatch):
     assert any(v == "sliced" for v in de._CAP_CACHE.values())
     assert fams_sharded == fams_single
     assert sum(len(f) for fams in fams_single for f in fams) >= 1
+
+
+@pytest.mark.parametrize("k", [21, 25, 30])
+def test_device_engine_wide_probes(tmp_path, k):
+    """k = 21..30 on the device TABLE engine (3-plane keys): byte-equal
+    to the host engine (PositionIndex at k<=21, ByteIndex beyond) for
+    direct and RC runs, incl. N-probe skips."""
+    import io
+
+    from asgart_tpu.exporters import JSONExporter
+
+    rng = np.random.default_rng(400 + k)
+    g = bytearray(random_dna(rng, 60000, b"ACGT"))
+    g[30000:32000] = bytes(g[4000:6000])
+    g[50000:51500] = revcomp(bytes(g[20000:21500]))
+    g[40000:40300] = b"N" * 300  # N content without a chunk split
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", bytes(g))])
+    for kw in ({}, dict(reverse=True, complement=True)):
+        settings = RunSettings(probe_size=k, min_duplication_length=800,
+                               **kw)
+        host = search_duplications([str(fa)], settings, engine="host")
+        tpu = search_duplications([str(fa)], settings, engine="tpu")
+        bh, bt = io.StringIO(), io.StringIO()
+        JSONExporter().save(host, bh)
+        JSONExporter().save(tpu, bt)
+        assert bt.getvalue() == bh.getvalue(), (k, kw)
+    assert host.families
+
+
+def test_device_engine_wide_probe_trim_routes_host(tmp_path):
+    """k > 20 with --trim stays on the (2-plane-only) windowed path's
+    byte-equal host fallback instead of the device window engines."""
+    import io
+
+    from asgart_tpu.exporters import JSONExporter
+
+    rng = np.random.default_rng(77)
+    g = bytearray(random_dna(rng, 40000, b"ACGT"))
+    g[20000:22000] = bytes(g[3000:5000])
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", bytes(g))])
+    settings = RunSettings(probe_size=24, trim=(0, 39000),
+                           min_duplication_length=800)
+    host = search_duplications([str(fa)], settings, engine="host")
+    tpu = search_duplications([str(fa)], settings, engine="tpu")
+    bh, bt = io.StringIO(), io.StringIO()
+    JSONExporter().save(host, bh)
+    JSONExporter().save(tpu, bt)
+    assert bt.getvalue() == bh.getvalue()
+    assert host.families
