@@ -1815,7 +1815,8 @@ class DeviceWindowEngine(DeviceEngine):
         t0 = time.time()
         tail_pad = max(g[0] for g in geo_of.values()) + 8
         total = sum(nc for (_, _, nc) in specs) + tail_pad
-        from .device_index import (_strand_fingerprint,
+        from .device_index import (_hbm_free_bytes_local,
+                                   _strand_fingerprint,
                                    device_index_cache_enabled)
 
         # HBM projection: the co-sort peaks at ~35 B/(W + B) row next
@@ -1834,6 +1835,17 @@ class DeviceWindowEngine(DeviceEngine):
             def _avail():
                 env_free = os.environ.get("ASGART_MJ_FREE_BYTES")
                 free = int(env_free) if env_free else _hbm_free_bytes()
+                if not env_free and not device_index_cache_enabled() \
+                        and _hbm_free_bytes_local() is None:
+                    # accounting fallback + cache disabled: the resident
+                    # window (key planes, sa, codes) sits in NO tracked
+                    # cache, so the estimate would overstate free HBM —
+                    # subtract it explicitly
+                    for arr in (w.key_hi, w.key_lo, w.sa, w.codes):
+                        try:
+                            free -= arr.nbytes
+                        except Exception:
+                            pass
                 # the (lo, hi, mask) outputs materialize during the
                 # back-sorts, after the co-sort's peak buffers free —
                 # they are NOT additive with the 35 B/row peak, so the
@@ -2856,7 +2868,7 @@ class ShardedWindowEngine(BigWindowEngine):
                 # the device build sorts the whole window in one HBM;
                 # use it while it fits, else build on the host
                 # (RAM-bounded)
-                host_build = not device_window_fits(n1, W, False)
+                host_build = not device_window_fits(n1, W, False, k=k)
         if host_build:
             key_hi, key_lo, run_lo, sa, W = host_window_arrays(
                 strand.data, k, ws, we)

@@ -158,27 +158,31 @@ def device_window_whole_fits(n1: int) -> bool:
         <= hbm_budget_bytes()
 
 
-def device_window_fits(n1: int, W: int, doubled: bool) -> bool:
+def device_window_fits(n1: int, W: int, doubled: bool,
+                       k: int = 20) -> bool:
     """Whether ONE trim window of ``W`` rows, probed by the whole
     ``n1``-byte strand, fits one HBM. Generalizes
     :func:`device_window_whole_fits` to ``--shards``/``--trim`` windows,
     where the probe side scales with the whole genome while the window
     is a fraction of it: the stage-1 merge join co-sorts W window rows
-    with ~n1/step probe lanes (3 operands, in+out+scratch), next to the
-    resident window arrays and the decimated (doubled) probe codes.
+    with ~n1/(k//2) probe lanes (3 operands, in+out+scratch), next to
+    the resident window arrays and the decimated (doubled) probe codes.
     Calibrated against the same measurements as
     ``WINDOW_PEAK_BYTES_PER_ROW`` (one 256M-row window ran; two
-    resident at once OOMed a 15.75 GB HBM)."""
+    resident at once OOMed a 15.75 GB HBM). Probe lanes stride k//2
+    (pipeline chunk step), so smaller probes mean MORE lanes — callers
+    pass the run's real ``k`` so the projection is not optimistic."""
     if W >= (1 << 30):
         return False
-    step = 10  # k // 2 at the default k=20; conservative for smaller k
+    step = max(1, k // 2)
     b = n1 // step + (1 << 21)
     codes = (2 * n1 if doubled else n1)
     peak = WINDOW_PEAK_BYTES_PER_ROW * (W + b) + codes
     return peak <= hbm_budget_bytes()
 
 
-def device_window_join_single(n1: int, W: int, doubled: bool) -> bool:
+def device_window_join_single(n1: int, W: int, doubled: bool,
+                              k: int = 20) -> bool:
     """Whether a window's batched stage-1 merge join can run as ONE
     co-sort (~35 B/row in+out+scratch) next to the window index
     (12 B/row) and the resident codes. A stricter bar than
@@ -187,7 +191,7 @@ def device_window_join_single(n1: int, W: int, doubled: bool) -> bool:
     smallest window count that also keeps stage 1 single-shot — at
     512 Mbp -RC this picks 3 windows over 2, whose joins would pay the
     co-sort's W side three times per window."""
-    step = 10
+    step = max(1, k // 2)
     b = n1 // step + (1 << 21)
     codes = (2 * n1 if doubled else n1) + n1
     return 35 * (W + b) + 12 * W + codes <= hbm_budget_bytes()
@@ -379,11 +383,14 @@ def _group_bounds_impl(skhi: jax.Array, sklo: jax.Array, sa: jax.Array,
 _group_bounds = jax.jit(_group_bounds_impl,
                         static_argnames=("flagged", "flag_n_k"),
                         donate_argnums=(0, 1))
-# 3-plane build path (k = 21..30): the top plane is dead too
+# 3-plane build path (k = 21..30): skhi/sklo alias onto run_lo/run_hi;
+# sktop is NOT donated — the only remaining output (tied_slot, bool[n])
+# cannot alias an int32 buffer, so donating it would only emit XLA's
+# "donated buffers were not usable" warning. It is freed by the
+# caller's `del` at dispatch instead.
 _group_bounds3 = jax.jit(_group_bounds_impl,
                          static_argnames=("flagged", "flag_n_k"),
-                         donate_argnums=(0, 1),
-                         donate_argnames=("sktop",))
+                         donate_argnums=(0, 1))
 # window path: skhi/sklo stay resident (merge-join lookups) — keep them
 _group_bounds_keep = jax.jit(_group_bounds_impl,
                              static_argnames=("flagged", "flag_n_k"))
@@ -418,8 +425,7 @@ def _assemble_dec(vals: list, step: int, L: int, n: int):
     return outs
 
 
-@functools.partial(jax.jit, static_argnames=("step", "L"),
-                   donate_argnums=(1, 2))
+@functools.partial(jax.jit, static_argnames=("step", "L"))
 def _invert_tables_dec(sa: jax.Array, lo: jax.Array,
                        hi: jax.Array, step: int, L: int):
     """Slot-indexed run bounds → DECIMATED position-indexed tables, by
@@ -742,14 +748,18 @@ def _resolve_ties(sa, rank, tied_slot, n: int, k: int,
 # A warm service rescanning a genome it has already indexed skips the
 # build entirely: the index arrays stay resident in HBM between runs,
 # keyed by a content fingerprint of the strand (plus every build
-# parameter). MULTI-entry with live-allocator-stats LRU eviction: a
-# sharded genome's window indexes (and their persisted stage-1 joins)
-# all stay resident while the next build's projected transient peak
-# still fits, so a service rescan of a --shards run skips every window
-# build AND every stage-1 co-sort. Entries are evicted (oldest first)
-# BEFORE a new build so their buffers are freed when the build's sorts
-# allocate; without allocator stats (CPU meshes) the conservative
-# one-entry policy stands. `ASGART_DEVICE_INDEX_CACHE=0` disables.
+# parameter). MULTI-entry with MRU eviction: a sharded genome's window
+# indexes (and their persisted stage-1 joins) all stay resident while
+# the next build's projected transient peak still fits, so a service
+# rescan of a --shards run skips every window build AND every stage-1
+# co-sort. Entries are evicted (newest first — Belady's choice for the
+# dominant cyclic w1..wS access pattern, see `cached_build`) BEFORE a
+# new build so their buffers are freed when the build's sorts allocate.
+# Free HBM comes from live allocator stats when the backend exposes
+# them, else from `hbm_free_estimate`'s byte accounting over the
+# tracked caches (axon relays and CPU meshes expose no memory_stats);
+# the same multi-entry policy applies on both paths.
+# `ASGART_DEVICE_INDEX_CACHE=0` disables.
 #
 # The on-disk analog is `--index-cache` (host engine); this is its HBM
 # counterpart for the TPU engine, where a device->host snapshot would
@@ -915,12 +925,15 @@ def cached_build(builder, strand_data: np.ndarray, params: tuple,
     must capture every build-affecting argument; ``kwargs`` pass through
     to the builder on a miss.
 
-    The cache is MULTI-entry with LRU eviction driven by live allocator
-    stats: a warm service rescanning a ``--shards`` genome keeps every
-    window's index (and its persisted stage-1 join) resident as long as
-    the next build's projected transient peak still fits — window 2's
-    build no longer unconditionally evicts window 1. Without allocator
-    stats (CPU meshes) the conservative one-entry behavior stands."""
+    The cache is MULTI-entry with MRU eviction (see the eviction loop
+    below — the cyclic w1..wS access pattern makes the most-recently-
+    used entry Belady's victim): a warm service rescanning a
+    ``--shards`` genome keeps every window's index (and its persisted
+    stage-1 join) resident as long as the next build's projected
+    transient peak still fits — window 2's build no longer
+    unconditionally evicts window 1. Free-HBM checks use live allocator
+    stats when available, else `hbm_free_estimate`'s byte accounting
+    over the tracked caches; eviction applies on both paths."""
     if not device_index_cache_enabled():
         return builder(strand_data, *params, **kwargs)
     key = (builder.__qualname__, _strand_fingerprint(strand_data),
@@ -1050,7 +1063,8 @@ class DeviceIndex:
             run_lo, run_hi, tied_slot = _group_bounds3(
                 skhi, sklo, sa, jnp.int32(n1), flagged=doubled,
                 flag_n_k=k, sktop=sktop)
-            del sktop, skhi, sklo  # donated into the bounds pass
+            # skhi/sklo donated into the bounds pass; sktop freed here
+            del sktop, skhi, sklo
         else:
             key_hi, key_lo = _pack_planes_all(text_codes, k, n)
             lap("pack", key_hi)
@@ -1073,7 +1087,10 @@ class DeviceIndex:
         # probe-masked away), with the N-probe flag in pos_lo's sign bit
         pos_lo, pos_hi, rank = _invert_tables_dec(sa, run_lo, run_hi,
                                                   k // 2, L)
-        del run_lo, run_hi  # donated into the inversion
+        # NOT donated into the inversion: its [L]-padded outputs can
+        # never alias the [n] inputs (XLA would warn on every build);
+        # the del frees them once the dispatched sort completes
+        del run_lo, run_hi
         lap("tables", rank, pos_hi)
 
         sa = _resolve_ties(sa, rank, tied_slot, n, k, rounds_per_call,

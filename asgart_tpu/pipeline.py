@@ -357,9 +357,11 @@ def _search_duplications_sharded(
         per_w = max(we - ws for ws, we in windows) + 1
         doubled = settings.reverse or settings.complement
         if 2 * total_len + 1 < (1 << 31) \
-                and not device_window_fits(total_len + 1, per_w, doubled) \
+                and not device_window_fits(total_len + 1, per_w, doubled,
+                                           k=settings.probe_size) \
                 and not rank_sharded_window_applies(
-                    total_len + 1, per_w, doubled):
+                    total_len + 1, per_w, doubled,
+                    k=settings.probe_size):
             # a single window of this size + the whole-genome probe side
             # would overrun one HBM mid-run; the host engine produces
             # byte-identical windows (same trim semantics), so degrade
@@ -393,7 +395,8 @@ def _search_duplications_sharded(
 
 
 def rank_sharded_window_applies(n1: int, W: int, doubled: bool,
-                                n_dev: int | None = None) -> bool:
+                                n_dev: int | None = None,
+                                k: int = 20) -> bool:
     """Whether a trim window should be served by the rank-sharded
     engine: forced via ``ASGART_RANK_SHARDED=1``, or the window exceeds
     a single device (rows or HBM) while a multi-device mesh can hold it
@@ -409,7 +412,7 @@ def rank_sharded_window_applies(n1: int, W: int, doubled: bool,
             n_dev = len(jax.devices())
         except RuntimeError:
             return False
-    if n_dev < 2 or device_window_fits(n1, W, doubled):
+    if n_dev < 2 or device_window_fits(n1, W, doubled, k=k):
         return False
     per_shard = 12 * (-(-W // n_dev)) + (1 << 28)
     return per_shard <= hbm_budget_bytes()
@@ -458,7 +461,8 @@ class _DeviceEngineAdapter:
             W = int(trim[1]) - int(trim[0]) + 1
             if rank_sharded_window_applies(n1, W,
                                            settings.reverse
-                                           or settings.complement):
+                                           or settings.complement,
+                                           k=settings.probe_size):
                 # window larger than one device (rows or HBM) but a
                 # mesh is present: the index lives sharded across it
                 from .device_engine import ShardedWindowEngine
@@ -605,19 +609,23 @@ def search_duplications(
             doubled_resident = doubled and (2 * n1 - 1) < (1 << 31)
             from .device_index import device_window_join_single
 
+            kk = settings.probe_size
             S = 2
             while S <= 256 and not device_window_fits(
-                    n1, (total_len + S - 1) // S + 1, doubled_resident):
+                    n1, (total_len + S - 1) // S + 1, doubled_resident,
+                    k=kk):
                 S += 1
             # prefer the smallest S whose stage-1 joins also run
             # single-shot (each grouped join re-pays the co-sort's W
             # side): e.g. 512 Mbp -RC picks 3 windows over 2
             S2 = S
             while S2 < min(4 * S, 256) and not device_window_join_single(
-                    n1, (total_len + S2 - 1) // S2 + 1, doubled_resident):
+                    n1, (total_len + S2 - 1) // S2 + 1, doubled_resident,
+                    k=kk):
                 S2 += 1
             if device_window_join_single(
-                    n1, (total_len + S2 - 1) // S2 + 1, doubled_resident):
+                    n1, (total_len + S2 - 1) // S2 + 1, doubled_resident,
+                    k=kk):
                 S = S2
             if S <= 256:
                 log.warning(

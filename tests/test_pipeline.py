@@ -620,7 +620,7 @@ def test_auto_shards_when_past_window_budget(tmp_path, monkeypatch,
     monkeypatch.setattr(di, "device_window_whole_fits", lambda *a: False)
     # windows fit only at 1/3 of the genome or smaller -> S = 3
     monkeypatch.setattr(di, "device_window_fits",
-                        lambda _n1, W, d: W <= (n1 - 1 + 2) // 3 + 1)
+                        lambda _n1, W, d, k=20: W <= (n1 - 1 + 2) // 3 + 1)
     with caplog.at_level(logging.WARNING, logger="asgart"):
         auto = search_duplications([str(p)], settings, engine="tpu")
     assert any("auto-sharding into 3" in r.message
