@@ -2007,6 +2007,143 @@ class DeviceWindowEngine(DeviceEngine):
         return [results.get(c, []) for c in chunks]
 
 
+def fused_applicable(n1: int, settings, n_checkpoint=None) -> bool:
+    """Routing predicate for the fused-probe whole-genome engine:
+    k <= 20 (two-plane probe keys), one visible device (the mesh paths
+    keep the table engine's replicated per-position tables), HBM fit.
+    ``ASGART_FUSED=0`` disables, ``=1`` forces (e.g. CPU-mesh tests)."""
+    from .device_index import DEVICE_MAX_K, fused_fits
+
+    env = os.environ.get("ASGART_FUSED")
+    if env == "0":
+        return False
+    if settings.probe_size > DEVICE_MAX_K:
+        return False
+    if not fused_fits(n1, settings.probe_size):
+        return False
+    if env == "1":
+        return True
+    try:
+        return len(jax.devices()) == 1
+    except RuntimeError:
+        return False
+
+
+class FusedEngine(DeviceWindowEngine):
+    """Whole-genome single-device engine over the fused-probe index
+    (`device_index.FusedIndex`): the probe join is fused into the index
+    build, so the scan's per-lane equal ranges are contiguous slices of
+    build outputs — no per-position tables, no stage-1 co-sorts, no
+    key-plane residency. Byte-equal to the table engine / host engine
+    (the window [lo, hi) spans exactly a k-mer group's direct entries
+    in final suffix order — the same windows the doubled-table design
+    reads per position). The index is built lazily at the first
+    `run_chunks` (the chunk set is part of the build); a tied-set
+    overflow (`FusedTiedOverflow` — hyper-repetitive inputs) falls back
+    to the classic table engine, byte-equal."""
+
+    def __init__(self, strand, settings, profile: dict | None = None,
+                 codes_device=None):
+        self.strand = strand
+        self.settings = settings
+        self.trim = None
+        self.mesh = None
+        self._stage1: dict = {}
+        self._profile = profile
+        self._codes_device = codes_device
+        self.widx = None
+        self._delegate = None
+        self._g_full = None
+        self._g_off: dict = {}
+
+    def _specs_for(self, chunks):
+        s = self.settings
+        k = s.probe_size
+        step = k // 2
+        specs = []
+        for c in chunks:
+            if self._chunk_geometry(c) is None:
+                continue
+            nc = (c[1] - k - step + step - 1) // step
+            specs.append((int(c[0]), int(c[1]), nc))
+        return tuple(specs)
+
+    def _ensure(self, chunks):
+        if self._delegate is not None:
+            return
+        chunks = [tuple(c) for c in chunks]
+        if self.widx is not None and all(
+                c in self._g_off or self._chunk_geometry(c) is None
+                for c in chunks):
+            return
+        from .device_index import (FusedIndex, FusedTiedOverflow,
+                                   cached_build)
+
+        specs = self._specs_for(chunks)
+        t0 = time.time()
+        try:
+            self.widx = cached_build(
+                FusedIndex.build, self.strand.data,
+                (self.settings.probe_size,), specs=specs,
+                reverse=self.settings.reverse,
+                complement=self.settings.complement,
+                codes_device=self._codes_device)
+        except FusedTiedOverflow as e:
+            log.info("fused build bailed (%s); using the table engine",
+                     e)
+            self._delegate = DeviceEngine(
+                self.strand, self.settings, profile=self._profile,
+                mesh=False, codes_device=self._codes_device)
+            return
+        w = self.widx
+        self._g_full = (w.lane_lo, w.lane_hi, w.lane_mask)
+        self._g_off = dict(w.offs)
+        self._stage1.clear()
+        if self._profile is not None:
+            self._profile["device_index_s"] = round(
+                self._profile.get("device_index_s", 0.0)
+                + (time.time() - t0), 3)
+
+    def _cap_key(self, chunk):
+        s = self.settings
+        return ("fused", self.widx.first_len, s.probe_size, s.reverse,
+                s.complement, s.max_cardinality, tuple(chunk))
+
+    def _batch_stage1(self, chunks):  # the build IS stage 1
+        raise AssertionError("FusedEngine has no separate stage 1")
+
+    def run_chunk(self, chunk):
+        chunk = tuple(chunk)
+        self._ensure([chunk])
+        if self._delegate is not None:
+            return self._delegate.run_chunk(chunk)
+        out = self._collect_chunk(self._dispatch_chunk(chunk))
+        self._stage1.pop(chunk, None)
+        return out
+
+    def run_chunks(self, chunks):
+        chunks = [tuple(c) for c in chunks]
+        self._ensure(chunks)
+        if self._delegate is not None:
+            return self._delegate.run_chunks(chunks)
+        in_batch = [c for c in chunks if c in self._g_off]
+        totals = {c: off[1] for c, off in self._g_off.items()
+                  if c in in_batch}
+        groups, singles = self._plan_groups(in_batch, totals,
+                                            slack=False)
+        gstates = [self._dispatch_group(part, b_pad, cap, ev_cap)
+                   for part, b_pad, cap, ev_cap in groups]
+        sstates = {c: self._dispatch_chunk(c, cap=cap, ev_cap=ev_cap)
+                   for c, cap, ev_cap in singles}
+        results: dict = {}
+        for gst in gstates:
+            results.update(self._collect_group(gst))
+        for c, st in sstates.items():
+            results[c] = self._collect_chunk(st)
+        self._stage1.clear()
+        return [results.get(c, []) for c in chunks]
+
+
 # cross-window cache of batched needle-codes uploads (big-genome runs;
 # see BigWindowEngine._needle_batch_codes). Byte-bounded.
 _NEEDLE_CODES_CACHE: dict = {}
@@ -2501,7 +2638,7 @@ class MeshWindowEngine:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from .device_index import build_window_arrays, \
-            _build_text_codes, _decimate_codes
+            _build_text_codes, _decimate_codes_t
 
         self.strand = strand
         self.settings = settings
@@ -2526,7 +2663,7 @@ class MeshWindowEngine:
         rep = NamedSharding(mesh, P())
         L2 = table_len_for(n, k)
         self.codes = jax.device_put(
-            _decimate_codes(
+            _decimate_codes_t(
                 _build_text_codes(codes1, k, settings.reverse,
                                   settings.complement, L2 - k),
                 k // 2, L2, n + k),

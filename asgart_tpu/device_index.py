@@ -504,6 +504,40 @@ def _decimate_codes(codes: jax.Array, step: int, L: int, n: int):
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("step", "L", "n"))
+def _decimate_codes_t(codes: jax.Array, step: int, L: int, n: int):
+    """`_decimate_codes` by blocked TRANSPOSE instead of block sorts:
+    each [Cb, step] uint8 block view transposes to [step, Cb] (the
+    in-block decimated layout) and lands in the rows via `step` static
+    contiguous copies. The transpose materializes its minor dims
+    (8, 128)-padded, but on bounded blocks the padding is bounded too —
+    measured 0.062 s vs the block-sort's 0.53 s at 128M rows on the v5e
+    (the full-size transpose this replaces was the r2 OOM; blocking is
+    what makes it affordable). Output is bit-equal to `_decimate_codes`
+    (pinned by test_device_index)."""
+    C = L // step
+    out = jnp.zeros(L, dtype=codes.dtype)
+    blk = 1 << 24
+    Bb = (blk // step) * step
+    b0 = 0
+    while b0 < n:
+        nb = min(Bb, n - b0)
+        nbp = ((nb + step - 1) // step) * step
+        t = jnp.zeros(nbp, codes.dtype).at[:nb].set(
+            jax.lax.dynamic_slice(codes, (b0,), (nb,)))
+        # [Cb, step] -> [step, Cb]: row r of the result holds positions
+        # b0 + r, b0 + step + r, ... — the in-block decimation
+        tt = t.reshape(nbp // step, step).T.reshape(-1)
+        q0 = b0 // step
+        Cb = nbp // step
+        for r in range(step):
+            out = jax.lax.dynamic_update_slice(
+                out, jax.lax.dynamic_slice(tt, (r * Cb,), (Cb,)),
+                (r * C + q0,))
+        b0 += nb
+    return out
+
+
 @jax.jit
 def _invert_perm(sa: jax.Array, vals: jax.Array):
     """Position-indexed view of slot-indexed `vals` (windowed builds,
@@ -913,6 +947,10 @@ def _build_peak_bytes(builder, strand_data, kwargs) -> int:
     if trim is not None:
         W = int(trim[1]) - int(trim[0]) + 1
         return WINDOW_PEAK_BYTES_PER_ROW * W
+    specs = kwargs.get("specs")
+    if specs is not None:  # fused-probe build: (n1 + B)-row transients
+        B = sum(nc for (_, _, nc) in specs) + (1 << 21)
+        return FUSED_PEAK_BYTES_PER_ROW * (n1 + B)
     doubled = kwargs.get("reverse") or kwargs.get("complement")
     n = 2 * n1 - 1 if doubled else n1
     return BUILD_PEAK_BYTES_PER_ROW * n
@@ -1133,7 +1171,7 @@ def _shared_decimated_codes(codes1: jax.Array, strand_data: np.ndarray,
         hit = _DEC_CODES_CACHE.get(key)
         if hit is not None:
             return hit
-    out = _decimate_codes(
+    out = _decimate_codes_t(
         _build_text_codes(codes1, k, reverse, complement, L2 - k),
         k // 2, L2, n + k)
     if key is not None:
@@ -1289,4 +1327,269 @@ class DeviceWindowIndex:
         return cls(key_hi=skhi, key_lo=sklo, sa=sa,
                    codes=text_codes, k=k, n=n, first_len=n1, W=W,
                    win_start=ws, win_end=we, reverse=reverse,
+                   complement=complement)
+
+
+# --- fused-probe index (round 5) ------------------------------------------
+#
+# The whole-genome build and the probe join FUSED into one sort: the
+# direct text's n1 key rows co-sort with the ~n1/step probe-lane keys
+# (flagged, exactly as the doubled build flags its appended half), so
+# per-lane equal-ranges fall out of the same sort + inversion that
+# builds the SA. Replaces the doubled-text design's two 2*n1-row sorts
+# (the appended half existed only to be probed — but only every step-th
+# appended position ever IS a probe) with two (n1 + B)-row sorts,
+# B = sum of chunk lane counts ~ n1/step. Measured at 128 Mbp -RC:
+# 0.94 s + 1.15 s vs 1.44 s + 2.0 s, and no separate stage 1 at all.
+# Reference analog: one SA + per-probe equal-range search
+# (searcher.rs:99-171); same output, one-pass TPU formulation.
+
+
+class FusedTiedOverflow(RuntimeError):
+    """The tied set is too large for subset-only doubling (the fused
+    slot layout cannot run `_full_round` — probe rows carry lane ids,
+    not text positions, so a full-array re-sort would scramble them).
+    Callers fall back to the classic doubled-table build."""
+
+
+@functools.partial(jax.jit, static_argnames=("k", "reverse", "complement",
+                                             "pad_to"))
+def _transformed_codes(codes: jax.Array, k: int, reverse: bool,
+                       complement: bool, pad_to: int) -> jax.Array:
+    """The APPENDED-half codes alone, zero padded to [pad_to + k]:
+    position q here = doubled-text position first_len + q
+    (`_build_text_codes` transform order: complement, then reverse)."""
+    n1 = codes.shape[0]
+    half = codes[: n1 - 1]
+    if complement:
+        half = jnp.asarray(COMP_CODE)[half]
+    if reverse:
+        half = half[::-1]
+    return jnp.zeros(pad_to + k, dtype=jnp.uint8).at[: n1 - 1].set(half)
+
+
+@jax.jit
+def _fused_cat_planes(key_hi: jax.Array, key_lo: jax.Array,
+                      phi: jax.Array, plo: jax.Array):
+    """Concatenate direct-row and probe-row key planes for the fused
+    flagged sort (no donation: a [n1 + B] output can never alias the
+    [n1]/[B] inputs — the caller's `del` frees them at dispatch). Probe sentinel pads arrive as INT32_MAX on both
+    planes; the low plane is clamped to the 30-bit key ceiling (symbol
+    ranks are <= 5, so the all-sevens value can never collide with a
+    real key) to keep `_flagged_sort`'s flag shift overflow-free. The
+    fused sort itself IS `_flagged_sort` with direct_bound = n1: probe
+    rows sit at iota >= n1 by this concatenation order, exactly where
+    the doubled build's appended half sat — a probe row's payload
+    n1 + lane carries its lane id through the sort."""
+    return (jnp.concatenate([key_hi, phi]),
+            jnp.concatenate([key_lo,
+                             jnp.minimum(plo,
+                                         jnp.int32((1 << 30) - 1))]))
+
+
+@functools.partial(jax.jit, static_argnames=("step", "L1", "n1"))
+def _invert_fused(sa: jax.Array, lo: jax.Array, hi: jax.Array,
+                  step: int, L1: int, n1: int):
+    """ONE inversion sort delivers both build outputs: direct rows
+    (sa < n1) key by their decimated position — the first n1 sorted
+    entries are the dec-sorted rank stream (assembled into the [L1]
+    decimated rank array the doubling reads) — and probe rows key by
+    L1 + lane, so the tail is the per-lane (lo, hi) windows already in
+    lane order. The doubled design needed a 2*n1-row inversion plus the
+    windowed engines' separate back-sorts for the same information."""
+    M = sa.shape[0]
+    C1 = L1 // step
+    ikey = jax.lax.optimization_barrier(
+        jnp.where(sa < n1, _dec_of(sa, step, C1), L1 + (sa - n1)))
+    _, lo_c, hi_c = jax.lax.sort((ikey, lo, hi), num_keys=1)
+    (rank,) = _assemble_dec([jax.lax.slice(lo_c, (0,), (n1,))],
+                            step, L1, n1)
+    lane_lo = jax.lax.slice(lo_c, (n1,), (M,))
+    lane_hi = jax.lax.slice(hi_c, (n1,), (M,))
+    return rank, lane_lo, lane_hi
+
+
+@functools.partial(jax.jit, static_argnames=("specs",))
+def _fused_lane_totals(lane_lo, lane_hi, lane_mask, specs: tuple):
+    """Per-chunk exact raw-match sums over the fused lane windows
+    (the cap-sizing input, `_mj_ranges_impl` semantics)."""
+    counts = jnp.where(lane_mask, lane_hi - lane_lo, 0) \
+        .astype(jnp.float32)
+    off = 0
+    totals = []
+    for (_, _, nc) in specs:
+        totals.append(jnp.sum(jax.lax.dynamic_slice(counts, (off,),
+                                                    (nc,))))
+        off += nc
+    return jnp.stack(totals)
+
+
+# fused transient high-water per (n1 + B) row: the 3-operand sorts'
+# in + out + ~45% scratch (35 B) next to the resident sa/lane outputs
+# and the decimated probe source + codes (~2.2 B/row equivalent)
+FUSED_PEAK_BYTES_PER_ROW = 46
+
+# tied sets above max(M // 4, this) bail out of the fused build (see
+# FusedTiedOverflow); module-level so tests can exercise the fallback
+FUSED_TIED_BAILOUT_MIN = 1 << 20
+
+
+def fused_fits(n1: int, k: int = 20) -> bool:
+    """Whether a fused-probe whole-genome build fits one HBM (routing
+    estimate: B ~ n1/(k//2) probe lanes plus bucket slack)."""
+    step = max(1, k // 2)
+    M = n1 + n1 // step + (1 << 21)
+    return M < (1 << 31) and \
+        M * FUSED_PEAK_BYTES_PER_ROW <= hbm_budget_bytes()
+
+
+@dataclass
+class FusedIndex:
+    """Device-resident fused-probe index: the suffix order over the
+    DIRECT text (probe rows interleaved as flagged slots) plus the
+    per-probe-lane equal-range windows for a fixed chunk set, all from
+    one build. The scan consumes (lane_lo, lane_hi, lane_mask) as
+    contiguous lane slices — no per-position tables, no key-plane
+    residency, no stage-1 join."""
+
+    sa: jax.Array         # [n1 + B] int32; direct slots hold positions,
+    #                       probe slots hold n1 + lane (never gathered —
+    #                       windows span direct runs only)
+    lane_lo: jax.Array    # [B] int32 window starts, lane order
+    lane_hi: jax.Array    # [B] int32 window ends
+    lane_mask: jax.Array  # [B] bool live-probe mask (N-skip + bound)
+    specs: tuple          # ((chunk_start, chunk_len, n_lanes), ...)
+    offs: dict            # chunk -> (lane_offset, float_raw_total)
+    k: int
+    n: int                # doubled text length (probe addressing)
+    first_len: int        # genome + '$' length
+    reverse: bool
+    complement: bool
+
+    @classmethod
+    def build(cls, strand_data: np.ndarray, k: int, specs: tuple = (),
+              reverse: bool = False, complement: bool = False,
+              rounds_per_call: int = 2, tied_cap: int | None = None,
+              codes_device: jax.Array | None = None) -> "FusedIndex":
+        import os
+        import time
+
+        prof = os.environ.get("ASGART_DEVICE_PROFILE")
+        hook = _STAGE_HOOK
+        t0 = time.time()
+        if hook is not None:
+            hook("fidx:start")
+
+        def lap(what, *sync):
+            nonlocal t0
+            if not prof and hook is None:
+                return
+            for x in sync:
+                np.asarray(x.ravel()[:1])
+            if hook is not None:
+                hook(f"fidx:{what}-done")
+            if prof:
+                now = time.time()
+                print(f"[fidx] {what}: {now - t0:.2f}s", flush=True)
+                t0 = now
+
+        check_probe_size(k)
+        if k > DEVICE_MAX_K:
+            raise ValueError(
+                f"fused index supports probe_size <= {DEVICE_MAX_K} "
+                "(two int32 key planes)")
+        n1 = int(len(strand_data))
+        doubled = reverse or complement
+        n = 2 * n1 - 1 if doubled else n1
+        if n >= (1 << 31):
+            raise ValueError(
+                "genome too large for int32 probe addressing; shard")
+        from .device_engine import (_bucket, _pack_batch_probe_keys,
+                                    _probe_x0, table_len_for)
+
+        step = k // 2
+        sum_nc = sum(nc for (_, _, nc) in specs)
+        tail_pad = (max((_bucket(nc) for (_, _, nc) in specs),
+                        default=1 << 16)) + 8
+        total = sum_nc + tail_pad
+        if n1 + total >= (1 << 31):
+            raise ValueError("fused index too large for int32 slots")
+
+        if codes_device is not None:
+            codes1 = codes_device
+        else:
+            codes1 = DeviceIndex.upload_codes(strand_data)
+        lap("upload", codes1)
+
+        # probe-source codes in decimated layout: the appended half
+        # alone for transformed runs (probes never read the direct
+        # half), the direct text itself otherwise
+        base = n1 if doubled else 0
+        n_src = n - base
+        Lp = table_len_for(n_src, k)
+        if doubled:
+            src = _transformed_codes(codes1, k, reverse, complement, Lp)
+        else:
+            src = _build_text_codes(codes1, k, False, False, Lp)
+        dec_src = _decimate_codes_t(src, step=step, L=Lp, n=n_src)
+        del src
+        lap("decimate", dec_src)
+
+        x0s = tuple(
+            int(_probe_x0(cs, cl, n1, k, reverse, complement)) - base
+            for (cs, cl, _) in specs)
+        j0s = jnp.zeros(max(len(specs), 1), I32)
+        phi, plo, lane_mask = _pack_batch_probe_keys(
+            dec_src, j0s, k, reverse, complement, n1, specs, total,
+            x0s=x0s)
+        del dec_src
+
+        # direct-text key planes (elementwise shifted reads)
+        text_codes = _build_text_codes(codes1, k, False, False, n1)
+        key_hi, key_lo = _pack_planes_all(text_codes, k, n1)
+        del text_codes
+        lap("pack", key_hi)
+
+        ckhi, cklo = _fused_cat_planes(key_hi, key_lo, phi, plo)
+        del key_hi, key_lo, phi, plo  # freed at concat dispatch
+        skhi, sklo, sa = _flagged_sort(ckhi, cklo, jnp.int32(n1))
+        del ckhi, cklo  # donated into the sort
+        lap("sort", sa)
+
+        run_lo, run_hi, tied_slot = _group_bounds(
+            skhi, sklo, sa, jnp.int32(n1), flagged=True)
+        del skhi, sklo  # donated into the bounds pass
+        L1 = table_len_for(n1, k)
+        rank, lane_lo, lane_hi = _invert_fused(sa, run_lo, run_hi,
+                                               step, L1, n1)
+        del run_lo, run_hi
+        lap("tables", rank, lane_hi)
+
+        M = n1 + total
+        n_tied = int(jnp.sum(tied_slot.astype(I32)))
+        lap(f"tied count ({n_tied})")
+        if n_tied > max(M // 4, FUSED_TIED_BAILOUT_MIN):
+            # subset-only doubling would thrash at this tied density
+            # and `_full_round` is unsafe in the fused layout
+            raise FusedTiedOverflow(
+                f"{n_tied} tied slots of {M}")
+        # tied_cap >= the live count forbids full-array rounds (see
+        # FusedTiedOverflow): subset rounds handle any count exactly
+        sa = _resolve_ties(sa, rank, tied_slot, M, k, rounds_per_call,
+                           max(1024, n_tied) if tied_cap is None
+                           else tied_cap,
+                           lap, direct_bound=n1, dec_step=step)
+
+        totals = np.asarray(_fused_lane_totals(lane_lo, lane_hi,
+                                               lane_mask, specs),
+                            dtype=np.float64)
+        offs = {}
+        off = 0
+        for i, (cs, cl, nc) in enumerate(specs):
+            offs[(cs, cl)] = (off, float(totals[i]))
+            off += nc
+        lap("totals")
+        return cls(sa=sa, lane_lo=lane_lo, lane_hi=lane_hi,
+                   lane_mask=lane_mask, specs=specs, offs=offs, k=k,
+                   n=n, first_len=n1, reverse=reverse,
                    complement=complement)

@@ -423,13 +423,24 @@ class _DeviceEngineAdapter:
     .DeviceEngine` (same ``run_chunk`` contract as SearchEngine)."""
 
     def __init__(self, strand, settings, profile=None,
-                 codes_device=None, trim=None):
+                 codes_device=None, trim=None, allow_fused=True):
         from .device_engine import (BigWindowEngine, DeviceEngine,
-                                    DeviceWindowEngine)
+                                    DeviceWindowEngine, FusedEngine,
+                                    fused_applicable)
         from .device_index import (device_index_fits,
                                    device_window_whole_fits)
 
         self.settings = settings
+        if trim is None and allow_fused and fused_applicable(
+                len(strand.data), settings):
+            # the probe join fused into the index build: two
+            # (n1 + B)-row sorts instead of the doubled design's two
+            # 2*n1-row ones, and no stage-1 join (device_engine
+            # .FusedEngine); byte-equal, and it fits genomes the
+            # doubled-table build cannot (~46 B vs ~84 B per bp)
+            self.dev = FusedEngine(strand, settings, profile=profile,
+                                   codes_device=codes_device)
+            return
         if trim is None and not device_index_fits(
                 len(strand.data), settings.reverse, settings.complement) \
                 and device_window_whole_fits(len(strand.data)):
@@ -587,7 +598,14 @@ def search_duplications(
             and settings.probe_size <= DEVICE_MAX_K_TABLE
             and device_index_fits(len(strand.data), settings.reverse,
                                   settings.complement)))
-    if use_device and trim is None and not device_index_fits(
+    from .device_engine import fused_applicable
+
+    # fused engine: whole-genome, needs the chunk set at build time —
+    # checkpoint runs (per-chunk journaling) keep the classic engines
+    allow_fused = checkpoint is None and trim is None \
+        and fused_applicable(len(strand.data), settings)
+    if use_device and trim is None and not allow_fused \
+            and not device_index_fits(
             len(strand.data), settings.reverse, settings.complement) \
             and not device_window_whole_fits(len(strand.data)):
         # beyond even the one-window merge-join strategy (which the
@@ -652,7 +670,8 @@ def search_duplications(
         try:
             se = _DeviceEngineAdapter(strand, settings, profile=prof,
                                       trim=trim,
-                                      codes_device=_codes_device)
+                                      codes_device=_codes_device,
+                                      allow_fused=allow_fused)
         except RuntimeError as e:
             # device runtime down/unreachable: degrade to the host
             # engine (byte-equal output) instead of failing the run

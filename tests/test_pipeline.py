@@ -618,6 +618,10 @@ def test_auto_shards_when_past_window_budget(tmp_path, monkeypatch,
 
     monkeypatch.setattr(di, "device_index_fits", lambda *a: False)
     monkeypatch.setattr(di, "device_window_whole_fits", lambda *a: False)
+    # the fused engine would otherwise serve the whole genome (its HBM
+    # reach exceeds the table engine's) and the routing under test here
+    # is the auto-shard fallback
+    monkeypatch.setenv("ASGART_FUSED", "0")
     # windows fit only at 1/3 of the genome or smaller -> S = 3
     monkeypatch.setattr(di, "device_window_fits",
                         lambda _n1, W, d, k=20: W <= (n1 - 1 + 2) // 3 + 1)
