@@ -711,6 +711,59 @@ def _pack_probe_lanes(codes_dec, x0, nc: int, k: int):
     return phi, plo, sym(0) != N_CODE
 
 
+def _pack_probe_lanes3(codes_dec, x0, nc: int, k: int):
+    """3-plane `_pack_probe_lanes` for k = 21..30: (ptop, phi, plo,
+    n_mask) with the `_pack_planes3_all` split (top = first k-20
+    symbols, hi the next 10, lo the last 10)."""
+    from .device_index import LO_SYMS
+
+    step = k // 2
+
+    def sym(t):
+        return _dec_read(codes_dec, x0 + t, nc, step).astype(I32)
+
+    n_top = k - 2 * LO_SYMS
+    ptop = jnp.zeros(nc, dtype=I32)
+    phi = jnp.zeros(nc, dtype=I32)
+    plo = jnp.zeros(nc, dtype=I32)
+    for t in range(n_top):
+        ptop = (ptop << 3) | sym(t)
+    for t in range(n_top, n_top + LO_SYMS):
+        phi = (phi << 3) | sym(t)
+    for t in range(n_top + LO_SYMS, k):
+        plo = (plo << 3) | sym(t)
+    return ptop, phi, plo, sym(0) != N_CODE
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "reverse", "complement", "first_len", "specs", "total", "x0s"))
+def _pack_batch_probe_keys3(codes_dec, j0s, k: int, reverse: bool,
+                            complement: bool, first_len: int,
+                            specs: tuple, total: int,
+                            x0s: tuple | None = None):
+    """3-plane `_pack_batch_probe_keys` (k = 21..30): every chunk's
+    (ptop, phi, plo, mask) back-to-back with sentinel padding."""
+    step = k // 2
+    ptops, phis, plos, masks = [], [], [], []
+    for i, (cs, cl, nc) in enumerate(specs):
+        x0 = (x0s[i] if x0s is not None
+              else _probe_x0(cs, cl, first_len, k, reverse, complement)) \
+            + j0s[i] * step
+        ptop, phi, plo, n_mask = _pack_probe_lanes3(codes_dec, x0, nc, k)
+        lane_ok = ((j0s[i] + jnp.arange(nc, dtype=I32)) * step) \
+            < (cl - k - step)
+        ptops.append(ptop)
+        phis.append(phi)
+        plos.append(plo)
+        masks.append(n_mask & lane_ok)
+    pad = total - sum(nc for (_, _, nc) in specs)
+    big = jnp.full(pad, np.int32(2**31 - 1), I32)
+    return (jnp.concatenate(ptops + [big]),
+            jnp.concatenate(phis + [big]),
+            jnp.concatenate(plos + [big]),
+            jnp.concatenate(masks + [jnp.zeros(pad, bool)]))
+
+
 def _mj_tail(key_hi, key_lo, phi, plo, mask):
     """The merge join itself: per-lane [lo, hi) window equal-ranges of
     already-packed probe keys. The probe/window tag rides in the id
@@ -2007,26 +2060,55 @@ class DeviceWindowEngine(DeviceEngine):
         return [results.get(c, []) for c in chunks]
 
 
-def fused_applicable(n1: int, settings, n_checkpoint=None) -> bool:
-    """Routing predicate for the fused-probe whole-genome engine:
-    k <= 20 (two-plane probe keys), one visible device (the mesh paths
-    keep the table engine's replicated per-position tables), HBM fit.
-    ``ASGART_FUSED=0`` disables, ``=1`` forces (e.g. CPU-mesh tests)."""
-    from .device_index import DEVICE_MAX_K, fused_fits
+def _fused_gate(settings) -> bool | None:
+    """Shared env/k/device gates of the fused predicates: None = keep
+    checking fit, True/False = decided."""
+    from .device_index import DEVICE_MAX_K_TABLE
 
     env = os.environ.get("ASGART_FUSED")
     if env == "0":
         return False
-    if settings.probe_size > DEVICE_MAX_K:
-        return False
-    if not fused_fits(n1, settings.probe_size):
+    if settings.probe_size > DEVICE_MAX_K_TABLE:
         return False
     if env == "1":
-        return True
+        return None
     try:
-        return len(jax.devices()) == 1
+        if len(jax.devices()) != 1:
+            return False
     except RuntimeError:
         return False
+    return None
+
+
+def fused_applicable(n1: int, settings) -> bool:
+    """Routing predicate for the fused-probe whole-genome engine:
+    k <= 30 (2-plane keys to 20, a third plane beyond), one visible
+    device (the mesh paths keep the table engine's replicated
+    per-position tables), HBM fit. ``ASGART_FUSED=0`` disables,
+    ``=1`` forces (e.g. CPU-mesh tests)."""
+    from .device_index import fused_fits
+
+    gate = _fused_gate(settings)
+    if gate is not None:
+        return gate
+    return fused_fits(n1, settings.probe_size)
+
+
+def fused_window_applicable(n1: int, W: int, settings) -> bool:
+    """Routing predicate for the fused-probe TRIM-WINDOW engine (the
+    `--shards`/`--trim` build with stage 1 fused into the window sort;
+    also the k = 21..30 device path for windows, which the 2-plane
+    merge-join engines route to the host). Peak: the (W + B)-row sort
+    transients next to the resident decimated probe source + codes."""
+    from .device_index import FUSED_PEAK_BYTES_PER_ROW, hbm_budget_bytes
+
+    gate = _fused_gate(settings)
+    if gate is not None:
+        return gate
+    step = max(1, settings.probe_size // 2)
+    M = W + n1 // step + (1 << 21)
+    return M < (1 << 31) and \
+        M * FUSED_PEAK_BYTES_PER_ROW + 3 * n1 <= hbm_budget_bytes()
 
 
 class FusedEngine(DeviceWindowEngine):
@@ -2043,10 +2125,11 @@ class FusedEngine(DeviceWindowEngine):
     to the classic table engine, byte-equal."""
 
     def __init__(self, strand, settings, profile: dict | None = None,
-                 codes_device=None):
+                 codes_device=None, trim=None):
         self.strand = strand
         self.settings = settings
-        self.trim = None
+        self.trim = (int(trim[0]), int(trim[1])) if trim is not None \
+            else None
         self.mesh = None
         self._stage1: dict = {}
         self._profile = profile
@@ -2087,8 +2170,23 @@ class FusedEngine(DeviceWindowEngine):
                 (self.settings.probe_size,), specs=specs,
                 reverse=self.settings.reverse,
                 complement=self.settings.complement,
+                trim=self.trim,
                 codes_device=self._codes_device)
         except FusedTiedOverflow as e:
+            if self.trim is not None:
+                from .device_index import DEVICE_MAX_K
+
+                if self.settings.probe_size > DEVICE_MAX_K:
+                    # no 3-plane merge-join window engine exists;
+                    # byte-equal host fallback
+                    raise
+                log.info("fused window build bailed (%s); using the "
+                         "merge-join window engine", e)
+                self._delegate = DeviceWindowEngine(
+                    self.strand, self.settings, self.trim,
+                    profile=self._profile,
+                    codes_device=self._codes_device)
+                return
             log.info("fused build bailed (%s); using the table engine",
                      e)
             self._delegate = DeviceEngine(

@@ -718,18 +718,21 @@ def _full_round(sa: jax.Array, rank: jax.Array, h: jax.Array,
 def _resolve_ties(sa, rank, tied_slot, n: int, k: int,
                   rounds_per_call: int, tied_cap: int | None,
                   lap=lambda *a: None, direct_bound: int | None = None,
-                  dec_step: int = 0):
+                  dec_step: int = 0, n_tied_host: int | None = None):
     """Host-driven doubling loop until every (direct) suffix rank is
     distinct (shared by the whole-genome and windowed builds):
     full-array rounds while the tied set exceeds the subset capacity,
     then subset rounds with a shrinking slot buffer. ``dec_step``:
     nonzero when `rank` shares the tables' decimated layout (the
-    whole-genome table build)."""
+    whole-genome table build). ``n_tied_host``: precomputed tied count
+    (the fused build already synced it for its bailout check — passing
+    it here saves a relay round trip)."""
     if tied_cap is None:
         tied_cap = max(1024, n // 8)
     if direct_bound is None:
         direct_bound = n
-    n_tied_host = int(jnp.sum(tied_slot.astype(I32)))
+    if n_tied_host is None:
+        n_tied_host = int(jnp.sum(tied_slot.astype(I32)))
     h = k
     lap(f"tied count ({n_tied_host})")
     # hyper-repetitive input: full-array rounds until the tied set
@@ -1387,6 +1390,28 @@ def _fused_cat_planes(key_hi: jax.Array, key_lo: jax.Array,
                                          jnp.int32((1 << 30) - 1))]))
 
 
+@jax.jit
+def _fused_cat_planes3(key_top, key_hi, key_lo, ptop, phi, plo):
+    """3-plane `_fused_cat_planes` (k = 21..30)."""
+    return (jnp.concatenate([key_top, ptop]),
+            jnp.concatenate([key_hi, phi]),
+            jnp.concatenate([key_lo,
+                             jnp.minimum(plo,
+                                         jnp.int32((1 << 30) - 1))]))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _offset_i32(x: jax.Array, off) -> jax.Array:
+    return x + off
+
+
+# one-entry cache of the fused builds' decimated probe-source codes
+# (appended half for transformed runs): identical for every window of
+# a sharded run, keyed by (content, k, transform)
+_FUSED_DEC_CACHE: dict = {}
+_TRACKED_CACHES.append(_FUSED_DEC_CACHE)
+
+
 @functools.partial(jax.jit, static_argnames=("step", "L1", "n1"))
 def _invert_fused(sa: jax.Array, lo: jax.Array, hi: jax.Array,
                   step: int, L1: int, n1: int):
@@ -1452,9 +1477,9 @@ class FusedIndex:
     contiguous lane slices — no per-position tables, no key-plane
     residency, no stage-1 join."""
 
-    sa: jax.Array         # [n1 + B] int32; direct slots hold positions,
-    #                       probe slots hold n1 + lane (never gathered —
-    #                       windows span direct runs only)
+    sa: jax.Array         # [W + B] int32; indexed (direct) slots hold
+    #                       GLOBAL positions, probe slots hold W + lane
+    #                       (never gathered — windows span direct runs)
     lane_lo: jax.Array    # [B] int32 window starts, lane order
     lane_hi: jax.Array    # [B] int32 window ends
     lane_mask: jax.Array  # [B] bool live-probe mask (N-skip + bound)
@@ -1465,10 +1490,12 @@ class FusedIndex:
     first_len: int        # genome + '$' length
     reverse: bool
     complement: bool
+    trim: tuple | None = None  # (ws, we) for windowed builds
 
     @classmethod
     def build(cls, strand_data: np.ndarray, k: int, specs: tuple = (),
               reverse: bool = False, complement: bool = False,
+              trim: tuple | None = None,
               rounds_per_call: int = 2, tied_cap: int | None = None,
               codes_device: jax.Array | None = None) -> "FusedIndex":
         import os
@@ -1493,11 +1520,11 @@ class FusedIndex:
                 print(f"[fidx] {what}: {now - t0:.2f}s", flush=True)
                 t0 = now
 
-        check_probe_size(k)
-        if k > DEVICE_MAX_K:
+        if not (1 <= k <= DEVICE_MAX_K_TABLE):
             raise ValueError(
-                f"fused index supports probe_size <= {DEVICE_MAX_K} "
-                "(two int32 key planes)")
+                f"fused index supports probe_size 1.."
+                f"{DEVICE_MAX_K_TABLE} (three int32 key planes); use "
+                "the host engine for wider probes")
         n1 = int(len(strand_data))
         doubled = reverse or complement
         n = 2 * n1 - 1 if doubled else n1
@@ -1505,14 +1532,23 @@ class FusedIndex:
             raise ValueError(
                 "genome too large for int32 probe addressing; shard")
         from .device_engine import (_bucket, _pack_batch_probe_keys,
-                                    _probe_x0, table_len_for)
+                                    _pack_batch_probe_keys3, _probe_x0,
+                                    table_len_for)
 
+        if trim is not None:
+            ws, we = int(trim[0]), int(trim[1])
+            if not (0 <= ws < we <= n1 - 1):
+                raise ValueError(f"bad trim window {trim}")
+            W = we - ws + 1  # window text + its own '$'
+        else:
+            ws = 0
+            W = n1
         step = k // 2
         sum_nc = sum(nc for (_, _, nc) in specs)
         tail_pad = (max((_bucket(nc) for (_, _, nc) in specs),
                         default=1 << 16)) + 8
         total = sum_nc + tail_pad
-        if n1 + total >= (1 << 31):
+        if W + total >= (1 << 31):
             raise ValueError("fused index too large for int32 slots")
 
         if codes_device is not None:
@@ -1523,49 +1559,86 @@ class FusedIndex:
 
         # probe-source codes in decimated layout: the appended half
         # alone for transformed runs (probes never read the direct
-        # half), the direct text itself otherwise
+        # half), the direct text itself otherwise. IDENTICAL for every
+        # window of a sharded run — cached per (content, k, transform)
         base = n1 if doubled else 0
         n_src = n - base
         Lp = table_len_for(n_src, k)
-        if doubled:
-            src = _transformed_codes(codes1, k, reverse, complement, Lp)
-        else:
-            src = _build_text_codes(codes1, k, False, False, Lp)
-        dec_src = _decimate_codes_t(src, step=step, L=Lp, n=n_src)
-        del src
+        dkey = None
+        dec_src = None
+        if device_index_cache_enabled():
+            dkey = (_strand_fingerprint(strand_data), k, reverse,
+                    complement)
+            dec_src = _FUSED_DEC_CACHE.get(dkey)
+        if dec_src is None:
+            if doubled:
+                src = _transformed_codes(codes1, k, reverse, complement,
+                                         Lp)
+            else:
+                src = _build_text_codes(codes1, k, False, False, Lp)
+            dec_src = _decimate_codes_t(src, step=step, L=Lp, n=n_src)
+            del src
+            if dkey is not None:
+                _FUSED_DEC_CACHE.clear()
+                _FUSED_DEC_CACHE[dkey] = dec_src
         lap("decimate", dec_src)
 
         x0s = tuple(
             int(_probe_x0(cs, cl, n1, k, reverse, complement)) - base
             for (cs, cl, _) in specs)
         j0s = jnp.zeros(max(len(specs), 1), I32)
-        phi, plo, lane_mask = _pack_batch_probe_keys(
-            dec_src, j0s, k, reverse, complement, n1, specs, total,
-            x0s=x0s)
+        planes3 = k > DEVICE_MAX_K
+        if planes3:
+            ptop, phi, plo, lane_mask = _pack_batch_probe_keys3(
+                dec_src, j0s, k, reverse, complement, n1, specs, total,
+                x0s=x0s)
+        else:
+            phi, plo, lane_mask = _pack_batch_probe_keys(
+                dec_src, j0s, k, reverse, complement, n1, specs, total,
+                x0s=x0s)
         del dec_src
 
-        # direct-text key planes (elementwise shifted reads)
-        text_codes = _build_text_codes(codes1, k, False, False, n1)
-        key_hi, key_lo = _pack_planes_all(text_codes, k, n1)
+        # indexed-text key planes (elementwise shifted reads): the
+        # whole direct text, or the trim window's own text + '$'
+        if trim is not None:
+            text_codes = _window_codes(codes1, jnp.int32(ws), W - 1, k)
+        else:
+            text_codes = _build_text_codes(codes1, k, False, False, W)
+        if planes3:
+            key_top, key_hi, key_lo = _pack_planes3_all(text_codes, k, W)
+        else:
+            key_hi, key_lo = _pack_planes_all(text_codes, k, W)
         del text_codes
         lap("pack", key_hi)
 
-        ckhi, cklo = _fused_cat_planes(key_hi, key_lo, phi, plo)
-        del key_hi, key_lo, phi, plo  # freed at concat dispatch
-        skhi, sklo, sa = _flagged_sort(ckhi, cklo, jnp.int32(n1))
-        del ckhi, cklo  # donated into the sort
-        lap("sort", sa)
-
-        run_lo, run_hi, tied_slot = _group_bounds(
-            skhi, sklo, sa, jnp.int32(n1), flagged=True)
-        del skhi, sklo  # donated into the bounds pass
-        L1 = table_len_for(n1, k)
+        if planes3:
+            cktop, ckhi, cklo = _fused_cat_planes3(key_top, key_hi,
+                                                   key_lo, ptop, phi,
+                                                   plo)
+            del key_top, key_hi, key_lo, ptop, phi, plo
+            sktop, skhi, sklo, sa = _flagged_sort3(cktop, ckhi, cklo,
+                                                   jnp.int32(W))
+            del cktop, ckhi, cklo  # donated into the sort
+            lap("sort", sa)
+            run_lo, run_hi, tied_slot = _group_bounds3(
+                skhi, sklo, sa, jnp.int32(W), flagged=True, sktop=sktop)
+            del sktop, skhi, sklo
+        else:
+            ckhi, cklo = _fused_cat_planes(key_hi, key_lo, phi, plo)
+            del key_hi, key_lo, phi, plo  # freed at concat dispatch
+            skhi, sklo, sa = _flagged_sort(ckhi, cklo, jnp.int32(W))
+            del ckhi, cklo  # donated into the sort
+            lap("sort", sa)
+            run_lo, run_hi, tied_slot = _group_bounds(
+                skhi, sklo, sa, jnp.int32(W), flagged=True)
+            del skhi, sklo  # donated into the bounds pass
+        L1 = table_len_for(W, k)
         rank, lane_lo, lane_hi = _invert_fused(sa, run_lo, run_hi,
-                                               step, L1, n1)
+                                               step, L1, W)
         del run_lo, run_hi
         lap("tables", rank, lane_hi)
 
-        M = n1 + total
+        M = W + total
         n_tied = int(jnp.sum(tied_slot.astype(I32)))
         lap(f"tied count ({n_tied})")
         if n_tied > max(M // 4, FUSED_TIED_BAILOUT_MIN):
@@ -1578,7 +1651,12 @@ class FusedIndex:
         sa = _resolve_ties(sa, rank, tied_slot, M, k, rounds_per_call,
                            max(1024, n_tied) if tied_cap is None
                            else tied_cap,
-                           lap, direct_bound=n1, dec_step=step)
+                           lap, direct_bound=W, dec_step=step,
+                           n_tied_host=n_tied)
+        if ws:
+            # globalize window positions (probe slots shift too —
+            # harmless, they are never gathered)
+            sa = _offset_i32(sa, jnp.int32(ws))
 
         totals = np.asarray(_fused_lane_totals(lane_lo, lane_hi,
                                                lane_mask, specs),
@@ -1592,4 +1670,5 @@ class FusedIndex:
         return cls(sa=sa, lane_lo=lane_lo, lane_hi=lane_hi,
                    lane_mask=lane_mask, specs=specs, offs=offs, k=k,
                    n=n, first_len=n1, reverse=reverse,
-                   complement=complement)
+                   complement=complement,
+                   trim=(ws, we) if trim is not None else None)

@@ -352,6 +352,7 @@ def _search_duplications_sharded(
                                    _codes_device=codes_dev)
 
     if engine == "tpu" and windows:
+        from .device_engine import fused_window_applicable
         from .device_index import device_window_fits
 
         per_w = max(we - ws for ws, we in windows) + 1
@@ -359,6 +360,8 @@ def _search_duplications_sharded(
         if 2 * total_len + 1 < (1 << 31) \
                 and not device_window_fits(total_len + 1, per_w, doubled,
                                            k=settings.probe_size) \
+                and not fused_window_applicable(total_len + 1, per_w,
+                                                settings) \
                 and not rank_sharded_window_applies(
                     total_len + 1, per_w, doubled,
                     k=settings.probe_size):
@@ -423,10 +426,12 @@ class _DeviceEngineAdapter:
     .DeviceEngine` (same ``run_chunk`` contract as SearchEngine)."""
 
     def __init__(self, strand, settings, profile=None,
-                 codes_device=None, trim=None, allow_fused=True):
+                 codes_device=None, trim=None, allow_fused=True,
+                 chunks=None):
         from .device_engine import (BigWindowEngine, DeviceEngine,
                                     DeviceWindowEngine, FusedEngine,
-                                    fused_applicable)
+                                    fused_applicable,
+                                    fused_window_applicable)
         from .device_index import (device_index_fits,
                                    device_window_whole_fits)
 
@@ -440,6 +445,20 @@ class _DeviceEngineAdapter:
             # doubled-table build cannot (~46 B vs ~84 B per bp)
             self.dev = FusedEngine(strand, settings, profile=profile,
                                    codes_device=codes_device)
+            if chunks is not None:
+                self.dev._ensure(chunks)  # eager: index_s attribution
+            return
+        if trim is not None and allow_fused and fused_window_applicable(
+                len(strand.data),
+                int(trim[1]) - int(trim[0]) + 1, settings):
+            # windowed fused build: stage 1 fused into the window sort;
+            # also the ONLY device path for k = 21..30 trim windows
+            # (the merge-join engines are 2-plane)
+            self.dev = FusedEngine(strand, settings, profile=profile,
+                                   codes_device=codes_device,
+                                   trim=trim)
+            if chunks is not None:
+                self.dev._ensure(chunks)
             return
         if trim is None and not device_index_fits(
                 len(strand.data), settings.reverse, settings.complement) \
@@ -592,18 +611,23 @@ def search_duplications(
     # k <= 20 rides every device strategy; k = 21..30 only the
     # whole-genome 3-plane TABLE engine (windowed/merge-join engines
     # are 2-plane — wider probes there keep the byte-equal host path)
+    from .device_engine import (fused_applicable,
+                                fused_window_applicable)
+
+    # fused engine: needs the chunk set at build time — checkpoint
+    # runs (per-chunk journaling) keep the classic engines
+    allow_fused = checkpoint is None and (
+        (trim is None and fused_applicable(len(strand.data), settings))
+        or (trim is not None and fused_window_applicable(
+            len(strand.data), int(trim[1]) - int(trim[0]) + 1,
+            settings)))
     use_device = engine == "tpu" and (
         settings.probe_size <= DEVICE_MAX_K
         or (trim is None
             and settings.probe_size <= DEVICE_MAX_K_TABLE
             and device_index_fits(len(strand.data), settings.reverse,
-                                  settings.complement)))
-    from .device_engine import fused_applicable
-
-    # fused engine: whole-genome, needs the chunk set at build time —
-    # checkpoint runs (per-chunk journaling) keep the classic engines
-    allow_fused = checkpoint is None and trim is None \
-        and fused_applicable(len(strand.data), settings)
+                                  settings.complement))
+        or (settings.probe_size <= DEVICE_MAX_K_TABLE and allow_fused))
     if use_device and trim is None and not allow_fused \
             and not device_index_fits(
             len(strand.data), settings.reverse, settings.complement) \
@@ -667,11 +691,21 @@ def search_duplications(
         # automatic one-window demotion past the HBM budget — or the trim
         # window with merge-join probe lookup), scan + compaction on
         # device, event chaining on host (device_engine module docstring)
+        from .device_index import FusedTiedOverflow
+
         try:
             se = _DeviceEngineAdapter(strand, settings, profile=prof,
                                       trim=trim,
                                       codes_device=_codes_device,
-                                      allow_fused=allow_fused)
+                                      allow_fused=allow_fused,
+                                      chunks=to_process)
+        except FusedTiedOverflow as e:
+            # k = 21..30 trim window on a hyper-repetitive input: no
+            # 3-plane merge-join engine exists — byte-equal host path
+            log.warning("fused window build bailed (%s); host engine",
+                        e)
+            use_device = False
+            engine = "host"
         except RuntimeError as e:
             # device runtime down/unreachable: degrade to the host
             # engine (byte-equal output) instead of failing the run

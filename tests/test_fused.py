@@ -148,19 +148,25 @@ def test_fused_probe_size_boundaries(tmp_path, monkeypatch):
 
 
 def test_fused_routing(tmp_path, monkeypatch):
-    """fused_applicable: k <= 20, env gates, fit; k = 21+ keeps the
-    3-plane table engine (whole-genome)."""
-    from asgart_tpu.device_engine import fused_applicable
+    """fused gates: env on/off, k <= 30 (3-plane ceiling), HBM fit —
+    for both the whole-genome and the trim-window predicates."""
+    from asgart_tpu.device_engine import (fused_applicable,
+                                          fused_window_applicable)
 
     s = RunSettings()
     monkeypatch.setenv("ASGART_FUSED", "0")
     assert not fused_applicable(10000, s)
+    assert not fused_window_applicable(10000, 5000, s)
     monkeypatch.setenv("ASGART_FUSED", "1")
     assert fused_applicable(10000, s)
-    s25 = RunSettings(probe_size=25)
-    assert not fused_applicable(10000, s25)
+    assert fused_window_applicable(10000, 5000, s)
+    assert fused_applicable(10000, RunSettings(probe_size=25))
+    assert not fused_applicable(10000, RunSettings(probe_size=31))
+    assert not fused_window_applicable(
+        10000, 5000, RunSettings(probe_size=31))
     monkeypatch.setenv("ASGART_HBM_BYTES", "1000")
     assert not fused_applicable(10000, s)
+    assert not fused_window_applicable(10000, 5000, s)
 
 
 def test_decimate_transpose_equals_sort():
@@ -179,6 +185,53 @@ def test_decimate_transpose_equals_sort():
         a = np.asarray(di._decimate_codes(c, step=step, L=L, n=n))
         b = np.asarray(di._decimate_codes_t(c, step=step, L=L, n=n))
         assert (a == b).all(), (n, step)
+
+
+def test_fused_trim_window(tmp_path, monkeypatch):
+    """Fused build over a --trim window (stage 1 fused into the window
+    sort): byte-equal to the host trim engine, incl. a window whose
+    right arm falls outside (reference trim semantics)."""
+    rng = np.random.default_rng(38)
+    g = plant_duplication(rng, 60000, 2500, 4000, 42000, noise=0.0,
+                          transform=revcomp)
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", g)])
+    for trim in [(0, 30000), (20000, 59999), (1000, 50000)]:
+        s = RunSettings(reverse=True, complement=True, trim=trim)
+        host, fused = _run_pair(fa, s, monkeypatch)
+        assert _json(host) == _json(fused), trim
+
+
+@pytest.mark.parametrize("k,shards", [(25, 2), (21, 2), (30, 2)])
+def test_fused_wide_k_shards(tmp_path, monkeypatch, k, shards):
+    """k = 21..30 under --shards runs on the DEVICE via the fused
+    window engine (3-plane co-sort) — the reference searches any k on
+    its one engine (searcher.rs:145-171); before round 5 these routed
+    to the host ByteIndex."""
+    rng = np.random.default_rng(39)
+    g = plant_duplication(rng, 50000, 2000, 3000, 30000, noise=0.0,
+                          transform=revcomp)
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", g)])
+    s = RunSettings(reverse=True, complement=True, probe_size=k)
+    host = search_duplications([str(fa)], s, engine="host",
+                               shards=shards)
+    monkeypatch.setenv("ASGART_FUSED", "1")
+    fused = search_duplications([str(fa)], s, engine="tpu",
+                                shards=shards)
+    assert _json(host) == _json(fused)
+
+
+def test_fused_wide_k_whole_genome(tmp_path, monkeypatch):
+    """k = 25 whole-genome through the fused engine (3-plane)."""
+    rng = np.random.default_rng(40)
+    g = plant_duplication(rng, 50000, 2000, 3000, 30000, noise=0.0,
+                          transform=revcomp)
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", g)])
+    s = RunSettings(reverse=True, complement=True, probe_size=25)
+    host, fused = _run_pair(fa, s, monkeypatch)
+    assert _json(host) == _json(fused)
 
 
 def test_fused_checkpoint_uses_classic(tmp_path, monkeypatch):
