@@ -488,6 +488,27 @@ def _slice_budget() -> int:
 _MJ_SORT_PEAK_PER_ROW = 35
 
 
+def _local_np(x):
+    """numpy view of an engine output; multi-controller safe. Engine
+    outputs are REPLICATED (out_specs P()), so under `jax.distributed`
+    (a mesh spanning processes) the local shard IS the full value —
+    np.asarray would refuse an array spanning non-addressable devices.
+    A no-op for ordinary single-process arrays."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return np.asarray(x.addressable_data(0))
+    return np.asarray(x)
+
+
+def _global_put(arr: np.ndarray, sharding):
+    """device_put that also works when ``sharding`` spans processes
+    (each process supplies the same host array and ships only its
+    addressable shards)."""
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
 def _hbm_free_bytes() -> int:
     """Free HBM on the scan device: live allocator stats when exposed,
     else budget minus the persistent caches' tracked bytes (the axon
@@ -1389,8 +1410,8 @@ class DeviceEngine:
         step = s.probe_size // 2
         n_lanes = (chunk[1] - s.probe_size - step + step - 1) // step
         n_gran = b_pad // SLICE_GRAN
-        gt = np.asarray(_range_granule_totals(lo, hi, jnp.int32(n_lanes),
-                                              n_gran), dtype=np.float64)
+        gt = _local_np(_range_granule_totals(
+            lo, hi, jnp.int32(n_lanes), n_gran)).astype(np.float64)
         budget = _slice_budget()
         w = _fixed_slice_width(gt, SLICE_GRAN, budget,
                                min(B_GRAN, b_pad), b_pad)
@@ -1421,11 +1442,11 @@ class DeviceEngine:
             max_ev = 0
             for ev_pack, m_flat, scalars in st["shards"]:
                 n_events, total_kept, z_trail, overflow = (
-                    int(v) for v in np.asarray(scalars))
+                    int(v) for v in _local_np(scalars))
                 overflow_any |= bool(overflow)
                 max_ev = max(max_ev, n_events)
-                parts.append((np.asarray(ev_pack[:, :n_events]),
-                              np.asarray(m_flat[:total_kept]), z_trail))
+                parts.append((_local_np(ev_pack[:, :n_events]),
+                              _local_np(m_flat[:total_kept]), z_trail))
             t0 = self._lap(t0, "event download")
             if not overflow_any:
                 break
@@ -2508,7 +2529,8 @@ class BigWindowEngine(DeviceEngine):
             if cached is not None:
                 cap, ev_cap = cached
             else:
-                total_raw = int(float(tot if total is None else total))
+                total_raw = int(_local_np(
+                    tot if total is None else total))
                 t0 = self._lap(t0, f"ranges+total ({total_raw})")
                 cap = _cap_bucket(total_raw + 1)
         if cap > _slice_budget():
@@ -3131,13 +3153,13 @@ class ShardedWindowEngine(BigWindowEngine):
             return out
 
         sh = NamedSharding(mesh, P("shards"))
-        self.key_hi = jax.device_put(stack(key_hi, big), sh)
-        self.key_lo = jax.device_put(stack(key_lo, big), sh)
+        self.key_hi = _global_put(stack(key_hi, big), sh)
+        self.key_lo = _global_put(stack(key_lo, big), sh)
         # run_lo is build-internal (doubling rank seed): the merge join
         # derives lo from the co-sorted run structure (_mj_tail), so it
         # never ships to the shards — 12 B/row per shard, not 16
         del run_lo
-        self.sa = jax.device_put(stack(sa, 0), sh)
+        self.sa = _global_put(stack(sa, 0), sh)
         self.W = W
         self.Wl = Wl
         self.first_len = n1
@@ -3168,9 +3190,10 @@ class ShardedWindowEngine(BigWindowEngine):
             C3 = b_pad + 7
             codes_host = np.zeros(C3 * step, dtype=np.uint8)
             codes_host[:length] = self._needle_codes_host(chunk)
-            needle_codes = jax.device_put(
-                np.ascontiguousarray(
-                    codes_host.reshape(C3, step).T).reshape(-1))
+            needle_np = np.ascontiguousarray(
+                codes_host.reshape(C3, step).T).reshape(-1)
+            needle_codes = (jax.device_put(needle_np)
+                            if jax.process_count() == 1 else needle_np)
             fn = _sharded_window_ranges_fn(self.smesh, k, b_pad)
             st1 = fn(self.key_hi, self.key_lo,
                      needle_codes, jnp.int32(length), jnp.int32(0))
@@ -3193,7 +3216,8 @@ class ShardedWindowEngine(BigWindowEngine):
             if cached is not None:
                 cap, ev_cap = cached
             else:
-                total_raw = int(float(tot if total is None else total))
+                total_raw = int(_local_np(
+                    tot if total is None else total))
                 t0 = self._lap(t0, f"ranges+total ({total_raw})")
                 cap = _cap_bucket(total_raw + 1)
         if cap > _slice_budget():

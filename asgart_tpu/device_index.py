@@ -756,12 +756,19 @@ def _resolve_ties(sa, rank, tied_slot, n: int, k: int,
             # small tied sets are dispatch-latency-bound: batch more
             # rounds per device call once the buffer is compact (each
             # host sync is a relay round trip)
+            import os as _os
+            big_cap = int(_os.environ.get("ASGART_ROUNDS_BIGCAP",
+                                          1 << 20))
             if cap <= (1 << 17):
                 rounds = max(rounds_per_call, 8)
-            elif cap <= (1 << 22):
-                # a 4M-row subset sort is ~ms-scale; four rounds per
+            elif cap <= big_cap:
+                # a 1M-row subset sort is ~ms-scale; four rounds per
                 # call halves the host round trips (each ~0.05-0.3 s
-                # through the relay) vs two
+                # through the relay) vs two. Above big_cap FEWER rounds
+                # per call wins: ties collapse fast, so an early resync
+                # shrinks the cap before most rounds run (measured at
+                # 128 Mbp -RC: 0.63 s vs 0.70 s for the 2^22 setting,
+                # scripts/rounds_probe.py)
                 rounds = max(rounds_per_call, 4)
             else:
                 rounds = rounds_per_call
@@ -1412,16 +1419,20 @@ _FUSED_DEC_CACHE: dict = {}
 _TRACKED_CACHES.append(_FUSED_DEC_CACHE)
 
 
-@functools.partial(jax.jit, static_argnames=("step", "L1", "n1"))
+@functools.partial(jax.jit, static_argnames=("step", "L1", "n1",
+                                             "specs"))
 def _invert_fused(sa: jax.Array, lo: jax.Array, hi: jax.Array,
-                  step: int, L1: int, n1: int):
+                  lane_mask: jax.Array, step: int, L1: int, n1: int,
+                  specs: tuple = ()):
     """ONE inversion sort delivers both build outputs: direct rows
     (sa < n1) key by their decimated position — the first n1 sorted
     entries are the dec-sorted rank stream (assembled into the [L1]
     decimated rank array the doubling reads) — and probe rows key by
     L1 + lane, so the tail is the per-lane (lo, hi) windows already in
     lane order. The doubled design needed a 2*n1-row inversion plus the
-    windowed engines' separate back-sorts for the same information."""
+    windowed engines' separate back-sorts for the same information.
+    The per-chunk raw totals (cap sizing) are fused in as well — one
+    dispatch instead of two through the relay."""
     M = sa.shape[0]
     C1 = L1 // step
     ikey = jax.lax.optimization_barrier(
@@ -1431,13 +1442,16 @@ def _invert_fused(sa: jax.Array, lo: jax.Array, hi: jax.Array,
                             step, L1, n1)
     lane_lo = jax.lax.slice(lo_c, (n1,), (M,))
     lane_hi = jax.lax.slice(hi_c, (n1,), (M,))
-    return rank, lane_lo, lane_hi
+    totals = _fused_lane_totals(lane_lo, lane_hi, lane_mask, specs)
+    return rank, lane_lo, lane_hi, totals
 
 
 @functools.partial(jax.jit, static_argnames=("specs",))
 def _fused_lane_totals(lane_lo, lane_hi, lane_mask, specs: tuple):
     """Per-chunk exact raw-match sums over the fused lane windows
     (the cap-sizing input, `_mj_ranges_impl` semantics)."""
+    if not specs:
+        return jnp.zeros(0, dtype=jnp.float32)
     counts = jnp.where(lane_mask, lane_hi - lane_lo, 0) \
         .astype(jnp.float32)
     off = 0
@@ -1545,7 +1559,12 @@ class FusedIndex:
             W = n1
         step = k // 2
         sum_nc = sum(nc for (_, _, nc) in specs)
-        tail_pad = (max((_bucket(nc) for (_, _, nc) in specs),
+        # lane-array slack: any scan read is (off_c, b_pad_c) with
+        # b_pad_c the chunk's lane bucket, so the worst overhang past
+        # sum_nc is the largest single (bucket - nc) gap — NOT a whole
+        # bucket (the r5.0 padding wasted ~6.4M dead sort rows at
+        # 128 Mbp)
+        tail_pad = (max((_bucket(nc) - nc for (_, _, nc) in specs),
                         default=1 << 16)) + 8
         total = sum_nc + tail_pad
         if W + total >= (1 << 31):
@@ -1633,8 +1652,8 @@ class FusedIndex:
                 skhi, sklo, sa, jnp.int32(W), flagged=True)
             del skhi, sklo  # donated into the bounds pass
         L1 = table_len_for(W, k)
-        rank, lane_lo, lane_hi = _invert_fused(sa, run_lo, run_hi,
-                                               step, L1, W)
+        rank, lane_lo, lane_hi, totals_dev = _invert_fused(
+            sa, run_lo, run_hi, lane_mask, step, L1, W, specs=specs)
         del run_lo, run_hi
         lap("tables", rank, lane_hi)
 
@@ -1658,9 +1677,7 @@ class FusedIndex:
             # harmless, they are never gathered)
             sa = _offset_i32(sa, jnp.int32(ws))
 
-        totals = np.asarray(_fused_lane_totals(lane_lo, lane_hi,
-                                               lane_mask, specs),
-                            dtype=np.float64)
+        totals = np.asarray(totals_dev, dtype=np.float64)
         offs = {}
         off = 0
         for i, (cs, cl, nc) in enumerate(specs):

@@ -251,8 +251,11 @@ class DeviceWorker:
             lambda s: self._set_phase(f"{tag}:index[{s}]"))
         t0 = time.time()
         try:
+            # chunks passed so the fused engine builds eagerly HERE
+            # (index attribution), not inside the scan loop
             dev = _DeviceEngineAdapter(strand, settings,
-                                       codes_device=codes_device)
+                                       codes_device=codes_device,
+                                       chunks=chunks)
         finally:
             device_index._STAGE_HOOK = None
         ti = time.time() - t0

@@ -106,3 +106,15 @@ def test_window_argv_is_a_plain_cli_command(tmp_path):
     assert cp.returncode == 0, cp.stderr.decode()
     part = RunResult.from_file(str(out))
     assert part.settings.trim == (0, 10000)
+
+
+def test_two_process_jax_distributed():
+    """Multi-controller axis: two `jax.distributed` CPU processes, one
+    global mesh spanning both, the rank-sharded window's psum
+    collectives crossing the process boundary — both processes' JSONs
+    identical and byte-equal to the single-process host trim engine
+    (asserted inside the helper)."""
+    from asgart_tpu.distributed import dryrun_two_process
+
+    j = dryrun_two_process()
+    assert '"sd"' in j or len(j) > 100
