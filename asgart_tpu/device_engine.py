@@ -1708,6 +1708,33 @@ class DeviceEngine:
                     groups.append((part, b_pad, cap, ev_cap))
         return groups, singles
 
+    def dispatch_chunks(self, chunks):
+        """Device phase of :meth:`run_chunks`: plan + enqueue every
+        group/single dispatch, return the in-flight state. The matching
+        :meth:`collect_chunks` does the (blocking) downloads + host
+        chaining — a sharded run overlaps it with the NEXT window's
+        dispatch (`pipeline._run_tpu_windows_pipelined`)."""
+        totals = self._batch_totals(chunks)
+        groups, singles = self._plan_groups(chunks, totals, slack=True)
+        gstates = [self._dispatch_group(part, b_pad, cap, ev_cap)
+                   for part, b_pad, cap, ev_cap in groups]
+        sstates = {c: self._dispatch_chunk(c, cap=cap, ev_cap=ev_cap,
+                                           total=totals.get(c))
+                   for c, cap, ev_cap in singles}
+        return gstates, sstates
+
+    def collect_chunks(self, state, chunks):
+        """Host phase of :meth:`run_chunks`: download + chain the
+        dispatched state (may re-dispatch internally on event-capacity
+        overflows)."""
+        gstates, sstates = state
+        results: dict = {}
+        for gst in gstates:
+            results.update(self._collect_group(gst))
+        for c, st in sstates.items():
+            results[c] = self._collect_chunk(st)
+        return [results.get(c, []) for c in chunks]
+
     def run_chunks(self, chunks):
         """All chunks with grouped dispatch: same-geometry chunks run
         as ONE `lax.map` core (one relay dispatch + one stacked
@@ -1716,19 +1743,7 @@ class DeviceEngine:
         groups dispatch as `_sharded_scan_group` SPMD programs — the
         chunk-heavy dispatch-bound profile that motivated grouping
         does not regress when ≥ 2 chips are present."""
-        totals = self._batch_totals(chunks)
-        groups, singles = self._plan_groups(chunks, totals, slack=True)
-        gstates = [self._dispatch_group(part, b_pad, cap, ev_cap)
-                   for part, b_pad, cap, ev_cap in groups]
-        sstates = {c: self._dispatch_chunk(c, cap=cap, ev_cap=ev_cap,
-                                           total=totals.get(c))
-                   for c, cap, ev_cap in singles}
-        results: dict = {}
-        for gst in gstates:
-            results.update(self._collect_group(gst))
-        for c, st in sstates.items():
-            results[c] = self._collect_chunk(st)
-        return [results.get(c, []) for c in chunks]
+        return self.collect_chunks(self.dispatch_chunks(chunks), chunks)
 
 
 class DeviceWindowEngine(DeviceEngine):
@@ -2051,7 +2066,7 @@ class DeviceWindowEngine(DeviceEngine):
         return {"chunks": list(group), "ev": ev, "m": m, "sc": sc,
                 "cap": cap, "ev_cap": ev_cap}
 
-    def run_chunks(self, chunks):
+    def dispatch_chunks(self, chunks):
         # one batched stage-1 for every chunk, then grouped cores
         # (same-geometry chunks share one dispatch + one scalars
         # fetch); chunks outside the batch go through the per-chunk
@@ -2070,6 +2085,10 @@ class DeviceWindowEngine(DeviceEngine):
                    for c, cap, ev_cap in singles}
         for c in rest:
             sstates[c] = self._dispatch_chunk(c)
+        return gstates, sstates
+
+    def collect_chunks(self, state, chunks):
+        gstates, sstates = state
         results: dict = {}
         for gst in gstates:
             results.update(self._collect_group(gst))
@@ -2079,6 +2098,9 @@ class DeviceWindowEngine(DeviceEngine):
         self._g_off = {}
         self._g_full = None
         return [results.get(c, []) for c in chunks]
+
+    def run_chunks(self, chunks):
+        return self.collect_chunks(self.dispatch_chunks(chunks), chunks)
 
 
 def _fused_gate(settings) -> bool | None:
@@ -2240,11 +2262,12 @@ class FusedEngine(DeviceWindowEngine):
         self._stage1.pop(chunk, None)
         return out
 
-    def run_chunks(self, chunks):
+    def dispatch_chunks(self, chunks):
         chunks = [tuple(c) for c in chunks]
         self._ensure(chunks)
         if self._delegate is not None:
-            return self._delegate.run_chunks(chunks)
+            # delegate split: the delegate's own dispatch/collect pair
+            return ("delegate", self._delegate.dispatch_chunks(chunks))
         in_batch = [c for c in chunks if c in self._g_off]
         totals = {c: off[1] for c, off in self._g_off.items()
                   if c in in_batch}
@@ -2254,6 +2277,13 @@ class FusedEngine(DeviceWindowEngine):
                    for part, b_pad, cap, ev_cap in groups]
         sstates = {c: self._dispatch_chunk(c, cap=cap, ev_cap=ev_cap)
                    for c, cap, ev_cap in singles}
+        return gstates, sstates
+
+    def collect_chunks(self, state, chunks):
+        chunks = [tuple(c) for c in chunks]
+        if state and state[0] == "delegate":
+            return self._delegate.collect_chunks(state[1], chunks)
+        gstates, sstates = state
         results: dict = {}
         for gst in gstates:
             results.update(self._collect_group(gst))
@@ -2261,6 +2291,9 @@ class FusedEngine(DeviceWindowEngine):
             results[c] = self._collect_chunk(st)
         self._stage1.clear()
         return [results.get(c, []) for c in chunks]
+
+    def run_chunks(self, chunks):
+        return self.collect_chunks(self.dispatch_chunks(chunks), chunks)
 
 
 # cross-window cache of batched needle-codes uploads (big-genome runs;
@@ -2568,6 +2601,16 @@ class BigWindowEngine(DeviceEngine):
         out = self._collect_chunk(self._dispatch_chunk(chunk))
         self._stage1.pop(chunk, None)
         return out
+
+    def dispatch_chunks(self, chunks):
+        """No dispatch/collect split: the batch loop interleaves
+        uploads, dispatches and downloads under an HBM budget, so the
+        whole run happens eagerly here (window pipelining degenerates
+        to the serial order for big windows)."""
+        return ("eager", self.run_chunks(chunks))
+
+    def collect_chunks(self, state, chunks):
+        return state[1]
 
     def run_chunks(self, chunks):
         """Chunks run in budget-bounded BATCHES (one concatenated

@@ -247,6 +247,99 @@ class SearchEngine:
         return raw_families_to_protosds(raw_families, s, start, length)
 
 
+def _window_pipeline_headroom(n1: int, W: int, settings) -> bool:
+    """Whether the NEXT window's device phase (build/stage-1 peak) can
+    be dispatched while the previous window's tail (downloads + chain)
+    is still in flight. Projected against :func:`device_index
+    .hbm_free_estimate` (which already accounts every tracked cache);
+    the in-flight window's scan outputs are untracked — covered by a
+    1 GB slack. When short, the driver waits for the tail first — the
+    serial order, never an OOM for overlap's sake."""
+    from .device_engine import fused_window_applicable
+    from .device_index import (FUSED_PEAK_BYTES_PER_ROW,
+                               WINDOW_PEAK_BYTES_PER_ROW,
+                               device_index_cache_enabled,
+                               hbm_free_estimate)
+
+    step = max(1, settings.probe_size // 2)
+    b = n1 // step + (1 << 21)
+    doubled = settings.reverse or settings.complement
+    if fused_window_applicable(n1, W, settings):
+        peak = FUSED_PEAK_BYTES_PER_ROW * (W + b) + 3 * n1
+    else:
+        peak = WINDOW_PEAK_BYTES_PER_ROW * (W + b) \
+            + (2 * n1 if doubled else n1)
+    if not device_index_cache_enabled():
+        # the in-flight window's resident arrays sit in NO tracked
+        # cache (the tail closure keeps them alive) — account them
+        peak += 13 * W + 9 * b
+    return hbm_free_estimate() >= peak + (1 << 30)
+
+
+def _window_tail(tail, strand, settings) -> RunResult:
+    """Host tail of one pipelined window: block on the deferred
+    downloads + chain, then run the post-processing Step chain."""
+    fams: list[list[ProtoSD]] = []
+    for chunk_fams in tail():
+        fams.extend(chunk_fams)
+    return _finalize_result(fams, strand, settings)
+
+
+def _run_tpu_windows_pipelined(windows, to_process, strand, settings,
+                               codes_dev, run_window) -> list:
+    """Two-stage pipeline over a sharded run's trim windows: the main
+    thread runs each window's DEVICE phase (index build or HBM-cache
+    hit, stage 1, scan dispatches — strictly in window order), while
+    ONE tail thread runs the previous window's HOST phase (event
+    downloads, native chaining, the post-processing Steps). The device
+    work of window w+1 overlaps the host work of window w; byte-equal
+    to the serial driver — same windows, same order, same per-window
+    finalization (reference trim semantics, asgart.rs:433-463).
+
+    Failure containment: any window whose dispatch or tail raises is
+    re-run through the serial `run_window` (which carries the existing
+    host-fallback semantics), so a single window's device hiccup never
+    fails the run. ``ASGART_WINDOW_PIPELINE=0`` restores the fully
+    serial driver."""
+    import dataclasses
+    from concurrent.futures import ThreadPoolExecutor
+
+    n1 = int(len(strand.data))
+    results: list = [None] * len(windows)
+    futs: dict = {}
+    with ThreadPoolExecutor(max_workers=1) as tail_ex:
+        prev = None
+        for i, w in enumerate(windows):
+            W = int(w[1]) - int(w[0]) + 1
+            if prev is not None and not _window_pipeline_headroom(
+                    n1, W, settings):
+                prev.result()  # serialize under HBM pressure
+            s = dataclasses.replace(settings, trim=w)
+            try:
+                se = _DeviceEngineAdapter(strand, s, trim=w,
+                                          codes_device=codes_dev,
+                                          chunks=to_process)
+                tail = se.run_chunks_deferred(to_process)
+            except Exception as e:  # noqa: BLE001 — any device failure
+                log.warning("window %s device dispatch failed (%s); "
+                            "serial fallback for this window", w, e)
+                if prev is not None:
+                    prev.result()
+                    prev = None
+                results[i] = run_window(w)
+                continue
+            prev = tail_ex.submit(_window_tail, tail, strand, s)
+            futs[i] = prev
+        for i, fut in futs.items():
+            try:
+                results[i] = fut.result()
+            except Exception as e:  # noqa: BLE001
+                log.warning("window %s tail failed (%s); serial rerun",
+                            windows[i], e)
+                results[i] = run_window(windows[i])
+    return results
+
+
 def _search_duplications_sharded(
     strands_files: list[str],
     settings: RunSettings,
@@ -377,17 +470,36 @@ def _search_duplications_sharded(
                 shards, per_w)
             engine = "host"
 
-    # device windows serialize: on a single chip, concurrent windows
-    # would hold several window indexes + their merge-join co-sort
-    # transients in ONE HBM at once (observed RESOURCE_EXHAUSTED at
-    # 512 Mbp --shards 2); device work queues on the chip anyway, so
-    # concurrency only buys host-side overlap — worthless against an
-    # OOM. Host windows keep the thread-pool fan-out.
-    workers = 1 if engine == "tpu" else min(len(windows),
-                                            os.cpu_count() or 1)
     t0 = time.time()
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        results = list(ex.map(run_window, windows))
+    _pipe_ok = False
+    if engine == "tpu" and windows \
+            and os.environ.get("ASGART_WINDOW_PIPELINE", "1") != "0":
+        from .device_engine import fused_window_applicable
+        from .device_index import DEVICE_MAX_K
+
+        per_w = max(we - ws for ws, we in windows) + 1
+        _pipe_ok = settings.probe_size <= DEVICE_MAX_K \
+            or fused_window_applicable(total_len + 1, per_w, settings)
+    if _pipe_ok:
+        # two-stage window pipeline: window w's host tail (downloads +
+        # chain + finalize) overlaps window w+1's device phase; the
+        # headroom check serializes under HBM pressure (see
+        # _run_tpu_windows_pipelined)
+        results = _run_tpu_windows_pipelined(
+            windows, to_process, strand, settings, codes_dev,
+            run_window)
+    else:
+        # device windows serialize: on a single chip, concurrent
+        # windows would hold several window indexes + their merge-join
+        # co-sort transients in ONE HBM at once (observed
+        # RESOURCE_EXHAUSTED at 512 Mbp --shards 2); device work queues
+        # on the chip anyway, so full-window concurrency only buys
+        # host-side overlap — worthless against an OOM. Host windows
+        # keep the thread-pool fan-out.
+        workers = 1 if engine == "tpu" else min(len(windows),
+                                                os.cpu_count() or 1)
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            results = list(ex.map(run_window, windows))
     prof["scan_s"] = round(time.time() - t0, 3)
 
     merged = results[0]
@@ -525,6 +637,22 @@ class _DeviceEngineAdapter:
         raws = self.dev.run_chunks(chunks)
         return [raw_families_to_protosds(raw, self.settings, c[0], c[1])
                 for raw, c in zip(raws, chunks)]
+
+    def run_chunks_deferred(self, chunks):
+        """Split execution for the sharded window pipeline: enqueue
+        every chunk's device work NOW (index build / cache hit +
+        stage 1 + scan dispatches), return a closure that blocks on
+        the downloads and chains — the driver runs it on a tail thread
+        overlapped with the next window's device phase."""
+        st = self.dev.dispatch_chunks(chunks)
+
+        def tail():
+            raws = self.dev.collect_chunks(st, chunks)
+            return [raw_families_to_protosds(raw, self.settings,
+                                             c[0], c[1])
+                    for raw, c in zip(raws, chunks)]
+
+        return tail
 
 
 def search_duplications(
