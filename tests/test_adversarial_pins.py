@@ -286,3 +286,83 @@ def test_reduce_overlap_dense_random_fixpoints(seed):
     want = postprocess.reduce_overlap_py(copy.deepcopy(fams))
     got = postprocess.reduce_overlap(copy.deepcopy(fams))
     assert _as_tuples(got) == _as_tuples(want)
+
+
+# --- 5. round-5 corpus: masked chunk splits, degenerate FASTA, k routing ----
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_skip_masked_creates_chunk_split(tmp_path, seed):
+    """A soft-masked (lowercase) run longer than the 5000-N chunking
+    threshold splits the chunk list ONLY under --skip-masked (lowercase
+    -> N makes it a splitting N run; unmasked it is plain sequence).
+    Duplication arms sit on both sides of the run, so the two modes
+    chunk differently AND chain differently. Host == device JSON in
+    both modes, -RC included."""
+    rng = np.random.default_rng(7100 + seed)
+    g = bytearray(random_dna(rng, 40000, b"ACGT"))
+    g[30000:32000] = bytes(g[4000:6000])            # direct pair
+    g[33000:35000] = revcomp(bytes(g[7000:9000]))   # RC pair
+    g[14000:20500] = bytes(g[14000:20500]).lower()  # 6500 > 5000 split
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", bytes(g))])
+    for skip_masked in (False, True):
+        for kw in ({}, dict(reverse=True, complement=True)):
+            s = RunSettings(min_duplication_length=800,
+                            skip_masked=skip_masked, **kw)
+            ref = json_of(search_duplications([str(fa)], s,
+                                              engine="host"))
+            got = json_of(search_duplications([str(fa)], s,
+                                              engine="tpu"))
+            assert got == ref, (skip_masked, kw)
+
+
+def test_header_only_and_crlf_records(tmp_path):
+    """Degenerate FASTA shapes the reference binary cannot arbitrate in
+    this image (bio::io::fasta behaviors — CONFORMANCE 'unverifiable'
+    list): header-only records (empty sequences), CRLF line endings,
+    blank lines inside records, and a record that is ONLY IUPAC bytes.
+    Pins OUR behavior: empty records keep zero-length strand-map
+    entries, and host == device JSON."""
+    rng = np.random.default_rng(7300)
+    body = random_dna(rng, 12000, b"ACGT")
+    dup = bytes(body[1000:2200])
+    fa = tmp_path / "g.fa"
+    with open(fa, "wb") as fh:
+        fh.write(b">empty_lead\r\n")
+        fh.write(b">chr1 with description\r\n")
+        fh.write(bytes(body[:6000]) + b"\r\n\r\n")
+        fh.write(bytes(body[6000:]) + b"\r\n")
+        fh.write(b">iupac_only\r\nRYKMSWBDHVRYKMSWBDHV\r\n")
+        fh.write(b">empty_mid\n")
+        fh.write(b">chr2\n" + dup + b"ACGT" + dup + b"\n")
+    s = RunSettings(min_duplication_length=800)
+    ref = search_duplications([str(fa)], s, engine="host")
+    names = [(f.name, f.length) for f in ref.strand.map]
+    assert names == [("empty_lead", 0), ("chr1", 12000),
+                     ("iupac_only", 20), ("empty_mid", 0),
+                     ("chr2", 2 * len(dup) + 4)]
+    got = json_of(search_duplications([str(fa)], s, engine="tpu"))
+    assert got == json_of(ref)
+    assert ref.families  # the chr2 tandem pair must be found
+
+
+@pytest.mark.parametrize("k", [20, 21, 30, 31])
+def test_k_routing_boundaries_under_shards(tmp_path, k):
+    """Probe sizes at every device-routing boundary, THROUGH --shards:
+    k=20 (2-plane windowed), 21 and 30 (3-plane fused windows), 31
+    (beyond every device engine -> byte-equal host windows). All must
+    match the host engine's sharded output exactly."""
+    rng = np.random.default_rng(7500 + k)
+    g = bytearray(random_dna(rng, 30000, b"ACGT"))
+    g[20000:22000] = bytes(g[5000:7000])
+    g[24000:25500] = revcomp(bytes(g[9000:10500]))
+    fa = tmp_path / "g.fa"
+    write_fasta(fa, [("chr1", bytes(g))])
+    s = RunSettings(min_duplication_length=800, probe_size=k,
+                    reverse=True, complement=True)
+    ref = json_of(search_duplications([str(fa)], s, engine="host",
+                                      shards=3))
+    got = json_of(search_duplications([str(fa)], s, engine="tpu",
+                                      shards=3))
+    assert got == ref
