@@ -2312,6 +2312,62 @@ from .device_index import _TRACKED_CACHES  # noqa: E402
 _TRACKED_CACHES.append(_PROBE_KEYS_CACHE)
 _TRACKED_CACHES.append(_NEEDLE_CODES_CACHE)
 
+# code-space complement: CODE[complemented(byte)] == _COMP_CODE[CODE
+# [byte]] for every byte the pipeline can see — prepare_data normalizes
+# the strand to ACGTN$ (fasta._NORM_*), and all code-0 bytes ('$', any
+# stray unknown) complement to 'N' (utils._COMPLEMENT_LENIENT), rank 4.
+# Lets the needle transform (pipeline.transform_needle: complement,
+# then reverse) run ON DEVICE from the resident genome codes.
+_COMP_CODE = np.array([4, 5, 3, 2, 4, 1, 0, 0], dtype=np.uint8)
+
+
+def _device_needle_enabled(n1: int) -> bool:
+    """Whether big-window runs derive window/needle codes ON DEVICE
+    from the one (packed, fingerprint-cached) genome-codes upload,
+    instead of uploading 1 B/bp per window + per needle batch (~2x the
+    genome in wire per cold run, again per rescan for windows). Needs
+    int32 strand addressing; ``ASGART_BIG_DEVCODES=0`` restores the
+    host-upload path."""
+    return n1 < (1 << 31) \
+        and os.environ.get("ASGART_BIG_DEVCODES", "1") != "0"
+
+
+@functools.partial(jax.jit, static_argnames=("off", "cap", "reverse",
+                                             "complement"))
+def _needle_batch_device(codes1, starts, lengths, bases, off: int,
+                         cap: int, reverse: bool, complement: bool):
+    """The batched needle-codes buffer (`_needle_batch_codes`' host
+    layout: each chunk's transformed codes at its base, zeros between
+    regions) derived from the device-resident strand codes. Exact:
+    complement is the code-space LUT (`_COMP_CODE`), reverse is a
+    flipped slice; bases ascend, so each region's `cap`-wide write may
+    spill zeros only into regions written LATER (their data overwrites)
+    or into the scratch tail."""
+    pad = jnp.zeros((cap,), jnp.uint8)
+    # padding keeps every dynamic_slice in bounds (no clamp shift):
+    # forward slices read [st, st + cap), reverse ones [st + ln - cap,
+    # st + ln) via a left pad
+    src = jnp.concatenate([pad, codes1] if reverse
+                          else [codes1, pad])
+    jpos = jnp.arange(cap, dtype=jnp.int32)
+    lut = jnp.asarray(_COMP_CODE)
+
+    def body(buf, xs):
+        st, ln, ba = xs
+        if reverse:
+            seg = jnp.flip(
+                jax.lax.dynamic_slice(src, (st + ln,), (cap,)))
+        else:
+            seg = jax.lax.dynamic_slice(src, (st,), (cap,))
+        if complement:
+            seg = lut[seg]
+        seg = jnp.where(jpos < ln, seg, jnp.uint8(0))
+        return jax.lax.dynamic_update_slice(buf, seg, (ba,)), None
+
+    buf0 = jnp.zeros(off + cap, dtype=jnp.uint8)
+    buf, _ = jax.lax.scan(body, buf0, (starts, lengths, bases))
+    return buf[:off]
+
 
 class BigWindowEngine(DeviceEngine):
     """Windowed (``--trim``) device engine for genomes whose DOUBLED
@@ -2323,13 +2379,17 @@ class BigWindowEngine(DeviceEngine):
     Differences from the resident engine, all coordinate-local so every
     device array stays int32-indexable:
 
-      * the window index is built from host-sliced window codes and its
-        suffix order stays WINDOW-RELATIVE (rebased to global on the
-        host, int64, after event download — ``_m_offset``);
-      * each chunk's needle is transformed on the host
-        (``transform_needle``) and its codes uploaded per chunk (the
-        1 B/bp wire cost is paid per run either way — here it is spread
-        over chunks instead of one resident doubled-codes upload);
+      * the window index's suffix order stays WINDOW-RELATIVE (rebased
+        to global on the host, int64, after event download —
+        ``_m_offset``); window codes derive ON DEVICE from the one
+        packed, fingerprint-cached strand-codes upload
+        (``_device_needle_enabled`` — while the strand is int32-
+        addressable; host-sliced 1 B/bp uploads otherwise);
+      * each batch's needle codes likewise derive on device
+        (``_needle_batch_device``: complement = code-space LUT, reverse
+        = flipped slice — exact vs ``transform_needle``), so a sharded
+        big-genome run's wire cost is ~n1/4 packed bytes ONCE instead
+        of ~2x the genome in 1 B/bp uploads (per window + per batch);
       * the exact filters run with host-clamped rebased constants
         (see `_core_from_ranges`): clamping into
         ``[-(chunk_len+2), W+2]`` ranges preserves every comparison
@@ -2366,10 +2426,24 @@ class BigWindowEngine(DeviceEngine):
                 "trim window exceeds 2^30 positions; use more shards")
         t0 = time.time()
         k = settings.probe_size
-        win_codes = np.zeros(W + k, dtype=np.uint8)
-        win_codes[:w_text] = CODE[strand.data[ws:we]]
+        self._codes1 = None
+        if _device_needle_enabled(n1):
+            # ONE (packed, fingerprint-cached) codes upload serves every
+            # window's build AND every needle batch of a sharded run —
+            # instead of ~2x the genome in 1 B/bp wire (per window + per
+            # batch; measured 6.3 MB/s through the relay, docs/perf.md)
+            from .device_index import (_window_codes,
+                                       upload_codes_cached)
+
+            self._codes1 = upload_codes_cached(strand.data)
+            win_codes = _window_codes(self._codes1, jnp.int32(ws),
+                                      w_text, k)
+        else:
+            win_np = np.zeros(W + k, dtype=np.uint8)
+            win_np[:w_text] = CODE[strand.data[ws:we]]
+            win_codes = jax.device_put(win_np)
         self.key_hi, self.key_lo, _run_lo, self.sa = \
-            window_arrays_from_codes(jax.device_put(win_codes), k, W)
+            window_arrays_from_codes(win_codes, k, W)
         del _run_lo  # the merge join derives lo from the co-sorted runs
         self.W = W
         self.first_len = n1
@@ -2495,13 +2569,32 @@ class BigWindowEngine(DeviceEngine):
             hit = _NEEDLE_CODES_CACHE.get(key)
             if hit is not None:
                 return hit
-        codes_host = np.zeros(off, dtype=np.uint8)
-        for c in geo_of:
-            codes_host[bases[c]: bases[c] + c[1]] = \
-                self._needle_codes_host(c)
-        # host-side decimation of the whole buffer as one matrix
-        codes_dec = jax.device_put(np.ascontiguousarray(
-            codes_host.reshape(off // step, step).T).reshape(-1))
+        if self._codes1 is not None:
+            # derive the batch ON DEVICE from the resident strand codes
+            # (zero needle wire); `_decimate_codes_t` is bit-equal to
+            # the host reshape(...).T decimation (pinned)
+            from .device_index import _decimate_codes_t
+
+            cs = list(geo_of)
+            starts = jnp.asarray(
+                np.fromiter((c[0] for c in cs), np.int32, len(cs)))
+            lengths = jnp.asarray(
+                np.fromiter((c[1] for c in cs), np.int32, len(cs)))
+            bvec = jnp.asarray(
+                np.fromiter((bases[c] for c in cs), np.int32, len(cs)))
+            cap = (max(c[1] for c in cs) + 7) & ~7
+            buf = _needle_batch_device(
+                self._codes1, starts, lengths, bvec, off, cap,
+                s.reverse, s.complement)
+            codes_dec = _decimate_codes_t(buf, step, off, off)
+        else:
+            codes_host = np.zeros(off, dtype=np.uint8)
+            for c in geo_of:
+                codes_host[bases[c]: bases[c] + c[1]] = \
+                    self._needle_codes_host(c)
+            # host-side decimation of the whole buffer as one matrix
+            codes_dec = jax.device_put(np.ascontiguousarray(
+                codes_host.reshape(off // step, step).T).reshape(-1))
         if key is not None:
             # bound the cache by bytes, not entries: batches of one run
             # are distinct keys and must all stay resident

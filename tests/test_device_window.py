@@ -525,3 +525,56 @@ def test_batched_stage1_grouped_joins(tmp_path, monkeypatch):
         assert bg.getvalue() == bs.getvalue() == bh.getvalue(), kw
     assert host.families
     di._DEVICE_INDEX_CACHE.clear()
+
+
+@pytest.mark.parametrize("reverse,complement", [
+    (False, False), (True, False), (False, True), (True, True)])
+def test_needle_batch_device_bit_equal(reverse, complement):
+    """`_needle_batch_device` (on-device needle derivation: code-space
+    complement LUT + flipped slices from the resident strand codes)
+    reproduces the HOST batch buffer byte-for-byte — including '$'/N
+    bytes inside chunks (code-space complement maps every code-0 byte
+    to N, exactly CODE[complemented(byte)]), uneven chunk lengths, and
+    inter-region zero gaps."""
+    import jax.numpy as jnp
+
+    from asgart_tpu.device_engine import _needle_batch_device
+    from asgart_tpu.index import CODE
+    from asgart_tpu.pipeline import transform_needle
+
+    rng = np.random.default_rng(911)
+    strand = rng.choice(np.frombuffer(b"ACGTN$", dtype=np.uint8), 5000,
+                        p=[0.24, 0.24, 0.24, 0.24, 0.03, 0.01])
+    chunks = [(0, 900), (1200, 537), (2000, 1601), (4000, 999)]
+    bases = {}
+    off = 0
+    for c in chunks:
+        bases[c] = off
+        off += ((c[1] + 63) // 64 + 4) * 64  # uneven padded regions
+    host = np.zeros(off, dtype=np.uint8)
+    for c in chunks:
+        host[bases[c]: bases[c] + c[1]] = CODE[transform_needle(
+            strand[c[0]: c[0] + c[1]], reverse, complement)]
+    cap = (max(c[1] for c in chunks) + 7) & ~7
+    dev = _needle_batch_device(
+        jnp.asarray(CODE[strand]),
+        jnp.asarray(np.array([c[0] for c in chunks], np.int32)),
+        jnp.asarray(np.array([c[1] for c in chunks], np.int32)),
+        jnp.asarray(np.array([bases[c] for c in chunks], np.int32)),
+        off, cap, reverse, complement)
+    assert np.array_equal(np.asarray(dev), host)
+
+
+def test_big_window_host_upload_fallback(tmp_path, monkeypatch):
+    """ASGART_BIG_DEVCODES=0 (the host-upload path for windows +
+    needle batches) stays byte-equal to the device-derivation default."""
+    monkeypatch.setenv("ASGART_BIG_WINDOW", "1")
+    rng = np.random.default_rng(912)
+    g = bytearray(random_dna(rng, 30000, b"ACGT"))
+    g[20000:22000] = revcomp(bytes(g[5000:7000]))
+    kw = dict(min_duplication_length=800, reverse=True, complement=True)
+    host, tpu_dev = run_both(tmp_path, bytes(g), kw)
+    assert_results_equal(host, tpu_dev)
+    monkeypatch.setenv("ASGART_BIG_DEVCODES", "0")
+    host2, tpu_host = run_both(tmp_path, bytes(g), kw)
+    assert_results_equal(host2, tpu_host)
