@@ -19,6 +19,19 @@ Shapes are static: A arms, M matches per probe, OUT emitted duplicons.
 The reference's dynamic arm vector is bounded in practice by its 200-arm
 prune; A=256 reproduces it except in adversarial inputs (the native host
 engine stays the byte-exact reference path).
+
+STATUS (frozen experiment, round 5): this engine is correct (pairwise
+fuzz + overflow pins vs the three host engines) but NOT on the default
+path, and measurement says it should stay that way: production chains
+from device-COMPACTED events (a few MB per chunk), so host chaining is
+microseconds-per-family and overlaps the next window's device phase in
+the sharded pipeline — while the lax.scan chain pays a sequential
+O(probes) device scan that cannot use the MXU and caps live arms at
+A=256 (semantically weaker under adversarial arm pressure). Promoting
+it would trade an exact, overlap-hidden host stage for a slower,
+capacity-capped device one. Kept as an engine for mesh experiments
+(`ASGART_DEVICE_CHAIN=1`) and as executable documentation of the
+automaton's data-parallel structure.
 """
 
 from __future__ import annotations

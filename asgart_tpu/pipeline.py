@@ -313,7 +313,10 @@ def _run_tpu_windows_pipelined(windows, to_process, strand, settings,
             W = int(w[1]) - int(w[0]) + 1
             if prev is not None and not _window_pipeline_headroom(
                     n1, W, settings):
-                prev.result()  # serialize under HBM pressure
+                try:
+                    prev.result()  # serialize under HBM pressure
+                except Exception:  # noqa: BLE001 — re-raised at gather
+                    pass
             s = dataclasses.replace(settings, trim=w)
             try:
                 se = _DeviceEngineAdapter(strand, s, trim=w,
@@ -324,7 +327,10 @@ def _run_tpu_windows_pipelined(windows, to_process, strand, settings,
                 log.warning("window %s device dispatch failed (%s); "
                             "serial fallback for this window", w, e)
                 if prev is not None:
-                    prev.result()
+                    try:
+                        prev.result()
+                    except Exception:  # noqa: BLE001 — at gather
+                        pass
                     prev = None
                 results[i] = run_window(w)
                 continue
