@@ -181,6 +181,27 @@ def device_window_fits(n1: int, W: int, doubled: bool,
     return peak <= hbm_budget_bytes()
 
 
+def big_window_fits(n1: int, W: int, k: int = 20) -> bool:
+    """HBM fit for ONE :class:`~asgart_tpu.device_engine
+    .BigWindowEngine` trim window (the >int32-doubled regime, e.g.
+    whole-human -RC). Unlike :func:`device_window_fits`, the probe side
+    here is NOT the whole genome at once: the big engine runs chunks in
+    needle-code BATCHES capped at ~budget/16 bytes (its ``run_chunks``
+    loop), so the stage-1 co-sort peak scales with the batch cap, not
+    with n1. Resident terms: window arrays (12 B/row inside the 44 B
+    peak), the batch's needle codes, and — when the strand is int32-
+    addressable (``_device_needle_enabled``) — the n1-byte resident
+    strand codes the device derivation keeps."""
+    if W >= (1 << 30):
+        return False
+    step = max(1, k // 2)
+    batch_bytes = max(hbm_budget_bytes() // 16, 1 << 28)
+    b = batch_bytes // step + (1 << 21)
+    codes_resident = n1 if n1 < (1 << 31) else 0
+    return WINDOW_PEAK_BYTES_PER_ROW * (W + b) + batch_bytes \
+        + codes_resident <= hbm_budget_bytes()
+
+
 def device_window_join_single(n1: int, W: int, doubled: bool,
                               k: int = 20) -> bool:
     """Whether a window's batched stage-1 merge join can run as ONE

@@ -783,26 +783,41 @@ def search_duplications(
             # BigWindowEngine, which never holds doubled codes resident
             # (needle-local batches) — size S accordingly
             doubled_resident = doubled and (2 * n1 - 1) < (1 << 31)
-            from .device_index import device_window_join_single
+            from .device_index import (big_window_fits,
+                                       device_window_join_single)
 
             kk = settings.probe_size
+
+            def _w_fits(W):
+                if doubled_resident or not doubled:
+                    return device_window_fits(n1, W, doubled_resident,
+                                              k=kk)
+                # >int32-doubled windows run on the BigWindowEngine,
+                # whose stage-1 batches bound the probe side — its own
+                # fit predicate admits far larger windows (e.g. whole-
+                # human -RC at ~13 windows instead of none <= 256)
+                return big_window_fits(n1, W, k=kk)
+
             S = 2
-            while S <= 256 and not device_window_fits(
-                    n1, (total_len + S - 1) // S + 1, doubled_resident,
-                    k=kk):
+            while S <= 256 and not _w_fits(
+                    (total_len + S - 1) // S + 1):
                 S += 1
             # prefer the smallest S whose stage-1 joins also run
             # single-shot (each grouped join re-pays the co-sort's W
-            # side): e.g. 512 Mbp -RC picks 3 windows over 2
-            S2 = S
-            while S2 < min(4 * S, 256) and not device_window_join_single(
-                    n1, (total_len + S2 - 1) // S2 + 1, doubled_resident,
-                    k=kk):
-                S2 += 1
-            if device_window_join_single(
-                    n1, (total_len + S2 - 1) // S2 + 1, doubled_resident,
-                    k=kk):
-                S = S2
+            # side): e.g. 512 Mbp -RC picks 3 windows over 2. (The
+            # big-window regime skips this: its stage 1 is batched by
+            # design, so the join-single refinement has no meaning.)
+            if doubled_resident or not doubled:
+                S2 = S
+                while S2 < min(4 * S, 256) \
+                        and not device_window_join_single(
+                        n1, (total_len + S2 - 1) // S2 + 1,
+                        doubled_resident, k=kk):
+                    S2 += 1
+                if device_window_join_single(
+                        n1, (total_len + S2 - 1) // S2 + 1,
+                        doubled_resident, k=kk):
+                    S = S2
             if S <= 256:
                 log.warning(
                     "genome too large for a one-HBM device index; "

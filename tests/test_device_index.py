@@ -358,3 +358,26 @@ def test_tracked_cache_bytes_dedups_shared_arrays():
     got = di._tracked_cache_bytes() - base
     assert got == (1024 + 256 + 512) * 4, got
     di._DEVICE_INDEX_CACHE.clear()
+
+
+def test_big_window_fits_admits_whole_human_scale():
+    """The big-window fit predicate (stage-1 batched by design) must
+    admit whole-human -RC windows at realistic shard counts — the
+    auto-shard planner uses it past int32 doubled addressing, where
+    `device_window_fits`'s whole-probe-side projection admits nothing
+    at any S <= 256 (the r4 gap: 3 Gbp auto-shard fell to host)."""
+    from asgart_tpu.device_index import big_window_fits
+
+    for mbp in (2048, 3100, 6200):
+        n1 = int(mbp * 1e6) + 1
+        total = n1 - 1
+        S = 2
+        while S <= 256 and not big_window_fits(
+                n1, (total + S - 1) // S + 1, k=20):
+            S += 1
+        assert S <= 40, f"{mbp} Mbp needs S={S}"
+        # monotone: more shards keep fitting
+        assert big_window_fits(n1, (total + 2 * S - 1) // (2 * S) + 1,
+                               k=20)
+    # the 2^30 row cap still rejects giant windows outright
+    assert not big_window_fits(10**10, 1 << 30, k=20)
