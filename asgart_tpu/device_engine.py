@@ -2491,13 +2491,30 @@ class BigWindowEngine(DeviceEngine):
                 length = chunk[1]
                 k = s.probe_size
                 step = k // 2
-                # host-side decimation (merge join reads decimated rows)
                 C3 = b_pad + 7
-                codes_host = np.zeros(C3 * step, dtype=np.uint8)
-                codes_host[:length] = self._needle_codes_host(chunk)
-                needle_codes = jax.device_put(
-                    np.ascontiguousarray(
-                        codes_host.reshape(C3, step).T).reshape(-1))
+                off = C3 * step
+                if self._codes1 is not None:
+                    # singleton chunk: same device derivation as the
+                    # batch path (one-entry batch), zero needle wire
+                    from .device_index import _decimate_codes_t
+
+                    cap = (length + 7) & ~7
+                    buf = _needle_batch_device(
+                        self._codes1,
+                        jnp.asarray(np.array([chunk[0]], np.int32)),
+                        jnp.asarray(np.array([length], np.int32)),
+                        jnp.asarray(np.array([0], np.int32)),
+                        off, cap, s.reverse, s.complement)
+                    needle_codes = _decimate_codes_t(buf, step, off,
+                                                     off)
+                else:
+                    # host-side decimation (merge join reads decimated
+                    # rows)
+                    codes_host = np.zeros(off, dtype=np.uint8)
+                    codes_host[:length] = self._needle_codes_host(chunk)
+                    needle_codes = jax.device_put(
+                        np.ascontiguousarray(
+                            codes_host.reshape(C3, step).T).reshape(-1))
                 st1 = _needle_ranges(
                     self.key_hi, self.key_lo, needle_codes,
                     jnp.int32(length), jnp.int32(0),
