@@ -2343,22 +2343,30 @@ def _needle_batch_device(codes1, starts, lengths, bases, off: int,
     flipped slice; bases ascend, so each region's `cap`-wide write may
     spill zeros only into regions written LATER (their data overwrites)
     or into the scratch tail."""
-    pad = jnp.zeros((cap,), jnp.uint8)
-    # padding keeps every dynamic_slice in bounds (no clamp shift):
-    # forward slices read [st, st + cap), reverse ones [st + ln - cap,
-    # st + ln) via a left pad
-    src = jnp.concatenate([pad, codes1] if reverse
-                          else [codes1, pad])
+    n1 = codes1.shape[0]
+    eff = min(cap, n1)  # chunk lengths never exceed the strand
     jpos = jnp.arange(cap, dtype=jnp.int32)
     lut = jnp.asarray(_COMP_CODE)
 
     def body(buf, xs):
+        # eff-sized windows only (no n1-sized pads/copies): the slice
+        # start clamps into [0, n1 - eff] and a roll realigns — the
+        # displaced (wrapped) tail always lands in the masked j >= ln
+        # region, so the valid bytes are exact
         st, ln, ba = xs
         if reverse:
+            want = st + ln - eff  # ideal window [st+ln-eff, st+ln)
+            start2 = jnp.maximum(want, 0)
             seg = jnp.flip(
-                jax.lax.dynamic_slice(src, (st + ln,), (cap,)))
+                jax.lax.dynamic_slice(codes1, (start2,), (eff,)))
+            seg = jnp.roll(seg, want - start2)
         else:
-            seg = jax.lax.dynamic_slice(src, (st,), (cap,))
+            start2 = jnp.minimum(st, jnp.int32(n1 - eff))
+            seg = jax.lax.dynamic_slice(codes1, (start2,), (eff,))
+            seg = jnp.roll(seg, start2 - st)
+        if eff < cap:
+            seg = jnp.concatenate(
+                [seg, jnp.zeros(cap - eff, jnp.uint8)])
         if complement:
             seg = lut[seg]
         seg = jnp.where(jpos < ln, seg, jnp.uint8(0))

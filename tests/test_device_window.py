@@ -578,3 +578,33 @@ def test_big_window_host_upload_fallback(tmp_path, monkeypatch):
     monkeypatch.setenv("ASGART_BIG_DEVCODES", "0")
     host2, tpu_host = run_both(tmp_path, bytes(g), kw)
     assert_results_equal(host2, tpu_host)
+
+
+def test_needle_batch_device_cap_exceeds_strand():
+    """cap (bucketed max chunk length) rounded past n1: the eff-clamped
+    slice + zero pad path stays bit-equal to the host buffer."""
+    import jax.numpy as jnp
+
+    from asgart_tpu.device_engine import _needle_batch_device
+    from asgart_tpu.index import CODE
+    from asgart_tpu.pipeline import transform_needle
+
+    rng = np.random.default_rng(913)
+    strand = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), 999)
+    for reverse, complement in ((True, True), (False, False),
+                                (True, False)):
+        chunks = [(1, 998)]
+        off = 1040
+        host = np.zeros(off, dtype=np.uint8)
+        host[:998] = CODE[transform_needle(strand[1:999], reverse,
+                                           complement)]
+        cap = (998 + 7) & ~7  # = 1000 > n1 = 999
+        assert cap > len(strand)
+        dev = _needle_batch_device(
+            jnp.asarray(CODE[strand]),
+            jnp.asarray(np.array([1], np.int32)),
+            jnp.asarray(np.array([998], np.int32)),
+            jnp.asarray(np.array([0], np.int32)),
+            off, cap, reverse, complement)
+        assert np.array_equal(np.asarray(dev), host), (reverse,
+                                                       complement)
