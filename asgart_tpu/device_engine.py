@@ -2504,7 +2504,7 @@ class BigWindowEngine(DeviceEngine):
                 if self._codes1 is not None:
                     # singleton chunk: same device derivation as the
                     # batch path (one-entry batch), zero needle wire
-                    from .device_index import _decimate_codes_t
+                    from .device_index import decimate_codes_auto
 
                     cap = (length + 7) & ~7
                     buf = _needle_batch_device(
@@ -2513,8 +2513,8 @@ class BigWindowEngine(DeviceEngine):
                         jnp.asarray(np.array([length], np.int32)),
                         jnp.asarray(np.array([0], np.int32)),
                         off, cap, s.reverse, s.complement)
-                    needle_codes = _decimate_codes_t(buf, step, off,
-                                                     off)
+                    needle_codes = decimate_codes_auto(buf, step,
+                                                       off, off)
                 else:
                     # host-side decimation (merge join reads decimated
                     # rows)
@@ -2596,9 +2596,9 @@ class BigWindowEngine(DeviceEngine):
                 return hit
         if self._codes1 is not None:
             # derive the batch ON DEVICE from the resident strand codes
-            # (zero needle wire); `_decimate_codes_t` is bit-equal to
-            # the host reshape(...).T decimation (pinned)
-            from .device_index import _decimate_codes_t
+            # (zero needle wire); the decimation is bit-equal to the
+            # host reshape(...).T layout (pinned)
+            from .device_index import decimate_codes_auto
 
             cs = list(geo_of)
             starts = jnp.asarray(
@@ -2611,7 +2611,7 @@ class BigWindowEngine(DeviceEngine):
             buf = _needle_batch_device(
                 self._codes1, starts, lengths, bvec, off, cap,
                 s.reverse, s.complement)
-            codes_dec = _decimate_codes_t(buf, step, off, off)
+            codes_dec = decimate_codes_auto(buf, step, off, off)
         else:
             codes_host = np.zeros(off, dtype=np.uint8)
             for c in geo_of:
@@ -2919,7 +2919,7 @@ class MeshWindowEngine:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from .device_index import build_window_arrays, \
-            _build_text_codes, _decimate_codes_t
+            _build_text_codes, decimate_codes_auto
 
         self.strand = strand
         self.settings = settings
@@ -2944,7 +2944,7 @@ class MeshWindowEngine:
         rep = NamedSharding(mesh, P())
         L2 = table_len_for(n, k)
         self.codes = jax.device_put(
-            _decimate_codes_t(
+            decimate_codes_auto(
                 _build_text_codes(codes1, k, settings.reverse,
                                   settings.complement, L2 - k),
                 k // 2, L2, n + k),

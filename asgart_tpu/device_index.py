@@ -181,25 +181,37 @@ def device_window_fits(n1: int, W: int, doubled: bool,
     return peak <= hbm_budget_bytes()
 
 
-def big_window_fits(n1: int, W: int, k: int = 20) -> bool:
+def big_window_fits(n1: int, W: int, k: int = 20,
+                    chunks=None) -> bool:
     """HBM fit for ONE :class:`~asgart_tpu.device_engine
     .BigWindowEngine` trim window (the >int32-doubled regime, e.g.
     whole-human -RC). Unlike :func:`device_window_fits`, the probe side
-    here is NOT the whole genome at once: the big engine runs chunks in
-    needle-code BATCHES capped at ~budget/16 bytes (its ``run_chunks``
-    loop), so the stage-1 co-sort peak scales with the batch cap, not
-    with n1. Resident terms: window arrays (12 B/row inside the 44 B
-    peak), the batch's needle codes, and — when the strand is int32-
-    addressable (``_device_needle_enabled``) — the n1-byte resident
-    strand codes the device derivation keeps."""
+    here is NOT the whole genome at once: chunks run per-batch (budget-
+    capped) or as singletons, so the stage-1 co-sort's probe side is
+    bounded by the LARGEST CHUNK's lane count — pass the run's real
+    chunk list (the auto-shard planner runs after ``prepare_data`` and
+    has it) for an exact bound; without it the batch cap stands in.
+    Additive terms, calibrated against the r5 S=12 OOM (16.05 G of
+    15.75 G — compile-reported): co-sort in+out+scratch 35 B/(W+b) row,
+    resident window arrays 12 B/row, packed probe key planes 8 B/lane,
+    the needle-region bytes twice (scan buffer + decimated copy; the
+    per-block decimation keeps transpose temps bounded), the n1-byte
+    resident strand codes of the device derivation (int32-addressable
+    strands), and a 0.75 GB margin."""
     if W >= (1 << 30):
         return False
     step = max(1, k // 2)
-    batch_bytes = max(hbm_budget_bytes() // 16, 1 << 28)
-    b = batch_bytes // step + (1 << 21)
+    if chunks:
+        max_len = max((int(c[1]) for c in chunks), default=1)
+        region = max_len + 8 * step
+        b = max_len // step + (1 << 21)
+    else:
+        region = max(hbm_budget_bytes() // 16, 1 << 28)
+        b = region // step + (1 << 21)
     codes_resident = n1 if n1 < (1 << 31) else 0
-    return WINDOW_PEAK_BYTES_PER_ROW * (W + b) + batch_bytes \
-        + codes_resident <= hbm_budget_bytes()
+    peak = 35 * (W + b) + 12 * W + 8 * b + 2 * region \
+        + codes_resident + (3 << 28)
+    return peak <= hbm_budget_bytes()
 
 
 def device_window_join_single(n1: int, W: int, doubled: bool,
@@ -557,6 +569,57 @@ def _decimate_codes_t(codes: jax.Array, step: int, L: int, n: int):
                 (r * C + q0,))
         b0 += nb
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("step", "C", "Cb"),
+                   donate_argnums=(0,))
+def _dec_block_t(out: jax.Array, blk: jax.Array, b0, step: int, C: int,
+                 Cb: int):
+    """One `_decimate_codes_t` block as its OWN dispatch (donated
+    `out`): the [Cb, step] -> [step, Cb] transpose materializes
+    (8, 128)-padded temps (~12.8x), and at ≥1 G rows XLA keeps enough
+    of the single-jit loop's block temps live to exceed HBM (measured:
+    16.05 G of 15.75 G at a 1.28 G-row buffer, r5). Per-block dispatch
+    bounds the live temps to one block."""
+    tt = blk.reshape(Cb, step).T.reshape(-1)
+    q0 = b0 // jnp.int32(step)
+    for r in range(step):
+        out = jax.lax.dynamic_update_slice(
+            out, jax.lax.dynamic_slice(tt, (r * Cb,), (Cb,)),
+            (jnp.int32(r * C) + q0,))
+    return out
+
+
+def _decimate_codes_multi(codes: jax.Array, step: int, L: int, n: int):
+    """`_decimate_codes_t` for buffers too large for the single-jit
+    block loop: the same blocked transpose, one dispatch per block
+    (bit-equal — pinned by test_device_index). Tail positions in
+    [n, L) stay 0, matching the zero-padded buffer contract."""
+    C = L // step
+    out = jnp.zeros(L, dtype=codes.dtype)
+    Bb = ((1 << 24) // step) * step
+    b0 = 0
+    while b0 < n:
+        nb = min(Bb, n - b0)
+        nbp = ((nb + step - 1) // step) * step
+        if nbp == nb:
+            blk = jax.lax.dynamic_slice(codes, (b0,), (nb,))
+        else:
+            blk = jnp.zeros(nbp, codes.dtype).at[:nb].set(
+                jax.lax.dynamic_slice(codes, (b0,), (nb,)))
+        out = _dec_block_t(out, blk, jnp.int32(b0), step, C,
+                           nbp // step)
+        b0 += nb
+    return out
+
+
+def decimate_codes_auto(codes: jax.Array, step: int, L: int, n: int):
+    """`_decimate_codes_t` below 2^27 rows (one dispatch, measured
+    fastest), the per-block-dispatch `_decimate_codes_multi` above
+    (bounded HBM temps at ≥1 G rows)."""
+    if L > (1 << 27):
+        return _decimate_codes_multi(codes, step, L, n)
+    return _decimate_codes_t(codes, step, L, n)
 
 
 @jax.jit
@@ -1202,7 +1265,7 @@ def _shared_decimated_codes(codes1: jax.Array, strand_data: np.ndarray,
         hit = _DEC_CODES_CACHE.get(key)
         if hit is not None:
             return hit
-    out = _decimate_codes_t(
+    out = decimate_codes_auto(
         _build_text_codes(codes1, k, reverse, complement, L2 - k),
         k // 2, L2, n + k)
     if key is not None:
@@ -1616,7 +1679,8 @@ class FusedIndex:
                                          Lp)
             else:
                 src = _build_text_codes(codes1, k, False, False, Lp)
-            dec_src = _decimate_codes_t(src, step=step, L=Lp, n=n_src)
+            dec_src = decimate_codes_auto(src, step=step, L=Lp,
+                                          n=n_src)
             del src
             if dkey is not None:
                 _FUSED_DEC_CACHE.clear()

@@ -297,12 +297,21 @@ def _run_tpu_windows_pipelined(windows, to_process, strand, settings,
     finalization (reference trim semantics, asgart.rs:433-463).
 
     Failure containment: any window whose dispatch or tail raises is
-    re-run through the serial `run_window` (which carries the existing
-    host-fallback semantics), so a single window's device hiccup never
-    fails the run. ``ASGART_WINDOW_PIPELINE=0`` restores the fully
-    serial driver."""
+    re-run through the serial `run_window`; if the device retry fails
+    too (e.g. an HBM-infeasible window the projections missed), the
+    window runs on the byte-equal HOST engine — a single window's
+    device hiccup never fails the run. ``ASGART_WINDOW_PIPELINE=0``
+    restores the fully serial driver."""
     import dataclasses
     from concurrent.futures import ThreadPoolExecutor
+
+    def serial_window(w):
+        try:
+            return run_window(w)
+        except Exception as e:  # noqa: BLE001
+            log.warning("window %s serial device run failed (%s); "
+                        "host engine for this window", w, e)
+            return run_window(w, "host")
 
     n1 = int(len(strand.data))
     results: list = [None] * len(windows)
@@ -332,7 +341,7 @@ def _run_tpu_windows_pipelined(windows, to_process, strand, settings,
                     except Exception:  # noqa: BLE001 — at gather
                         pass
                     prev = None
-                results[i] = run_window(w)
+                results[i] = serial_window(w)
                 continue
             prev = tail_ex.submit(_window_tail, tail, strand, s)
             futs[i] = prev
@@ -342,7 +351,7 @@ def _run_tpu_windows_pipelined(windows, to_process, strand, settings,
             except Exception as e:  # noqa: BLE001
                 log.warning("window %s tail failed (%s); serial rerun",
                             windows[i], e)
-                results[i] = run_window(windows[i])
+                results[i] = serial_window(windows[i])
     return results
 
 
@@ -439,14 +448,15 @@ def _search_duplications_sharded(
                         "sharded windows on the host engine", e)
             engine = "host"
 
-    def run_window(w):
+    def run_window(w, _engine=None):
         import dataclasses
 
         s = dataclasses.replace(settings, trim=w)
         # the strand is already parsed (window planning above): windows
         # reuse it instead of re-reading the FASTA per window (read-only
         # numpy, safe across the window threads)
-        return search_duplications(strands_files, s, engine=engine,
+        return search_duplications(strands_files, s,
+                                   engine=_engine or engine,
                                    _prepared=(to_process, strand),
                                    _codes_device=codes_dev)
 
@@ -793,10 +803,11 @@ def search_duplications(
                     return device_window_fits(n1, W, doubled_resident,
                                               k=kk)
                 # >int32-doubled windows run on the BigWindowEngine,
-                # whose stage-1 batches bound the probe side — its own
-                # fit predicate admits far larger windows (e.g. whole-
-                # human -RC at ~13 windows instead of none <= 256)
-                return big_window_fits(n1, W, k=kk)
+                # whose per-chunk/batched stage 1 bounds the probe side
+                # — its own fit predicate (fed the REAL chunk list)
+                # admits far larger windows (e.g. whole-human -RC at
+                # ~14 windows instead of none <= 256)
+                return big_window_fits(n1, W, k=kk, chunks=to_process)
 
             S = 2
             while S <= 256 and not _w_fits(

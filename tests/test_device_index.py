@@ -381,3 +381,22 @@ def test_big_window_fits_admits_whole_human_scale():
                                k=20)
     # the 2^30 row cap still rejects giant windows outright
     assert not big_window_fits(10**10, 1 << 30, k=20)
+
+
+def test_decimate_codes_multi_bit_equal():
+    """Per-block-dispatch decimation (`_decimate_codes_multi`, the
+    >=2^27-row HBM-safe route) is bit-equal to the single-jit
+    `_decimate_codes_t` across uneven tails and several steps."""
+    import jax.numpy as jnp
+
+    from asgart_tpu.device_index import (_decimate_codes_multi,
+                                         _decimate_codes_t)
+
+    rng = np.random.default_rng(614)
+    for step, n, L in ((10, 100_000, 100_000), (10, 99_991, 100_000),
+                       (7, 70_007, 70_014), (15, 30_001, 30_015)):
+        codes = jnp.asarray(
+            rng.integers(0, 6, n).astype(np.uint8))
+        a = np.asarray(_decimate_codes_t(codes, step, L, n))
+        b = np.asarray(_decimate_codes_multi(codes, step, L, n))
+        assert np.array_equal(a, b), (step, n, L)
