@@ -76,14 +76,15 @@ with tempfile.TemporaryDirectory() as td:
     settings = RunSettings(reverse=True, complement=True)
 
     def run(engine, shards):
+        prof = {}
         t0 = time.time()
         res = search_duplications([fa], settings, engine=engine,
-                                  shards=shards)
+                                  shards=shards, profile=prof)
         dt = time.time() - t0
         nsd = sum(len(f) for f in res.families)
         print(f"{engine} shards={shards}: {dt:.1f}s -> "
               f"{MBP / dt:.2f} Mbp/s, {len(res.families)} families / "
-              f"{nsd} SDs", flush=True)
+              f"{nsd} SDs  prof={prof}", flush=True)
         return res, dt
 
     res_t, dt_t = run("tpu", SHARDS)

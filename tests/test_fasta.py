@@ -131,3 +131,33 @@ def test_read_fasta_real_world_quirks(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         read_fasta(str(bad), skip_masked=False)
+
+
+def test_prepare_cache_hit_and_invalidation(tmp_path):
+    """prepare_data's warm-service parse cache: identical results on a
+    hit (same object is fine — callers are read-only), trim validation
+    still per-call, and a file rewrite (mtime/size) invalidates."""
+    import os
+    import time as _time
+
+    from asgart_tpu.fasta import prepare_data
+
+    fa = tmp_path / "g.fa"
+    fa.write_bytes(b">c1\nACGTACGTAC\nGGGG\n")
+    t1 = prepare_data([str(fa)], False, None)
+    t2 = prepare_data([str(fa)], False, (2, 8))
+    assert t2[0] == (2, 8)  # trim computed on the cached parse
+    assert np.array_equal(t1[2].data, t2[2].data)
+    assert t1[1] == t2[1]
+    # out-of-range trim on a cache hit still clamps with a warning
+    t3 = prepare_data([str(fa)], False, (2, 99))
+    assert t3[0] == (2, len(t1[2].data) - 1)
+    # rewrite -> new content must be parsed
+    _time.sleep(0.01)
+    fa.write_bytes(b">c1\nTTTTTTTTTT\nCCCC\n")
+    os.utime(fa)
+    t4 = prepare_data([str(fa)], False, None)
+    assert not np.array_equal(t1[2].data, t4[2].data)
+    # skip_masked is part of the key
+    t5 = prepare_data([str(fa)], True, None)
+    assert t5[2].data is not t4[2].data
