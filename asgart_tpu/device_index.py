@@ -176,7 +176,12 @@ def device_window_fits(n1: int, W: int, doubled: bool,
         return False
     step = max(1, k // 2)
     b = n1 // step + (1 << 21)
-    codes = (2 * n1 if doubled else n1)
+    # decimated (doubled) probe codes + the resident unpacked strand
+    # codes (`upload_codes_cached` — shared across a sharded run's
+    # windows). r5 recalibration: 6 windows of 171M rows at 1024 Mbp
+    # -RC passed the old projection and OOMed mid-run; the n1 term
+    # lands the auto-shard at window sizes with measured headroom.
+    codes = (2 * n1 if doubled else n1) + n1
     peak = WINDOW_PEAK_BYTES_PER_ROW * (W + b) + codes
     return peak <= hbm_budget_bytes()
 
