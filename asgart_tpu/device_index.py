@@ -1043,13 +1043,19 @@ def _build_peak_bytes(builder, strand_data, kwargs) -> int:
     regime's residency."""
     n1 = int(len(strand_data))
     trim = kwargs.get("trim")
+    specs = kwargs.get("specs")
+    if specs is not None:
+        # fused-probe build: (W + B)-row transients — W is the trim
+        # window for FUSED WINDOW builds (checking trim first here
+        # projected 44 B x W and under-evicted by the whole probe
+        # side: 1024 Mbp --shards 8 fused windows OOMed at window 4
+        # with 3 siblings cached, r5)
+        B = sum(nc for (_, _, nc) in specs) + (1 << 21)
+        W = int(trim[1]) - int(trim[0]) + 1 if trim is not None else n1
+        return FUSED_PEAK_BYTES_PER_ROW * (W + B)
     if trim is not None:
         W = int(trim[1]) - int(trim[0]) + 1
         return WINDOW_PEAK_BYTES_PER_ROW * W
-    specs = kwargs.get("specs")
-    if specs is not None:  # fused-probe build: (n1 + B)-row transients
-        B = sum(nc for (_, _, nc) in specs) + (1 << 21)
-        return FUSED_PEAK_BYTES_PER_ROW * (n1 + B)
     doubled = kwargs.get("reverse") or kwargs.get("complement")
     n = 2 * n1 - 1 if doubled else n1
     return BUILD_PEAK_BYTES_PER_ROW * n
